@@ -1,0 +1,72 @@
+"""Shared model building blocks (Flax linen, NHWC, bf16-friendly).
+
+All classifiers in this package:
+  * take NHWC inputs (TPU-native layout; the reference is NCHW torch),
+  * expose ``dtype`` (compute) and ``param_dtype`` so the masked-forward
+    engine can run bf16 on the MXU with f32 params,
+  * use BatchNorm with torch-compatible defaults (momentum 0.1 torch ==
+    ``momentum=0.9`` flax, eps 1e-5) so converted ``.pth.tar`` checkpoints
+    reproduce reference logits.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+Dtype = Any
+
+# torch nn.BatchNorm2d(momentum=0.1) ≡ flax momentum 0.9.
+BatchNorm = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
+
+
+class ConvBNRelu(nn.Module):
+    """Conv → BN → ReLU (the reference's ``conv`` helper,
+    ``generate_gp_training_data_mnist.py:72-77``)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+        x = BatchNorm(
+            use_running_average=not train, dtype=self.dtype, param_dtype=self.param_dtype
+        )(x)
+        return nn.relu(x)
+
+
+def avg_pool(x: Array, window: int, stride: int | None = None) -> Array:
+    stride = stride or window
+    return nn.avg_pool(x, (window, window), strides=(stride, stride))
+
+
+def max_pool_same(x: Array, window: int, stride: int) -> Array:
+    """torch ``MaxPool2d(kernel, stride, padding=1)`` for the ResNet stem."""
+    return nn.max_pool(
+        x, (window, window), strides=(stride, stride), padding=[(1, 1), (1, 1)]
+    )
+
+
+def global_mean_pool(x: Array) -> Array:
+    """Mean over H, W (reference ``x2.mean(3).mean(2)``,
+    ``generate_gp_training_data_mnist.py:102``)."""
+    return jnp.mean(x, axis=(1, 2))

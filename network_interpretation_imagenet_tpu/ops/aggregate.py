@@ -1,0 +1,108 @@
+"""Label aggregation: mask bank + per-mask labels → per-pixel saliency.
+
+The reference aggregates by re-reading every mask PNG and walking all pixels
+in Python dicts (``bayesian_active_learning_imagenet.py:321-334`` — an
+O(K·H·W) interpreter loop). Here the whole aggregation is one einsum on
+device: ``heat = Σ_k labels[k] · masks[k]``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def summed_label_heatmap(masks: Array, labels: Array) -> Array:
+    """Per-pixel summed mask labels.
+
+    Matches reference ``plot_summed_heatmap`` semantics
+    (``bayesian_active_learning_imagenet.py:321-344``): each pixel accumulates
+    the label (1 = prediction survived, 0 = died) of every mask covering it.
+    Pixels covered by no mask stay 0 (the reference's dict default).
+
+    Args:
+      masks: bool[K, H, W] mask bank.
+      labels: [K] float/int per-mask survive labels.
+
+    Returns:
+      f32[H, W] summed-label heatmap.
+    """
+    return jnp.einsum(
+        "khw,k->hw", masks.astype(jnp.float32), labels.astype(jnp.float32)
+    )
+
+
+def summed_superpixel_labels(
+    segments: Array, firsts: Array, width: Array, labels: Array
+) -> Array:
+    """Equivalent heatmap computed from window parameters without a mask bank.
+
+    Mirrors ``gp_superpixel_data_imagenet.py:316-326`` (only *surviving*
+    masks accumulate there — pass ``labels`` already zeroed for dead masks,
+    which ``summed_label_heatmap`` also expects). Memory-lean path for very
+    large K: accumulates per-segment counts [S] then gathers through the
+    label map instead of materializing [K, H, W].
+
+    Args:
+      segments: int32[H, W] contiguous labels 0..S-1.
+      firsts: int32[K] window starts.
+      width: int32 scalar window length.
+      labels: [K] per-mask labels.
+
+    Returns:
+      f32[H, W].
+    """
+    # Static bound on segment IDs; matches ops.masking.sample_knockout_ids.
+    s_cap = 4096
+    seg_ids = jnp.arange(s_cap, dtype=jnp.int32)
+    # in_window[k, s] = first[k] <= s < first[k]+width
+    in_window = (seg_ids[None, :] >= firsts[:, None]) & (
+        seg_ids[None, :] < (firsts + width)[:, None]
+    )
+    per_segment = jnp.einsum(
+        "ks,k->s", in_window.astype(jnp.float32), labels.astype(jnp.float32)
+    )
+    return per_segment[segments]
+
+
+def normalize_to_uint8(x: Array) -> Array:
+    """Min-max scale to [0, 255] uint8 (reference ``img_show`` idiom,
+    e.g. ``bayesian_active_learning_imagenet.py:140-143``)."""
+    x = x.astype(jnp.float32)
+    x = x - x.min()
+    denom = jnp.maximum(x.max(), jnp.finfo(jnp.float32).tiny)
+    return (x / denom * 255.0).astype(jnp.uint8)
+
+
+def distinct_sorted_levels(heat: Array, k_max: int) -> tuple[Array, Array]:
+    """Sorted distinct heatmap values, padded to a static length.
+
+    Replaces the reference's ``sorted(set(dict_pixel.values()))``
+    (``generate_gp_training_data_imagenet.py:394``). Summed labels take at
+    most K+1 distinct integer values (0..K), so ``k_max`` = num_masks + 1
+    is a tight static bound.
+
+    Returns:
+      (levels f32[k_max] ascending with +inf padding, count int32 scalar).
+    """
+    flat = heat.reshape(-1)
+    # Integer-valued heat: histogram over 0..k_max-1 marks which levels occur.
+    idx = jnp.clip(flat.astype(jnp.int32), 0, k_max - 1)
+    present = jnp.zeros((k_max,), jnp.bool_).at[idx].set(True)
+    levels_all = jnp.arange(k_max, dtype=jnp.float32)
+    levels = jnp.where(present, levels_all, jnp.inf)
+    order = jnp.argsort(levels)
+    sorted_levels = levels[order]
+    count = jnp.sum(present.astype(jnp.int32))
+    return sorted_levels, count
+
+
+def threshold_mask(heat: Array, threshold: Array) -> Array:
+    """Binary keep-mask of pixels with heat >= threshold.
+
+    Reference ``generate_new_mask`` (``generate_gp_training_data_imagenet.py:550-565``)
+    keeps pixels whose summed label meets the threshold.
+    """
+    return heat >= threshold
