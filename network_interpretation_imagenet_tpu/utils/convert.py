@@ -1,0 +1,222 @@
+"""PyTorch ``.pth.tar`` → Flax variables converters.
+
+Ingests the reference's shipped checkpoints
+(``saved_checkpoints/mnist/checkpoint.pth.tar``,
+``saved_checkpoints/cifar10+-resnet-56/model_best.pth.tar`` — loaded by
+``generate_gp_training_data_mnist.py:157-158`` /
+``generate_gp_training_data_cifar.py:249-250``) and torchvision-format
+state_dicts for the ImageNet zoo, producing NHWC Flax params + batch_stats.
+
+Layout rules:
+  * Conv weight  torch [O, I, kH, kW] → flax [kH, kW, I, O]
+  * Dense weight torch [O, I]         → flax [I, O]
+  * BatchNorm: weight→scale, bias→bias, running_mean/var→batch_stats
+
+torch is only needed to *read* the pickle; all downstream compute is JAX.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a ``.pth.tar`` and return a flat name→numpy dict.
+
+    Handles the reference's two wrapper formats: ``{'model': sd}`` (MNIST)
+    and ``{'state_dict': sd}`` with ``module.``-prefixed DataParallel keys
+    (CIFAR, reference ``generate_gp_training_data_cifar.py:75-78``).
+    """
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict):
+        sd = blob.get("model") or blob.get("state_dict") or blob
+    else:
+        sd = blob
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module.") :]
+        out[k] = np.asarray(v.detach().cpu().numpy())
+    return out
+
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _dense_w(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+class _TreeBuilder:
+    """Accumulates (path, array) pairs into flax's nested-dict variables."""
+
+    def __init__(self) -> None:
+        self.params: Dict[str, Any] = {}
+        self.stats: Dict[str, Any] = {}
+
+    def _put(self, root: Dict[str, Any], path: Tuple[str, ...], value: np.ndarray):
+        node = root
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    def conv(self, sd: Mapping[str, np.ndarray], torch_name: str, *flax_path: str):
+        self._put(self.params, (*flax_path, "kernel"), _conv_w(sd[torch_name + ".weight"]))
+        if torch_name + ".bias" in sd:
+            self._put(self.params, (*flax_path, "bias"), sd[torch_name + ".bias"])
+
+    def dense(self, sd: Mapping[str, np.ndarray], torch_name: str, *flax_path: str):
+        self._put(self.params, (*flax_path, "kernel"), _dense_w(sd[torch_name + ".weight"]))
+        if torch_name + ".bias" in sd:
+            self._put(self.params, (*flax_path, "bias"), sd[torch_name + ".bias"])
+
+    def bn(self, sd: Mapping[str, np.ndarray], torch_name: str, *flax_path: str):
+        self._put(self.params, (*flax_path, "scale"), sd[torch_name + ".weight"])
+        self._put(self.params, (*flax_path, "bias"), sd[torch_name + ".bias"])
+        self._put(self.stats, (*flax_path, "mean"), sd[torch_name + ".running_mean"])
+        self._put(self.stats, (*flax_path, "var"), sd[torch_name + ".running_var"])
+
+    def variables(self) -> Dict[str, Any]:
+        out: Dict[str, Any] = {"params": self.params}
+        if self.stats:
+            out["batch_stats"] = self.stats
+        return out
+
+
+def convert_mnist_cnn(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference ``Classification_Net`` → :class:`models.MnistCNN`.
+
+    torch names: ``conv{1..5}.0`` (conv) / ``conv{1..5}.1`` (bn), bare
+    ``conv6``, ``fc1`` (``generate_gp_training_data_mnist.py:86-95``).
+    """
+    tb = _TreeBuilder()
+    for i in range(1, 6):
+        tb.conv(sd, f"conv{i}.0", f"conv{i}", "Conv_0")
+        tb.bn(sd, f"conv{i}.1", f"conv{i}", "BatchNorm_0")
+    tb.conv(sd, "conv6", "conv6")
+    tb.dense(sd, "fc1", "fc1")
+    return tb.variables()
+
+
+def convert_resnet_cifar(sd: Mapping[str, np.ndarray], depth: int) -> Dict[str, Any]:
+    """Reference ``ResNetCifar`` state dict → :class:`models.ResNetCifar`.
+
+    torch names: ``conv1``, ``bn1``, ``layer{1..3}.{b}.{conv1,bn1,conv2,bn2}``,
+    ``fc`` (``models/resnet.py:79-131``; ``DownsampleB`` is parameter-free).
+    """
+    n = (depth - 2) // 6
+    tb = _TreeBuilder()
+    tb.conv(sd, "conv1", "conv1")
+    tb.bn(sd, "bn1", "bn1")
+    for stage in range(1, 4):
+        for b in range(n):
+            for mod in ("conv1", "conv2"):
+                tb.conv(sd, f"layer{stage}.{b}.{mod}", f"layer{stage}_{b}", mod)
+            for mod in ("bn1", "bn2"):
+                tb.bn(sd, f"layer{stage}.{b}.{mod}", f"layer{stage}_{b}", mod)
+    tb.dense(sd, "fc", "fc")
+    return tb.variables()
+
+
+def convert_resnet_imagenet(sd: Mapping[str, np.ndarray], arch: str) -> Dict[str, Any]:
+    """torchvision ResNet state dict → :class:`models.resnet_imagenet.ResNet`."""
+    from network_interpretation_imagenet_tpu.models.resnet_imagenet import _CONFIGS
+
+    block, stages = _CONFIGS[arch]
+    bottleneck = block.__name__ == "Bottleneck"
+    tb = _TreeBuilder()
+    tb.conv(sd, "conv1", "conv1")
+    tb.bn(sd, "bn1", "bn1")
+    for stage, num_blocks in enumerate(stages, start=1):
+        for b in range(num_blocks):
+            prefix = f"layer{stage}.{b}"
+            flax_block = f"layer{stage}_{b}"
+            n_convs = 3 if bottleneck else 2
+            for ci in range(1, n_convs + 1):
+                tb.conv(sd, f"{prefix}.conv{ci}", flax_block, f"conv{ci}")
+                tb.bn(sd, f"{prefix}.bn{ci}", flax_block, f"bn{ci}")
+            if f"{prefix}.downsample.0.weight" in sd:
+                tb.conv(sd, f"{prefix}.downsample.0", flax_block, "downsample_conv")
+                tb.bn(sd, f"{prefix}.downsample.1", flax_block, "downsample_bn")
+    tb.dense(sd, "fc", "fc")
+    return tb.variables()
+
+
+def convert_densenet(
+    sd: Mapping[str, np.ndarray], depth: int = 100, bn_size: int = 4
+) -> Dict[str, Any]:
+    """Reference DenseNet-BC state dict → :class:`models.DenseNet`.
+
+    torch names (``models/densenet.py:12-91``): ``features.conv0``,
+    ``features.norm0``, ``features.denseblock{i}.denselayer{j}.{norm.1,conv.1,
+    norm.2,conv.2}``, ``features.transition{i}.{norm,conv}``,
+    ``features.norm5``, ``classifier``.
+    """
+    n = (depth - 4) // 3
+    if bn_size > 0:
+        n //= 2
+    tb = _TreeBuilder()
+    tb.conv(sd, "features.conv0", "conv0")
+    tb.bn(sd, "features.norm0", "norm0")
+    for i in range(1, 4):
+        for j in range(1, n + 1):
+            t = f"features.denseblock{i}.denselayer{j}"
+            f = f"denseblock{i}_layer{j}"
+            tb.bn(sd, f"{t}.norm.1", f, "norm1")
+            tb.conv(sd, f"{t}.conv.1", f, "conv1")
+            if bn_size > 0:
+                tb.bn(sd, f"{t}.norm.2", f, "norm2")
+                tb.conv(sd, f"{t}.conv.2", f, "conv2")
+        if i != 3:
+            tb.bn(sd, f"features.transition{i}.norm", f"transition{i}", "norm")
+            tb.conv(sd, f"features.transition{i}.conv", f"transition{i}", "conv")
+    tb.bn(sd, "features.norm5", "norm5")
+    tb.dense(sd, "classifier", "classifier")
+    return tb.variables()
+
+
+def convert_vgg(sd: Mapping[str, np.ndarray], arch: str) -> Dict[str, Any]:
+    """torchvision VGG state dict → :class:`models.VGG`."""
+    from network_interpretation_imagenet_tpu.models.vgg import _CFGS
+
+    batch_norm = arch.endswith("_bn")
+    base = arch[:-3] if batch_norm else arch
+    cfg = _CFGS[base]
+    tb = _TreeBuilder()
+    conv_i = 0
+    feat_i = 0
+    for v in cfg:
+        if v == "M":
+            feat_i += 1
+            continue
+        tb.conv(sd, f"features.{feat_i}", f"conv{conv_i}")
+        feat_i += 1
+        if batch_norm:
+            tb.bn(sd, f"features.{feat_i}", f"bn{conv_i}")
+            feat_i += 1
+        feat_i += 1  # ReLU
+        conv_i += 1
+    for out_i, cls_i in enumerate((0, 3, 6)):
+        tb.dense(sd, f"classifier.{cls_i}", f"fc{out_i}")
+    return tb.variables()
+
+
+def convert_checkpoint(path: str, arch: str, depth: int = 56, bn_size: int = 4):
+    """One-call ingest: load + convert by architecture family."""
+    sd = load_state_dict(path)
+    if arch == "mnist_cnn":
+        return convert_mnist_cnn(sd)
+    if arch == "resnet":
+        return convert_resnet_cifar(sd, depth)
+    if arch.startswith("resnet"):
+        return convert_resnet_imagenet(sd, arch)
+    if arch == "densenet":
+        return convert_densenet(sd, depth, bn_size)
+    if arch.startswith("vgg"):
+        return convert_vgg(sd, arch)
+    raise ValueError(f"no converter for arch {arch}")

@@ -1,18 +1,19 @@
 """Test harness: force CPU with 8 virtual devices.
 
 Multi-chip sharding code (parallel/) is exercised on a fake 8-device CPU mesh
-— the TPU-idiomatic stand-in for a pod (see SURVEY.md §4). Must run before
-jax initializes, hence env mutation at conftest import time.
+— the TPU-idiomatic stand-in for a pod (see SURVEY.md §4). jax may already be
+imported by site customization before conftest runs, so we use
+``jax.config.update`` (honored until the backend is first initialized) rather
+than environment variables.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
+
+if not os.environ.get("NIT_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest
@@ -21,3 +22,14 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_backend():
+    if not os.environ.get("NIT_TEST_TPU"):
+        assert jax.default_backend() == "cpu", (
+            "tests must run on CPU; backend initialized too early: "
+            + jax.default_backend()
+        )
+        assert len(jax.devices()) == 8
+    yield
