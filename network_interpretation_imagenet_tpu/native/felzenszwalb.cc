@@ -1,0 +1,132 @@
+// Felzenszwalb-Huttenlocher graph-based image segmentation.
+//
+// First-party native kernel replacing the reference's scikit-image call
+// (bayesian_active_learning_imagenet.py:150: felzenszwalb(img, scale=100,
+// sigma=0.5, min_size=50)). The algorithm (Felzenszwalb & Huttenlocher,
+// IJCV 2004) is inherently serial (sorted-edge union-find), so it lives on
+// the host as a C shared library bound via ctypes; the TPU path uses
+// segment/slic.py instead.
+//
+// Input: gaussian-pre-smoothed float32 image [H, W, C] in [0, 1] (smoothing
+// happens in Python so numpy and C++ paths share it bit-for-bit).
+// Output: int32 labels [H, W], contiguous 0..S-1 in raster first-occurrence
+// order. Returns the number of segments.
+//
+// Build: see native/Makefile (g++ -O3 -shared -fPIC).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+struct Edge {
+  float w;
+  int32_t a;
+  int32_t b;
+};
+
+// Disjoint-set forest with union by size and path compression.
+struct UnionFind {
+  std::vector<int32_t> parent;
+  std::vector<int32_t> size;
+  std::vector<float> internal;  // max edge weight inside the component
+
+  explicit UnionFind(int32_t n) : parent(n), size(n, 1), internal(n, 0.f) {
+    for (int32_t i = 0; i < n; ++i) parent[i] = i;
+  }
+
+  int32_t find(int32_t x) {
+    int32_t root = x;
+    while (parent[root] != root) root = parent[root];
+    while (parent[x] != root) {
+      int32_t next = parent[x];
+      parent[x] = root;
+      x = next;
+    }
+    return root;
+  }
+
+  int32_t merge(int32_t a, int32_t b, float w) {
+    if (size[a] < size[b]) std::swap(a, b);
+    parent[b] = a;
+    size[a] += size[b];
+    internal[a] = w;  // edges arrive sorted: w is the current max
+    return a;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of segments written into `labels` (int32 [h*w]).
+int32_t felzenszwalb_segment(const float* img, int32_t h, int32_t w, int32_t c,
+                             float scale, int32_t min_size, int32_t* labels) {
+  const int64_t n = static_cast<int64_t>(h) * w;
+  std::vector<Edge> edges;
+  edges.reserve(n * 4);
+
+  auto color_dist = [&](int64_t p, int64_t q) -> float {
+    float acc = 0.f;
+    for (int32_t ch = 0; ch < c; ++ch) {
+      const float d = img[p * c + ch] - img[q * c + ch];
+      acc += d * d;
+    }
+    return std::sqrt(acc);
+  };
+
+  // 8-connectivity: right, down, down-right, down-left.
+  for (int32_t y = 0; y < h; ++y) {
+    for (int32_t x = 0; x < w; ++x) {
+      const int64_t p = static_cast<int64_t>(y) * w + x;
+      if (x + 1 < w)
+        edges.push_back({color_dist(p, p + 1), (int32_t)p, (int32_t)(p + 1)});
+      if (y + 1 < h)
+        edges.push_back({color_dist(p, p + w), (int32_t)p, (int32_t)(p + w)});
+      if (x + 1 < w && y + 1 < h)
+        edges.push_back(
+            {color_dist(p, p + w + 1), (int32_t)p, (int32_t)(p + w + 1)});
+      if (x > 0 && y + 1 < h)
+        edges.push_back(
+            {color_dist(p, p + w - 1), (int32_t)p, (int32_t)(p + w - 1)});
+    }
+  }
+
+  std::stable_sort(edges.begin(), edges.end(),
+                   [](const Edge& a, const Edge& b) { return a.w < b.w; });
+
+  UnionFind uf(static_cast<int32_t>(n));
+
+  // Pass 1: merge when the edge weight is below both components' adaptive
+  // thresholds internal(C) + scale/|C|.
+  for (const Edge& e : edges) {
+    const int32_t ra = uf.find(e.a);
+    const int32_t rb = uf.find(e.b);
+    if (ra == rb) continue;
+    const float ta = uf.internal[ra] + scale / uf.size[ra];
+    const float tb = uf.internal[rb] + scale / uf.size[rb];
+    if (e.w <= ta && e.w <= tb) uf.merge(ra, rb, e.w);
+  }
+
+  // Pass 2: absorb components smaller than min_size along sorted edges.
+  for (const Edge& e : edges) {
+    const int32_t ra = uf.find(e.a);
+    const int32_t rb = uf.find(e.b);
+    if (ra == rb) continue;
+    if (uf.size[ra] < min_size || uf.size[rb] < min_size) uf.merge(ra, rb, e.w);
+  }
+
+  // Relabel contiguous in raster first-occurrence order.
+  std::vector<int32_t> remap(n, -1);
+  int32_t next = 0;
+  for (int64_t p = 0; p < n; ++p) {
+    const int32_t root = uf.find(static_cast<int32_t>(p));
+    if (remap[root] < 0) remap[root] = next++;
+    labels[p] = remap[root];
+  }
+  return next;
+}
+
+}  // extern "C"

@@ -1,0 +1,50 @@
+"""Shared segmentation utilities + dispatcher."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from network_interpretation_imagenet_tpu.config import SegmentConfig
+
+
+def relabel_sequential(labels: np.ndarray) -> np.ndarray:
+    """Relabel to contiguous 0..S-1 in raster-scan first-occurrence order."""
+    labels = np.asarray(labels)
+    flat = labels.ravel()
+    _, first_idx = np.unique(flat, return_index=True)
+    order = np.argsort(first_idx)  # original label ids sorted by first occurrence
+    uniq_sorted_by_occurrence = np.unique(flat)[order]
+    remap = np.full(int(flat.max()) + 1, -1, np.int32)
+    remap[uniq_sorted_by_occurrence] = np.arange(len(order), dtype=np.int32)
+    return remap[labels].astype(np.int32)
+
+
+def segment_image(img_u8: np.ndarray, cfg: SegmentConfig) -> np.ndarray:
+    """Dispatch on ``cfg.method``. ``img_u8``: uint8 [H, W, C] display image
+    (the reference segments the min-max-scaled display image — see
+    ``ops.preprocess.to_display_uint8``)."""
+    # The package re-exports same-named *functions*; fetch the modules.
+    import importlib
+
+    felz = importlib.import_module(
+        "network_interpretation_imagenet_tpu.segment.felzenszwalb"
+    )
+    slic_mod = importlib.import_module(
+        "network_interpretation_imagenet_tpu.segment.slic"
+    )
+
+    if cfg.method == "felzenszwalb":
+        return felz.felzenszwalb(
+            img_u8, scale=cfg.scale, sigma=cfg.sigma, min_size=cfg.min_size
+        )
+    if cfg.method == "slic":
+        import numpy as _np
+
+        seg = slic_mod.slic(
+            img_u8,
+            n_segments=cfg.n_segments,
+            compactness=cfg.compactness,
+            num_iters=cfg.slic_iters,
+        )
+        return relabel_sequential(_np.asarray(seg))
+    raise ValueError(f"unknown segmentation method {cfg.method}")

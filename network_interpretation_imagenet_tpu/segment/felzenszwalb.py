@@ -1,0 +1,179 @@
+"""Felzenszwalb-Huttenlocher segmentation: ctypes binding + numpy fallback.
+
+Reference usage (must match parameter semantics):
+``felzenszwalb(img_as_float(img_show), scale=100, sigma=0.5, min_size=50)``
+at ``bayesian_active_learning_imagenet.py:150`` (MNIST min_size=5 at
+``generate_gp_training_data_mnist.py:187``, CIFAR min_size=10 at
+``generate_gp_training_data_cifar.py:293``).
+
+The serial union-find makes this a host kernel: the C++ implementation
+(``native/felzenszwalb.cc``) is built on demand with g++ and loaded via
+ctypes; a pure-numpy implementation provides a toolchain-free fallback and a
+cross-check for the native kernel. Gaussian pre-smoothing happens here (scipy)
+so both backends consume identical inputs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libfelzenszwalb.so"))
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_tried = False
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    """Build (once, via make) and load the C++ kernel; None on any failure."""
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    try:
+        if not os.path.exists(_SO_PATH):
+            subprocess.run(
+                ["make", "-s", "-C", os.path.abspath(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.felzenszwalb_segment.restype = ctypes.c_int32
+        lib.felzenszwalb_segment.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_float,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def _smooth(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Per-channel gaussian smoothing (sigma in pixels, reflect boundary)."""
+    from scipy import ndimage
+
+    img = np.ascontiguousarray(img, np.float32)
+    if sigma <= 0:
+        return img
+    out = np.empty_like(img)
+    for ch in range(img.shape[2]):
+        ndimage.gaussian_filter(img[:, :, ch], sigma, output=out[:, :, ch], mode="reflect")
+    return out
+
+
+def _edges_8conn(h: int, w: int):
+    """Vectorized 8-connectivity edge lists (right, down, ddiag, adiag)."""
+    idx = np.arange(h * w, dtype=np.int32).reshape(h, w)
+    pairs = []
+    pairs.append((idx[:, :-1].ravel(), idx[:, 1:].ravel()))          # right
+    pairs.append((idx[:-1, :].ravel(), idx[1:, :].ravel()))          # down
+    pairs.append((idx[:-1, :-1].ravel(), idx[1:, 1:].ravel()))       # down-right
+    pairs.append((idx[:-1, 1:].ravel(), idx[1:, :-1].ravel()))       # down-left
+    a = np.concatenate([p[0] for p in pairs])
+    b = np.concatenate([p[1] for p in pairs])
+    return a, b
+
+
+def _felzenszwalb_numpy(
+    img: np.ndarray, scale: float, min_size: int
+) -> np.ndarray:
+    """Reference-free numpy implementation of the FH algorithm (edges
+    vectorized; the union-find loop is Python — fine for test-sized images,
+    the C++ kernel covers 224²)."""
+    h, w, c = img.shape
+    a, b = _edges_8conn(h, w)
+    flat = img.reshape(-1, c)
+    weights = np.sqrt(((flat[a] - flat[b]) ** 2).sum(axis=1))
+    order = np.argsort(weights, kind="stable")
+    a, b, weights = a[order], b[order], weights[order]
+
+    n = h * w
+    parent = np.arange(n, dtype=np.int32)
+    size = np.ones(n, np.int32)
+    internal = np.zeros(n, np.float64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def merge(ra: int, rb: int, wt: float) -> None:
+        if size[ra] < size[rb]:
+            ra, rb = rb, ra
+        parent[rb] = ra
+        size[ra] += size[rb]
+        internal[ra] = wt
+
+    for i in range(len(a)):
+        ra, rb = find(int(a[i])), find(int(b[i]))
+        if ra == rb:
+            continue
+        wt = weights[i]
+        if wt <= internal[ra] + scale / size[ra] and wt <= internal[rb] + scale / size[rb]:
+            merge(ra, rb, wt)
+
+    for i in range(len(a)):
+        ra, rb = find(int(a[i])), find(int(b[i]))
+        if ra != rb and (size[ra] < min_size or size[rb] < min_size):
+            merge(ra, rb, weights[i])
+
+    roots = np.fromiter((find(int(p)) for p in range(n)), np.int32, n)
+    from network_interpretation_imagenet_tpu.segment.common import relabel_sequential
+
+    return relabel_sequential(roots.reshape(h, w))
+
+
+def felzenszwalb(
+    image: np.ndarray,
+    scale: float = 100.0,
+    sigma: float = 0.5,
+    min_size: int = 50,
+    backend: str = "auto",
+) -> np.ndarray:
+    """Segment an image; returns int32[H, W] contiguous labels.
+
+    ``image``: uint8 or float [H, W] / [H, W, C]. uint8 is scaled to [0, 1]
+    (``img_as_float`` semantics the reference relies on).
+    ``backend``: "auto" (native if buildable) | "native" | "numpy".
+    """
+    img = np.asarray(image)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    img = _smooth(img.astype(np.float32), sigma)
+
+    if backend in ("auto", "native"):
+        lib = _load_native()
+        if lib is not None:
+            h, w, c = img.shape
+            img_c = np.ascontiguousarray(img, np.float32)
+            out = np.empty(h * w, np.int32)
+            lib.felzenszwalb_segment(
+                img_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                h,
+                w,
+                c,
+                ctypes.c_float(scale),
+                ctypes.c_int32(min_size),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            return out.reshape(h, w)
+        if backend == "native":
+            raise RuntimeError("native felzenszwalb kernel unavailable")
+    return _felzenszwalb_numpy(img, scale, min_size)

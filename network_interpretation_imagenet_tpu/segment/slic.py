@@ -1,0 +1,206 @@
+"""SLIC superpixels as a jittable TPU kernel.
+
+TPU-native replacement for the reference's host Felzenszwalb call (SURVEY.md
+§2b: "SLIC-style iterative k-means superpixels"; BASELINE.json north-star
+allows SLIC-style segmentation). Felzenszwalb's sorted-edge union-find is
+serial and host-hostile; SLIC is k-means — assignment is one [N, K] distance
+matmul per iteration (MXU work) and the center update is a one-hot matmul, so
+the whole segmenter stays on device and jits into a `lax.fori_loop`.
+
+Labels come out in grid raster order (centers initialized row-major), so
+contiguous label windows — what the masking layer consumes
+(``ops.masking.window_masks``) — correspond to spatially banded regions,
+matching the reference's use of contiguous Felzenszwalb label ranges.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def rgb_to_lab(rgb: Array) -> Array:
+    """sRGB [0,1] → CIELAB (D65), elementwise — classic SLIC color space."""
+    srgb = jnp.clip(rgb, 0.0, 1.0)
+    lin = jnp.where(
+        srgb <= 0.04045, srgb / 12.92, ((srgb + 0.055) / 1.055) ** 2.4
+    )
+    r, g, b = lin[..., 0], lin[..., 1], lin[..., 2]
+    x = 0.4124564 * r + 0.3575761 * g + 0.1804375 * b
+    y = 0.2126729 * r + 0.7151522 * g + 0.0721750 * b
+    z = 0.0193339 * r + 0.1191920 * g + 0.9503041 * b
+    xn, yn, zn = 0.95047, 1.0, 1.08883
+
+    def f(t):
+        eps = (6.0 / 29.0) ** 3
+        return jnp.where(t > eps, jnp.cbrt(t), t / (3 * (6.0 / 29.0) ** 2) + 4.0 / 29.0)
+
+    fx, fy, fz = f(x / xn), f(y / yn), f(z / zn)
+    lab_l = 116.0 * fy - 16.0
+    lab_a = 500.0 * (fx - fy)
+    lab_b = 200.0 * (fy - fz)
+    return jnp.stack([lab_l, lab_a, lab_b], axis=-1)
+
+
+def _grid_shape(h: int, w: int, n_segments: int) -> Tuple[int, int]:
+    """Rows × cols of the initial center grid, aspect-matched to the image."""
+    gh = max(1, int(round(np.sqrt(n_segments * h / w))))
+    gw = max(1, int(round(n_segments / gh)))
+    return gh, gw
+
+
+@functools.partial(jax.jit, static_argnames=("n_segments", "num_iters", "use_lab"))
+def _slic_device(
+    img: Array, n_segments: int, compactness: float, num_iters: int, use_lab: bool
+) -> Array:
+    h, w = img.shape[0], img.shape[1]
+    c = img.shape[2]
+    if use_lab and c == 3:
+        feat_img = rgb_to_lab(img)
+    else:
+        # Scale grayscale/RGB to a LAB-comparable magnitude so `compactness`
+        # keeps its usual meaning (~10).
+        feat_img = img * 100.0
+
+    gh, gw = _grid_shape(h, w, n_segments)
+    k = gh * gw
+    spacing = float(np.sqrt(h * w / k))
+
+    ys = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * (h / gh)
+    xs = (jnp.arange(gw, dtype=jnp.float32) + 0.5) * (w / gw)
+    cy0 = jnp.repeat(ys, gw)
+    cx0 = jnp.tile(xs, gh)
+
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w))
+    xx = jnp.ones((h, 1)) * jnp.arange(w, dtype=jnp.float32)[None, :]
+    # Pixel features [N, C+2]: color then (scaled) spatial coords.
+    ratio = compactness / spacing
+    pix = jnp.concatenate(
+        [
+            feat_img.reshape(-1, c).astype(jnp.float32),
+            (yy.reshape(-1, 1) * ratio),
+            (xx.reshape(-1, 1) * ratio),
+        ],
+        axis=1,
+    )  # [N, C+2]
+
+    init_color = feat_img[
+        jnp.clip(cy0.astype(jnp.int32), 0, h - 1),
+        jnp.clip(cx0.astype(jnp.int32), 0, w - 1),
+    ].astype(jnp.float32)
+    centers0 = jnp.concatenate(
+        [init_color, (cy0 * ratio)[:, None], (cx0 * ratio)[:, None]], axis=1
+    )  # [K, C+2]
+
+    pix_sq = jnp.sum(pix * pix, axis=1, keepdims=True)  # [N, 1]
+
+    def assign(centers: Array) -> Array:
+        # ||p - c||² = ||p||² + ||c||² - 2 p·c — the cross term is an [N, K]
+        # matmul that lands on the MXU.
+        cen_sq = jnp.sum(centers * centers, axis=1)[None, :]
+        cross = pix @ centers.T
+        d2 = pix_sq + cen_sq - 2.0 * cross
+        return jnp.argmin(d2, axis=1).astype(jnp.int32)  # [N]
+
+    def update(labels: Array, centers: Array) -> Array:
+        onehot = jax.nn.one_hot(labels, k, dtype=jnp.float32)  # [N, K]
+        counts = jnp.sum(onehot, axis=0)[:, None]  # [K, 1]
+        sums = onehot.T @ pix  # [K, C+2] — MXU
+        return jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), centers)
+
+    def body(_, centers: Array) -> Array:
+        return update(assign(centers), centers)
+
+    centers = jax.lax.fori_loop(0, num_iters, body, centers0)
+    return assign(centers).reshape(h, w)
+
+
+def slic(
+    image,
+    n_segments: int = 48,
+    compactness: float = 10.0,
+    num_iters: int = 10,
+    use_lab: bool = True,
+) -> Array:
+    """Segment an image on device; returns int32[H, W] labels (grid raster
+    ordered, NOT yet sequential-relabeled — see ``segment.common``).
+
+    ``image``: uint8 or float [H, W] / [H, W, C]; uint8 scaled to [0, 1].
+    """
+    img = jnp.asarray(image)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) / 255.0
+    img = img.astype(jnp.float32)
+    use_lab = bool(use_lab and img.shape[2] == 3)
+    return _slic_device(img, int(n_segments), float(compactness), int(num_iters), use_lab)
+
+
+def enforce_connectivity(labels: np.ndarray, min_fraction: float = 0.25) -> np.ndarray:
+    """Host postprocess: re-assign disconnected fragments of each SLIC label
+    to their dominant neighboring label (fragments smaller than
+    ``min_fraction`` of the label's largest component).
+
+    k-means assignment can leave isolated islands; downstream window masks
+    behave better with spatially coherent superpixels. Runs once per image.
+    """
+    labels = np.asarray(labels, np.int32)
+    h, w = labels.shape
+    comp = -np.ones((h, w), np.int32)
+    comp_label = []
+    comp_size = []
+    n_comp = 0
+    for sy in range(h):
+        for sx in range(w):
+            if comp[sy, sx] >= 0:
+                continue
+            lab = labels[sy, sx]
+            stack = [(sy, sx)]
+            comp[sy, sx] = n_comp
+            size = 0
+            while stack:
+                y, x = stack.pop()
+                size += 1
+                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                    if 0 <= ny < h and 0 <= nx < w and comp[ny, nx] < 0 and labels[ny, nx] == lab:
+                        comp[ny, nx] = n_comp
+                        stack.append((ny, nx))
+            comp_label.append(lab)
+            comp_size.append(size)
+            n_comp += 1
+
+    comp_label_a = np.array(comp_label)
+    comp_size_a = np.array(comp_size)
+    # Largest component per label keeps the label; smaller fragments merge away.
+    keep = np.zeros(n_comp, bool)
+    for lab in np.unique(comp_label_a):
+        idx = np.where(comp_label_a == lab)[0]
+        main = idx[np.argmax(comp_size_a[idx])]
+        keep[main] = True
+        big_enough = comp_size_a[idx] >= min_fraction * comp_size_a[main]
+        keep[idx[big_enough]] = True
+
+    out = labels.copy()
+    # Iteratively absorb non-kept fragments into an adjacent kept label.
+    for _ in range(8):
+        changed = False
+        for y in range(h):
+            for x in range(w):
+                if keep[comp[y, x]]:
+                    continue
+                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                    if 0 <= ny < h and 0 <= nx < w and keep[comp[ny, nx]]:
+                        out[y, x] = out[ny, nx]
+                        comp[y, x] = comp[ny, nx]
+                        changed = True
+                        break
+        if not changed:
+            break
+    return out

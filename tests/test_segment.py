@@ -1,0 +1,106 @@
+"""Segmentation tests: contract (contiguous labels), behavior on synthetic
+block images, native-vs-numpy felzenszwalb agreement, SLIC device path."""
+
+import numpy as np
+import pytest
+
+from network_interpretation_imagenet_tpu.config import SegmentConfig
+from network_interpretation_imagenet_tpu.segment import (
+    felzenszwalb,
+    relabel_sequential,
+    segment_image,
+    slic,
+)
+from network_interpretation_imagenet_tpu.segment.felzenszwalb import (
+    _felzenszwalb_numpy,
+    _load_native,
+    _smooth,
+)
+
+
+def _block_image(n=32):
+    """Four flat color quadrants — unambiguous segmentation."""
+    img = np.zeros((n, n, 3), np.uint8)
+    img[: n // 2, : n // 2] = (255, 0, 0)
+    img[: n // 2, n // 2 :] = (0, 255, 0)
+    img[n // 2 :, : n // 2] = (0, 0, 255)
+    img[n // 2 :, n // 2 :] = (255, 255, 0)
+    return img
+
+
+def test_relabel_sequential_contract():
+    labels = np.array([[5, 5, 9], [9, 2, 2]])
+    out = relabel_sequential(labels)
+    np.testing.assert_array_equal(out, [[0, 0, 1], [1, 2, 2]])
+    assert out.dtype == np.int32
+
+
+def test_felzenszwalb_blocks_numpy():
+    seg = felzenszwalb(_block_image(), scale=1.0, sigma=0.0, min_size=5, backend="numpy")
+    assert seg.dtype == np.int32
+    assert seg.shape == (32, 32)
+    # Four clean quadrants.
+    assert len(np.unique(seg)) == 4
+    assert len(np.unique(seg[:16, :16])) == 1
+    assert len(np.unique(seg[16:, 16:])) == 1
+    # Contiguous raster-order labels.
+    np.testing.assert_array_equal(np.unique(seg), np.arange(4))
+    assert seg[0, 0] == 0
+
+
+def test_felzenszwalb_min_size_merges():
+    img = _block_image(16)
+    img[4:6, 4:6] = (128, 128, 128)  # 4-pixel speck
+    seg_no_min = felzenszwalb(img, scale=0.5, sigma=0.0, min_size=1, backend="numpy")
+    seg_min = felzenszwalb(img, scale=0.5, sigma=0.0, min_size=10, backend="numpy")
+    assert len(np.unique(seg_min)) < len(np.unique(seg_no_min))
+
+
+def test_native_matches_numpy():
+    lib = _load_native()
+    if lib is None:
+        pytest.skip("native kernel not buildable")
+    rng = np.random.RandomState(0)
+    img = (rng.rand(24, 24, 3) * 255).astype(np.uint8)
+    a = felzenszwalb(img, scale=50.0, sigma=0.5, min_size=10, backend="native")
+    b = felzenszwalb(img, scale=50.0, sigma=0.5, min_size=10, backend="numpy")
+    # Same partition — labels may permute only if tie-handling differed;
+    # stable sorts on identical input should produce identical labels.
+    np.testing.assert_array_equal(a, b)
+
+
+def test_smooth_is_noop_for_zero_sigma():
+    img = np.random.RandomState(0).rand(8, 8, 3).astype(np.float32)
+    np.testing.assert_array_equal(_smooth(img, 0.0), img)
+
+
+def test_slic_blocks():
+    seg = np.asarray(slic(_block_image(), n_segments=4, compactness=1.0, num_iters=10))
+    assert seg.shape == (32, 32)
+    # Each quadrant should be internally uniform.
+    for quad in (seg[:16, :16], seg[:16, 16:], seg[16:, :16], seg[16:, 16:]):
+        assert len(np.unique(quad)) == 1
+    assert len(np.unique(seg)) == 4
+
+
+def test_slic_label_count_bounded():
+    rng = np.random.RandomState(1)
+    img = (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+    seg = np.asarray(slic(img, n_segments=16, num_iters=5))
+    assert seg.max() < 16
+    assert seg.min() >= 0
+
+
+def test_segment_image_dispatcher_slic():
+    cfg = SegmentConfig(method="slic", n_segments=9, slic_iters=5)
+    seg = segment_image(_block_image(24), cfg)
+    assert seg.dtype == np.int32
+    uniq = np.unique(seg)
+    np.testing.assert_array_equal(uniq, np.arange(len(uniq)))  # contiguous
+
+
+def test_segment_image_dispatcher_felzenszwalb():
+    cfg = SegmentConfig(method="felzenszwalb", scale=1.0, sigma=0.0, min_size=5)
+    seg = segment_image(_block_image(16), cfg)
+    uniq = np.unique(seg)
+    np.testing.assert_array_equal(uniq, np.arange(len(uniq)))
