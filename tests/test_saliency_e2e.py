@@ -1,0 +1,132 @@
+"""End-to-end saliency slice: shipped reference checkpoints + synthetic
+images → segmentation → fused masked forwards → heatmap → threshold search.
+
+This is SURVEY.md §7 step 4's "minimum E2E slice" (MNIST knockout config)
+plus the fused-engine-vs-naive-oracle consistency checks.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from network_interpretation_imagenet_tpu.models import create_model
+from network_interpretation_imagenet_tpu.ops import masking
+from network_interpretation_imagenet_tpu.saliency import SaliencyEngine
+from network_interpretation_imagenet_tpu.saliency.pipeline import (
+    knockout_saliency,
+    localization_score,
+    minimal_mask_search,
+    random_window_saliency,
+)
+from network_interpretation_imagenet_tpu.segment import felzenszwalb
+from network_interpretation_imagenet_tpu.utils import convert
+
+MNIST_CKPT = "/root/reference/saved_checkpoints/mnist/checkpoint.pth.tar"
+
+
+def _digit_image():
+    """Synthetic 28×28 blob that looks vaguely like a digit stroke."""
+    img = np.zeros((28, 28, 1), np.float32)
+    img[6:22, 12:16] = 1.0     # vertical bar
+    img[6:10, 8:16] = 1.0      # top hook
+    return img
+
+
+@pytest.fixture(scope="module")
+def mnist_engine():
+    if not os.path.exists(MNIST_CKPT):
+        pytest.skip("reference ckpt absent")
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = convert.convert_mnist_cnn(convert.load_state_dict(MNIST_CKPT))
+    return SaliencyEngine(bundle, variables, mask_batch=16, compute_dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def digit_setup(mnist_engine):
+    img = _digit_image()
+    disp = (img[:, :, 0] * 255).astype(np.uint8)
+    seg = felzenszwalb(disp, scale=100.0, sigma=0.5, min_size=5, backend="numpy")
+    target, _ = mnist_engine.predict_one(img)
+    return img, seg, target
+
+
+def test_mnist_knockout_e2e(mnist_engine, digit_setup):
+    img, seg, target = digit_setup
+    out = knockout_saliency(
+        mnist_engine, img, seg, num_samples=48, num_knockout=1, seed=0, target=target
+    )
+    k = 48
+    assert out.eval.survived.shape == (k,)
+    assert out.eval.prob_target.shape == (k,)
+    assert out.heatmap.shape == (28, 28)
+    assert out.heatmap.min() >= 0
+    # Each pixel's count is bounded by the number of surviving masks.
+    assert out.heatmap.max() <= out.eval.survived.sum()
+    # Probabilities are valid.
+    assert np.all(out.eval.prob_target >= 0) and np.all(out.eval.prob_target <= 1)
+    # survive == (pred == target) consistency.
+    np.testing.assert_array_equal(out.eval.survived, out.eval.preds == target)
+
+
+def test_engine_fused_path_matches_naive_oracle(mnist_engine, digit_setup):
+    """The fused scan (mask built inside the forward) must agree with the
+    naive path: materialize masks, multiply on host, call predict."""
+    img, seg, target = digit_setup
+    s = int(seg.max()) + 1
+    width = max(1, int(0.4 * s))
+    firsts = np.arange(min(8, s), dtype=np.int32)
+    fused = mnist_engine.eval_window_masks(img, seg, firsts, width, target)
+
+    masks = np.asarray(masking.window_masks(jnp.asarray(seg), firsts, width))
+    naive_preds = []
+    naive_probs = []
+    for m in masks:
+        masked = img * m[:, :, None]
+        logits = mnist_engine.predict(masked[None])[0]
+        naive_preds.append(int(logits.argmax()))
+        e = np.exp(logits - logits.max())
+        naive_probs.append(float((e / e.sum())[target]))
+    np.testing.assert_array_equal(fused.preds, naive_preds)
+    np.testing.assert_allclose(fused.prob_target, naive_probs, atol=1e-5)
+
+
+def test_random_window_saliency_heatmap_consistency(mnist_engine, digit_setup):
+    img, seg, target = digit_setup
+    out = random_window_saliency(
+        mnist_engine, img, seg, num_samples=32, window_fraction=0.4, seed=3,
+        target=target,
+    )
+    # Heatmap from window params must equal heatmap from materialized bank.
+    masks = np.asarray(
+        masking.window_masks(jnp.asarray(seg), out.firsts, out.width)
+    )
+    expect = (masks * out.eval.survived[:, None, None].astype(np.float32)).sum(0)
+    np.testing.assert_allclose(out.heatmap, expect)
+
+
+def test_minimal_mask_search_semantics(mnist_engine, digit_setup):
+    img, seg, target = digit_setup
+    out = knockout_saliency(
+        mnist_engine, img, seg, num_samples=32, num_knockout=1, seed=1, target=target
+    )
+    thr, keep, levels = minimal_mask_search(mnist_engine, img, out.heatmap, target)
+    assert len(keep) == len(levels)
+    if thr is not None:
+        i = int(np.where(levels == thr)[0][0])
+        assert keep[i]
+        if i + 1 < len(levels):
+            assert not keep[i + 1]
+
+
+def test_localization_score_synthetic():
+    heat = np.zeros((32, 32), np.float32)
+    heat[8:20, 10:22] = 10.0
+    iou, pred_box = localization_score(heat, [10, 8, 12, 12], bbox_threshold=180)
+    # Heatmap normalizes to 255 in the hot region → bbox == hot region.
+    np.testing.assert_array_equal(pred_box, [10, 8, 12, 12])
+    assert iou == 1.0
+    # Slightly-off gt still gives high-but-imperfect IOU.
+    iou2, _ = localization_score(heat, [10, 8, 11, 11], bbox_threshold=180)
+    assert 0.7 < iou2 < 1.0
