@@ -1,0 +1,165 @@
+"""GP tests: exact GP vs sklearn oracle, Kronecker grid GP vs dense exact
+oracle (must match to float tolerance — it IS exact), variational GP learning
+a separable pattern."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from network_interpretation_imagenet_tpu.gp import exact, kron, variational
+from network_interpretation_imagenet_tpu.gp.kernels import (
+    jaccard_rbf_kernel,
+    rbf_kernel,
+)
+
+
+# --- exact GP vs sklearn ----------------------------------------------------
+
+
+def test_exact_gp_matches_sklearn(rng):
+    sklearn_gp = pytest.importorskip("sklearn.gaussian_process")
+    x = rng.rand(9, 1).astype(np.float64) * 10
+    y = np.sin(x[:, 0]) + 0.1 * rng.randn(9)
+
+    # alpha=1e-2 keeps K well-conditioned so f32 (ours) vs f64 (sklearn)
+    # agree tightly; the reference's alpha=1e-5 works too but amplifies
+    # float-width differences, which is not what this test measures.
+    skl = sklearn_gp.GaussianProcessRegressor(
+        kernel=sklearn_gp.kernels.RBF(length_scale=2.0, length_scale_bounds="fixed"),
+        alpha=1e-2,
+        optimizer=None,
+        normalize_y=True,
+    )
+    skl.fit(x, y)
+    xt = np.linspace(0, 10, 23)[:, None]
+    mu_ref, std_ref = skl.predict(xt, return_std=True)
+
+    params = exact.GPParams(jnp.asarray(2.0), jnp.asarray(1.0), jnp.asarray(1e-2))
+    fit = exact.fit(params, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32))
+    mu, std = exact.predict(fit, jnp.asarray(xt, jnp.float32))
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(std), std_ref, atol=1e-3)
+
+
+def test_exact_gp_mll_matches_sklearn(rng):
+    sklearn_gp = pytest.importorskip("sklearn.gaussian_process")
+    x = rng.rand(7, 1) * 5
+    y = np.cos(x[:, 0])
+    skl = sklearn_gp.GaussianProcessRegressor(
+        kernel=sklearn_gp.kernels.RBF(length_scale=1.5, length_scale_bounds="fixed"),
+        alpha=1e-2,
+        optimizer=None,
+        normalize_y=False,
+    )
+    skl.fit(x, y)
+    ref = skl.log_marginal_likelihood()
+    params = exact.GPParams(jnp.asarray(1.5), jnp.asarray(1.0), jnp.asarray(1e-2))
+    got = float(
+        exact.log_marginal_likelihood(
+            params, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+            normalize_y=False,
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-3)
+
+
+def test_lengthscale_sweep_picks_reasonable_scale(rng):
+    # Smooth function → longer lengthscales should win over tiny ones.
+    x = np.linspace(0, 10, 15)[:, None].astype(np.float32)
+    y = np.sin(0.5 * x[:, 0]).astype(np.float32)
+    grid = jnp.asarray([0.01, 0.1, 2.0, 4.0])
+    fit = exact.fit_lengthscale_sweep(jnp.asarray(x), jnp.asarray(y), grid)
+    assert float(fit.params.lengthscale) >= 2.0
+
+
+# --- Kronecker grid GP vs dense oracle -------------------------------------
+
+
+def _dense_oracle(y_grid, ls, os_, noise, mean_const):
+    h, w = y_grid.shape
+    coords = np.stack(np.meshgrid(np.arange(h), np.arange(w), indexing="ij"), -1)
+    x = coords.reshape(-1, 2).astype(np.float64)
+    k = np.asarray(rbf_kernel(jnp.asarray(x), jnp.asarray(x), ls, os_), np.float64)
+    kn = k + noise * np.eye(h * w)
+    y = (y_grid - mean_const).reshape(-1).astype(np.float64)
+    kinv_y = np.linalg.solve(kn, y)
+    mean = k @ kinv_y + mean_const
+    cov = k - k @ np.linalg.solve(kn, k)
+    var = np.maximum(np.diag(cov), 1e-12)
+    sign, logdet = np.linalg.slogdet(kn)
+    nll = 0.5 * (y @ np.linalg.solve(kn, y) + logdet + len(y) * np.log(2 * np.pi))
+    return mean.reshape(h, w), var.reshape(h, w), nll
+
+
+def test_kron_gp_is_exact(rng):
+    h, w = 7, 6
+    y_grid = rng.randn(h, w).astype(np.float32)
+    ls, os_, noise, mc = 2.0, 1.5, 0.3, 0.2
+    params = kron.KronGPParams(
+        jnp.log(jnp.asarray(ls)), jnp.log(jnp.asarray(os_)),
+        jnp.log(jnp.asarray(noise)), jnp.asarray(mc),
+    )
+    mean, var = kron.posterior(params, jnp.asarray(y_grid))
+    nll = float(kron.neg_mll(params, jnp.asarray(y_grid)))
+    mean_ref, var_ref, nll_ref = _dense_oracle(y_grid, ls, os_, noise, mc)
+    np.testing.assert_allclose(np.asarray(mean), mean_ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var), var_ref, atol=1e-4)
+    np.testing.assert_allclose(nll, nll_ref, rtol=1e-5)
+
+
+def test_kron_gp_fit_reduces_loss(rng):
+    h = w = 16
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    y_grid = np.exp(-((yy - 8.0) ** 2 + (xx - 8.0) ** 2) / 20.0).astype(np.float32)
+    params, losses = kron.fit_adam(y_grid, iters=15, lr=0.1)
+    losses = np.asarray(losses)
+    assert losses[-1] < losses[0]
+    mean, var = kron.posterior(params, jnp.asarray(y_grid))
+    # Posterior mean should track the bump.
+    assert np.argmax(np.asarray(mean)) == np.argmax(y_grid)
+    assert np.all(np.asarray(var) >= 0)
+
+
+def test_kron_predict_offgrid_matches_grid(rng):
+    h, w = 8, 8
+    y_grid = rng.randn(h, w).astype(np.float32)
+    params = kron.init_params(lengthscale=2.0, noise=0.1)
+    mean_grid, _ = kron.posterior(params, jnp.asarray(y_grid))
+    pts = jnp.asarray([[2.0, 3.0], [5.0, 7.0]])
+    mean_off = kron.predict_offgrid(params, jnp.asarray(y_grid), pts)
+    np.testing.assert_allclose(
+        np.asarray(mean_off),
+        [float(mean_grid[2, 3]), float(mean_grid[5, 7])],
+        atol=1e-4,
+    )
+
+
+# --- variational Bernoulli GP ----------------------------------------------
+
+
+def test_variational_gp_learns_halfspace(rng):
+    n = 16
+    model = variational.init_model(n, grid_size=5, lengthscale=6.0)
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    x = np.stack([yy.ravel(), xx.ravel()], -1).astype(np.float32)
+    y = (x[:, 1] >= n / 2).astype(np.float32)  # right half positive
+    model, losses = variational.fit_adam(model, x, y, iters=60, lr=0.1)
+    losses = np.asarray(losses)
+    assert losses[-1] < losses[0]
+    p = np.asarray(variational.predict_proba(model, jnp.asarray(x))).reshape(n, n)
+    assert p[:, : n // 4].mean() < 0.35
+    assert p[:, 3 * n // 4 :].mean() > 0.65
+
+
+def test_jaccard_rbf_matches_definition(rng):
+    masks = rng.rand(4, 6, 6) > 0.5
+    k = np.asarray(
+        jaccard_rbf_kernel(jnp.asarray(masks), jnp.asarray(masks), jnp.asarray(1.0))
+    )
+    # Diagonal: distance 0 → k = 1.
+    np.testing.assert_allclose(np.diag(k), 1.0, atol=1e-6)
+    # Off-diagonal oracle for pair (0, 1).
+    inter = np.logical_and(masks[0], masks[1]).sum()
+    union = np.logical_or(masks[0], masks[1]).sum()
+    expect = np.exp(-0.5 * (1 - inter / union))
+    np.testing.assert_allclose(k[0, 1], expect, rtol=1e-5)
