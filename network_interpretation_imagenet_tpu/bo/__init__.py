@@ -1,0 +1,9 @@
+"""Bayesian optimization over mask space."""
+
+from network_interpretation_imagenet_tpu.bo.acquisition import (  # noqa: F401
+    expected_improvement,
+)
+from network_interpretation_imagenet_tpu.bo.loop import (  # noqa: F401
+    BOResult,
+    bayesian_optimize,
+)

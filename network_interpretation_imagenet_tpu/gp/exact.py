@@ -23,7 +23,10 @@ Array = jax.Array
 class GPParams(NamedTuple):
     lengthscale: Array   # scalar
     outputscale: Array   # scalar (signal variance)
-    noise: Array         # scalar (alpha — observation noise variance)
+    noise: Array         # scalar or [N] (alpha — observation noise variance;
+                         # a vector enables per-point noise, e.g. masking
+                         # padded observations out of a fixed-size BO buffer
+                         # with noise=1e10)
 
 
 class GPFit(NamedTuple):
@@ -45,7 +48,8 @@ def _train_matrices(params: GPParams, x: Array, y: Array, normalize_y: bool):
     )
     yn = (y - y_mean) / y_std
     k = rbf_kernel(x, x, params.lengthscale, params.outputscale)
-    k = k + params.noise * jnp.eye(x.shape[0], dtype=k.dtype)
+    noise_diag = jnp.broadcast_to(params.noise, (x.shape[0],))
+    k = k + jnp.diag(noise_diag)
     chol = jnp.linalg.cholesky(k)
     alpha = jax.scipy.linalg.cho_solve((chol, True), yn)
     return chol, alpha, yn, y_mean, y_std

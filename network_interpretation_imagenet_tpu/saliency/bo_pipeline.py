@@ -1,0 +1,128 @@
+"""BO-driven saliency — the reference's flagship path, fully on device.
+
+Reproduces ``bayesian_active_learning_imagenet.main``
+(``bayesian_active_learning_imagenet.py:379-498``): segment the image, bound
+the search space to ``[0, 0.6·S]``, run GP-EI BO over window start indices
+(3 pre-samples + 10 iterations), aggregate the evaluated masks' survive
+labels into the summed heatmap, then bbox + IOU.
+
+Where the reference walks the entire val dataset and re-segments the image
+for EVERY BO sample (``:126-150``), here the image and segments are device-
+resident and the whole active-learning loop is one jit
+(:func:`bo.loop.fused_window_bo`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from network_interpretation_imagenet_tpu.bo.loop import (
+    BOResult,
+    bayesian_optimize,
+    fused_window_bo,
+)
+from network_interpretation_imagenet_tpu.config import BOConfig
+from network_interpretation_imagenet_tpu.ops import aggregate
+from network_interpretation_imagenet_tpu.saliency.engine import SaliencyEngine
+from network_interpretation_imagenet_tpu.saliency.pipeline import SaliencyOutput
+
+
+def bo_window_saliency(
+    engine: SaliencyEngine,
+    image,
+    segments: np.ndarray,
+    cfg: BOConfig = BOConfig(),
+    window_fraction: float = 0.4,
+    seed: int = 0,
+    target: Optional[int] = None,
+    fused: bool = True,
+) -> Tuple[SaliencyOutput, BOResult]:
+    """Run BO saliency for one image; returns the aggregate output + BO trace.
+
+    ``fused=True`` runs the one-jit on-device loop; ``fused=False`` uses the
+    host-driven loop (same math, easier to introspect).
+    """
+    segments = np.asarray(segments, np.int32)
+    s = int(segments.max()) + 1
+    width = int(window_fraction * s)
+    upper = int(0.6 * s)  # reference firstIndex_upperbound (:467)
+    if target is None:
+        target, _ = engine.predict_one(image)
+
+    if fused:
+        variables = engine.variables
+        bundle = engine.bundle
+        dtype = engine.compute_dtype
+
+        def logits_fn(imgs):
+            return bundle.logits(variables, imgs.astype(dtype))
+
+        xs, ys, survived, count = fused_window_bo(
+            logits_fn,
+            jnp.asarray(image),
+            jnp.asarray(segments),
+            jnp.int32(width),
+            jnp.int32(target),
+            jnp.int32(upper),
+            max_candidates=max(upper + 1, 8),
+            n_pre_samples=cfg.n_pre_samples,
+            n_iters=cfg.n_iters,
+            key=jax.random.PRNGKey(seed),
+            alpha=cfg.alpha,
+            epsilon=cfg.epsilon,
+            lengthscale_grid=cfg.lengthscale_grid,
+        )
+        n = int(count)
+        bo_res = BOResult(
+            xp=np.asarray(xs)[:n].astype(int),
+            yp=np.asarray(ys)[:n],
+            survived=np.asarray(survived)[:n],
+        )
+    else:
+
+        def objective(indices: np.ndarray):
+            res = engine.eval_window_masks(image, segments, indices, width, target)
+            return res.prob_target, res.survived
+
+        bo_res = bayesian_optimize(
+            objective,
+            upper=upper,
+            n_pre_samples=cfg.n_pre_samples,
+            n_iters=cfg.n_iters,
+            seed=seed,
+            alpha=cfg.alpha,
+            epsilon=cfg.epsilon,
+            lengthscale_grid=cfg.lengthscale_grid,
+        )
+
+    # Aggregate every evaluated mask's survive label into the heatmap
+    # (reference plot_summed_heatmap reads all BO-written mask PNGs,
+    # bayesian_active_learning_imagenet.py:312-344).
+    heat = np.asarray(
+        aggregate.summed_superpixel_labels(
+            jnp.asarray(segments),
+            jnp.asarray(bo_res.xp.astype(np.int32)),
+            jnp.int32(width),
+            jnp.asarray(bo_res.survived),
+        )
+    )
+    from network_interpretation_imagenet_tpu.saliency.engine import MaskEvalResult
+
+    out = SaliencyOutput(
+        segments=segments,
+        num_segments=s,
+        eval=MaskEvalResult(
+            survived=bo_res.survived,
+            preds=np.where(bo_res.survived, target, -1),
+            prob_target=bo_res.yp.astype(np.float32),
+            prob_max=np.full_like(bo_res.yp, np.nan, dtype=np.float32),
+        ),
+        heatmap=heat,
+        firsts=bo_res.xp.astype(np.int32),
+        width=width,
+    )
+    return out, bo_res
