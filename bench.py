@@ -1,0 +1,196 @@
+"""Benchmark: masked-forward evals/sec/chip, ResNet-101 @ 224² (BASELINE.md
+north-star) + p50 per-image saliency latency.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+``vs_baseline`` is the speedup over the PyTorch-CPU reference style (batch-1
+masked forwards, f32 — the reference evaluates one mask per forward,
+``generate_gp_training_data_imagenet.py:221-246``), measured once on this
+machine and cached in ``.bench_cpu_baseline.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
+
+MASK_BATCH = 256
+MEASURE_MASKS = 1024
+SALIENCY_MASKS = 100  # reference --num_mask_samples for ImageNet
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def cpu_reference_rate() -> float:
+    """PyTorch-CPU ResNet-101, batch-1 masked forwards (reference style)."""
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)["evals_per_sec"]
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class Bottleneck(nn.Module):
+        def __init__(self, inp, planes, stride=1, downsample=False):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inp, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.down = None
+            if downsample:
+                self.down = nn.Sequential(
+                    nn.Conv2d(inp, planes * 4, 1, stride=stride, bias=False),
+                    nn.BatchNorm2d(planes * 4),
+                )
+
+        def forward(self, x):
+            idt = x if self.down is None else self.down(x)
+            y = F.relu(self.bn1(self.conv1(x)))
+            y = F.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return F.relu(y + idt)
+
+    class ResNet101(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.maxpool = nn.MaxPool2d(3, 2, padding=1)
+            layers = []
+            inp = 64
+            for planes, blocks, stride in ((64, 3, 1), (128, 4, 2), (256, 23, 2), (512, 3, 2)):
+                stage = [Bottleneck(inp, planes, stride, True)]
+                inp = planes * 4
+                stage += [Bottleneck(inp, planes) for _ in range(blocks - 1)]
+                layers.append(nn.Sequential(*stage))
+            self.layers = nn.Sequential(*layers)
+            self.fc = nn.Linear(2048, 1000)
+
+        def forward(self, x):
+            x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+            x = self.layers(x)
+            return self.fc(x.mean((2, 3)))
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    model = ResNet101().eval()
+    x = torch.rand(1, 3, 224, 224)
+    with torch.no_grad():
+        model(x)  # warmup
+        n = 3
+        t0 = time.perf_counter()
+        for _ in range(n):
+            model(x * torch.randint(0, 2, (1, 1, 224, 224)).float())
+        dt = time.perf_counter() - t0
+    rate = n / dt
+    with open(CACHE, "w") as f:
+        json.dump({"evals_per_sec": rate, "threads": torch.get_num_threads()}, f)
+    log(f"cpu baseline: {rate:.3f} evals/s ({torch.get_num_threads()} threads)")
+    return rate
+
+
+def tpu_rate_and_latency():
+    import jax
+    import jax.numpy as jnp
+
+    from network_interpretation_imagenet_tpu.models import create_model
+    from network_interpretation_imagenet_tpu.ops import aggregate, masking, metrics
+    from network_interpretation_imagenet_tpu.saliency import SaliencyEngine
+    from network_interpretation_imagenet_tpu.segment import slic as slic_fn
+
+    log(f"devices: {jax.devices()}")
+    bundle = create_model("resnet101", "imagenet", dtype=jnp.bfloat16)
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=MASK_BATCH)
+
+    rng = np.random.RandomState(0)
+    image = rng.rand(224, 224, 3).astype(np.float32)
+    disp = (image * 255).astype(np.uint8)
+
+    # --- headline: masked-forward throughput ---------------------------
+    segments = np.asarray(slic_fn(disp, n_segments=48, num_iters=10))
+    s = int(segments.max()) + 1
+    width = max(1, int(0.4 * s))
+    firsts = rng.randint(1, max(2, s - width), size=MEASURE_MASKS).astype(np.int32)
+
+    t0 = time.perf_counter()
+    engine.eval_window_masks(image, segments, firsts, width, target=1)
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        engine.eval_window_masks(image, segments, firsts, width, target=1)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rate = MEASURE_MASKS / best
+    log(f"tpu: {MEASURE_MASKS} masks in {best:.3f}s -> {rate:.0f} evals/s")
+
+    # --- p50 per-image saliency latency --------------------------------
+    # Full per-image pipeline: SLIC segmentation (device) + 100 masked
+    # forwards + heatmap + bbox/IOU. New random image each run.
+    def one_image(seed):
+        r = np.random.RandomState(seed)
+        img = r.rand(224, 224, 3).astype(np.float32)
+        seg = np.asarray(slic_fn((img * 255).astype(np.uint8), n_segments=48, num_iters=10))
+        s_ = int(seg.max()) + 1
+        w_ = max(1, int(0.4 * s_))
+        f_ = r.randint(1, max(2, s_ - w_), size=SALIENCY_MASKS).astype(np.int32)
+        res = engine.eval_window_masks(img, seg, f_, w_, target=1)
+        heat = np.asarray(
+            aggregate.summed_superpixel_labels(
+                jnp.asarray(seg), jnp.asarray(f_), jnp.int32(w_),
+                jnp.asarray(res.survived),
+            )
+        )
+        gray = np.asarray(aggregate.normalize_to_uint8(jnp.asarray(heat)))
+        metrics.generate_boundingbox(gray, 180)
+        return heat
+
+    one_image(100)  # warm the 100-mask shape
+    lats = []
+    for i in range(7):
+        t0 = time.perf_counter()
+        one_image(200 + i)
+        lats.append(time.perf_counter() - t0)
+    p50 = float(np.median(lats))
+    log(f"saliency p50 latency: {p50*1000:.0f} ms (runs: {[f'{x:.3f}' for x in lats]})")
+    return rate, p50
+
+
+def main():
+    cpu_rate = cpu_reference_rate()
+    rate, p50 = tpu_rate_and_latency()
+    print(
+        json.dumps(
+            {
+                "metric": "masked_forward_evals_per_sec_chip_resnet101_224",
+                "value": round(rate, 1),
+                "unit": "evals/s",
+                "vs_baseline": round(rate / cpu_rate, 1),
+                "extra": {
+                    "cpu_baseline_evals_per_sec": round(cpu_rate, 3),
+                    "p50_saliency_latency_ms": round(p50 * 1000, 1),
+                    "mask_batch": MASK_BATCH,
+                    "dtype": "bfloat16",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""Classifier training harness.
+
+TPU re-design of the reference's CIFAR harness
+(``generate_gp_training_data_cifar.py:81-234``) and optimizer flags
+(``args.py:83-117``): sgd/rmsprop/adam with momentum + weight decay, stepped
+lr decay, per-epoch ``scores.tsv`` rewrite, early stopping on val error with
+``--patience``, best-checkpoint copy, and resume. The step itself is the
+mesh-sharded train step from `parallel.train_step` (dp×tp), so the same
+harness trains on 1 chip or a slice.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from network_interpretation_imagenet_tpu.config import TrainConfig
+from network_interpretation_imagenet_tpu.models import ModelBundle
+from network_interpretation_imagenet_tpu.parallel import make_mesh, make_sharded_train_step
+from network_interpretation_imagenet_tpu.utils.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+)
+from network_interpretation_imagenet_tpu.utils.logging import PhaseLogger
+from network_interpretation_imagenet_tpu.utils.meters import AverageMeter
+
+
+def make_optimizer(
+    cfg: TrainConfig, steps_per_epoch: int
+) -> optax.GradientTransformation:
+    """sgd | rmsprop | adam with torch-style weight decay and the reference's
+    stepped lr schedule (decay_rate at decay_epochs — the classic
+    ``adjust_learning_rate``, ``generate_gp_training_data_imagenet.py:299-303``)."""
+    boundaries = {
+        int(e) * steps_per_epoch: cfg.decay_rate for e in cfg.decay_epochs
+    }
+    schedule = optax.piecewise_constant_schedule(cfg.lr, boundaries)
+    wd = optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay else optax.identity()
+    if cfg.optimizer == "sgd":
+        core = optax.sgd(schedule, momentum=cfg.momentum, nesterov=False)
+    elif cfg.optimizer == "rmsprop":
+        core = optax.rmsprop(schedule, momentum=cfg.momentum)
+    elif cfg.optimizer == "adam":
+        core = optax.adam(schedule)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer}")
+    return optax.chain(wd, core)
+
+
+class Trainer:
+    """Epoch-loop harness over numpy loaders (see ``data.loaders``)."""
+
+    def __init__(
+        self,
+        bundle: ModelBundle,
+        cfg: TrainConfig,
+        steps_per_epoch: int,
+        mesh=None,
+        save_dir: Optional[str] = None,
+        logger: Optional[PhaseLogger] = None,
+    ):
+        self.bundle = bundle
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(jax.devices()[:1])
+        self.save_dir = save_dir
+        self.log = logger or PhaseLogger(enabled=False)
+        self.optimizer = make_optimizer(cfg, steps_per_epoch)
+        self.init_fn, self.step_fn = make_sharded_train_step(
+            bundle, self.mesh, self.optimizer
+        )
+        self.state = self.init_fn(jax.random.PRNGKey(cfg.seed))
+        self.start_epoch = 0
+        self.best_err1 = float("inf")
+        self.best_epoch = -1
+
+        bundle_logits = bundle.logits
+
+        @jax.jit
+        def eval_step(params, batch_stats, images, labels):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            logits = bundle_logits(variables, images).astype(jnp.float32)
+            loss = jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            )
+            top1 = jnp.sum((jnp.argmax(logits, -1) == labels).astype(jnp.int32))
+            return loss, top1
+
+        self._eval_step = eval_step
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, epoch: int, is_best: bool) -> None:
+        if not self.save_dir:
+            return
+        save_checkpoint(
+            {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "epoch": np.asarray(epoch),
+                "best_err1": np.asarray(self.best_err1),
+                "best_epoch": np.asarray(self.best_epoch),
+                "arch": self.bundle.name,
+            },
+            self.save_dir,
+            is_best=is_best,
+        )
+
+    def resume(self) -> bool:
+        """Restore params/epoch from ``save_dir`` (reference resume semantics,
+        ``generate_gp_training_data_cifar.py:97-123``)."""
+        if not self.save_dir:
+            return False
+        blob = restore_checkpoint(self.save_dir)
+        if blob is None:
+            return False
+        self.state = self.state._replace(
+            params=jax.device_put(blob["params"]),
+            batch_stats=jax.device_put(blob["batch_stats"]),
+        )
+        self.start_epoch = int(blob["epoch"]) + 1
+        self.best_err1 = float(blob["best_err1"])
+        self.best_epoch = int(blob["best_epoch"])
+        return True
+
+    # -- loops --------------------------------------------------------------
+
+    def train_epoch(self, loader) -> Tuple[float, float]:
+        loss_m, top1_m = AverageMeter(), AverageMeter()
+        for images, labels in loader:
+            self.state, metrics = self.step_fn(
+                self.state, jnp.asarray(images), jnp.asarray(labels)
+            )
+            n = len(labels)
+            loss_m.update(float(metrics["loss"]), n)
+            top1_m.update(float(metrics["top1"]), n)
+        return loss_m.avg, 100.0 * (1.0 - top1_m.avg)
+
+    def evaluate(self, loader) -> Tuple[float, float]:
+        loss_m = AverageMeter()
+        correct = 0
+        total = 0
+        for images, labels in loader:
+            loss, top1 = self._eval_step(
+                self.state.params,
+                self.state.batch_stats,
+                jnp.asarray(images),
+                jnp.asarray(labels),
+            )
+            n = len(labels)
+            loss_m.update(float(loss), n)
+            correct += int(top1)
+            total += n
+        err1 = 100.0 * (1.0 - correct / max(total, 1))
+        return loss_m.avg, err1
+
+    def fit(self, train_loader, val_loader, epochs: Optional[int] = None) -> List[Dict]:
+        """Run the epoch loop; returns per-epoch history rows (also written
+        to ``scores.tsv``, rewritten each epoch like the reference
+        ``generate_gp_training_data_cifar.py:181,208-212``)."""
+        epochs = epochs if epochs is not None else self.cfg.epochs
+        history: List[Dict] = []
+        since_best = 0
+        for epoch in range(self.start_epoch, epochs):
+            with self.log.phase("train_epoch", epoch=epoch):
+                train_loss, train_err = self.train_epoch(train_loader)
+            with self.log.phase("val_epoch", epoch=epoch):
+                val_loss, val_err = self.evaluate(val_loader)
+            is_best = val_err < self.best_err1
+            if is_best:
+                self.best_err1 = val_err
+                self.best_epoch = epoch
+                since_best = 0
+            else:
+                since_best += 1
+            row = {
+                "epoch": epoch,
+                "train_loss": round(train_loss, 5),
+                "train_err1": round(train_err, 3),
+                "val_loss": round(val_loss, 5),
+                "val_err1": round(val_err, 3),
+                "best_err1": round(self.best_err1, 3),
+                "best_epoch": self.best_epoch,
+            }
+            history.append(row)
+            self._write_scores(history)
+            self.save(epoch, is_best)
+            self.log.emit(row)
+            if self.cfg.patience and since_best >= self.cfg.patience:
+                break  # early stop (reference :232-233)
+        return history
+
+    def _write_scores(self, history: List[Dict]) -> None:
+        if not self.save_dir:
+            return
+        os.makedirs(self.save_dir, exist_ok=True)
+        cols = list(history[0].keys())
+        lines = ["\t".join(cols)]
+        for row in history:
+            lines.append("\t".join(str(row[c]) for c in cols))
+        with open(os.path.join(self.save_dir, "scores.tsv"), "w") as f:
+            f.write("\n".join(lines) + "\n")

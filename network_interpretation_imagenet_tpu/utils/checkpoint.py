@@ -1,0 +1,86 @@
+"""Checkpoint save/restore (Orbax) with the reference's best-copy semantics.
+
+Reference: ``utils.save_checkpoint`` (``utils.py:59-65``) writes
+``checkpoint.pth.tar`` and copies to ``model_best.pth.tar`` when improved;
+CIFAR resume restores epoch + arch flags from the blob
+(``generate_gp_training_data_cifar.py:97-123``). Here checkpoints are Orbax
+pytrees (params/batch_stats/opt_state/metadata) under ``<dir>/checkpoint``
+and ``<dir>/model_best``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _to_numpy_tree(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _split_meta(state: Dict[str, Any]):
+    """Top-level string/None entries go to a JSON sidecar (tensorstore can't
+    serialize strings); array pytrees go through Orbax."""
+    arrays, meta = {}, {}
+    for k, v in state.items():
+        if isinstance(v, (str, bytes)) or v is None:
+            meta[k] = v if not isinstance(v, bytes) else v.decode()
+        else:
+            arrays[k] = v
+    return arrays, meta
+
+
+def save_checkpoint(
+    state: Dict[str, Any],
+    save_dir: str,
+    is_best: bool = False,
+    name: str = "checkpoint",
+) -> str:
+    """Save a pytree state dict; mirror to ``model_best`` when ``is_best``."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(save_dir, name))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(save_dir, exist_ok=True)
+    arrays, meta = _split_meta(state)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, _to_numpy_tree(arrays))
+    if meta:
+        with open(os.path.join(path, "nit_meta.json"), "w") as f:
+            json.dump(meta, f)
+    if is_best:
+        best = os.path.abspath(os.path.join(save_dir, "model_best"))
+        if os.path.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(path, best)
+    return path
+
+
+def restore_checkpoint(save_dir: str, name: str = "checkpoint") -> Optional[Dict[str, Any]]:
+    """Restore a previously saved state; None if absent (fresh start)."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(save_dir, name))
+    if not os.path.exists(path):
+        return None
+    meta_path = os.path.join(path, "nit_meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        # Orbax refuses unknown files inside the checkpoint dir on restore in
+        # some versions; it tolerates extra files in practice, but remove and
+        # re-add defensively if that changes.
+    with ocp.PyTreeCheckpointer() as ckptr:
+        out = dict(ckptr.restore(path))
+    out.update(meta)
+    return out

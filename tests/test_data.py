@@ -1,0 +1,162 @@
+"""Data-layer tests: CSV parsing, bbox coordinate transform vs hand-derived
+oracle of the reference geometry (dataset.py:62-111), IDX/CIFAR readers on
+synthesized files, loader split/augment semantics."""
+
+import gzip
+import os
+import pickle
+import struct
+
+import numpy as np
+import pytest
+
+from network_interpretation_imagenet_tpu.data import (
+    ImagenetLocalizationDataset,
+    get_cifar_loaders,
+    load_cifar10_dir,
+    load_mnist_dir,
+    synthetic_classification_batch,
+    synthetic_imagenet_image,
+    transform_gt_bbox,
+)
+from network_interpretation_imagenet_tpu.data.imagenet_loc import parse_loc_csv
+
+
+# --- bbox transform ---------------------------------------------------------
+
+
+def test_transform_gt_bbox_landscape():
+    # 448x224 image: r = 224/224 = 1; crop offset cx = (448-224)/2 = 112.
+    out = transform_gt_bbox([150.0, 10.0, 100.0, 100.0], img_w=448, img_h=224)
+    # x shifts by -112; clipped at crop bounds.
+    np.testing.assert_allclose(out, [38.0, 10.0, 100.0, 100.0])
+
+
+def test_transform_gt_bbox_scaling():
+    # 448x448 → r = 0.5; box scales by half, no crop offset.
+    out = transform_gt_bbox([100.0, 60.0, 200.0, 300.0], img_w=448, img_h=448)
+    np.testing.assert_allclose(out, [50.0, 30.0, 100.0, 150.0])
+
+
+def test_transform_gt_bbox_outside_crop():
+    # Box entirely in the cropped-away left margin.
+    out = transform_gt_bbox([0.0, 0.0, 50.0, 50.0], img_w=1000, img_h=224)
+    # r=1, crop offset = 388 → box outside → zeros.
+    np.testing.assert_allclose(out, [0, 0, 0, 0])
+
+
+def test_transform_clips_partially_visible_box():
+    out = transform_gt_bbox([100.0, 50.0, 100.0, 100.0], img_w=448, img_h=224)
+    # cx=112: visible part starts at x=112 → local x=0, width=88.
+    np.testing.assert_allclose(out, [0.0, 50.0, 88.0, 100.0])
+
+
+# --- CSV + dataset ----------------------------------------------------------
+
+
+def _write_fake_imagenet(tmpdir):
+    from PIL import Image
+
+    csv_lines = [
+        'ILSVRC2012_val_00000001,"n01440764 10 20 110 220"',
+        'ILSVRC2012_val_00000002,"n01443537 5 5 50 50 n01443537 1 1 9 9"',
+    ]
+    (tmpdir / "LOC_val_solution.csv").write_text("\n".join(csv_lines))
+    rng = np.random.RandomState(0)
+    for synset, name, size in (
+        ("n01440764", "ILSVRC2012_val_00000001", (320, 240)),
+        ("n01443537", "ILSVRC2012_val_00000002", (240, 320)),
+    ):
+        d = tmpdir / synset
+        d.mkdir(exist_ok=True)
+        Image.fromarray(
+            (rng.rand(size[1], size[0], 3) * 255).astype(np.uint8)
+        ).save(str(d / f"{name}.JPEG"))
+    return str(tmpdir)
+
+
+def test_parse_loc_csv(tmp_path):
+    _write_fake_imagenet(tmp_path)
+    rows = parse_loc_csv(str(tmp_path / "LOC_val_solution.csv"))
+    assert len(rows) == 2
+    name, synset, boxes = rows[0]
+    assert synset == "n01440764"
+    np.testing.assert_allclose(boxes[0], [10, 20, 100, 200])
+    assert len(rows[1][2]) == 2  # two boxes parsed
+
+
+def test_imagenet_localization_dataset(tmp_path):
+    root = _write_fake_imagenet(tmp_path)
+    ds = ImagenetLocalizationDataset(root)
+    assert len(ds) == 2
+    img, label, gt = ds[0]
+    assert img.shape == (224, 224, 3)
+    assert img.dtype == np.float32
+    # Normalized image: roughly zero-centered.
+    assert -3 < img.mean() < 3
+    assert label == 0  # n01440764 sorts first
+    assert gt.shape == (4,)
+    assert ds[1][1] == 1
+
+
+# --- MNIST / CIFAR readers --------------------------------------------------
+
+
+def _write_idx(path, arr, gz=False):
+    dtype_code = 0x08
+    header = struct.pack(f">HBB{arr.ndim}I", 0, dtype_code, arr.ndim, *arr.shape)
+    opener = gzip.open if gz else open
+    with opener(path, "wb") as f:
+        f.write(header + arr.astype(np.uint8).tobytes())
+
+
+def test_load_mnist_idx(tmp_path):
+    rng = np.random.RandomState(0)
+    imgs = (rng.rand(10, 28, 28) * 255).astype(np.uint8)
+    labels = rng.randint(0, 10, 10).astype(np.uint8)
+    _write_idx(str(tmp_path / "t10k-images-idx3-ubyte.gz"), imgs, gz=True)
+    _write_idx(str(tmp_path / "t10k-labels-idx1-ubyte.gz"), labels, gz=True)
+    x, y = load_mnist_dir(str(tmp_path), train=False)
+    assert x.shape == (10, 28, 28, 1)
+    assert x.max() <= 1.0
+    np.testing.assert_array_equal(y, labels)
+
+
+def _write_fake_cifar(tmp_path):
+    rng = np.random.RandomState(0)
+    base = tmp_path / "cifar-10-batches-py"
+    base.mkdir()
+    for name, n in [(f"data_batch_{i}", 20) for i in range(1, 6)] + [("test_batch", 10)]:
+        with open(base / name, "wb") as f:
+            pickle.dump(
+                {
+                    b"data": (rng.rand(n, 3072) * 255).astype(np.uint8),
+                    b"labels": rng.randint(0, 10, n).tolist(),
+                },
+                f,
+            )
+    return str(tmp_path)
+
+
+def test_load_cifar_and_loaders(tmp_path):
+    root = _write_fake_cifar(tmp_path)
+    x, y = load_cifar10_dir(root, train=True)
+    assert x.shape == (100, 32, 32, 3)
+    train, val, test = get_cifar_loaders(root, "cifar10+", batch_size=16)
+    xb, yb = next(iter(train))
+    assert xb.shape == (16, 32, 32, 3)
+    # Normalized: not in [0,1] anymore.
+    assert xb.min() < 0
+    # Val = last 5000 (here: all 100, capped by data size).
+    assert len(val.images) == 100
+    batches = list(iter(test))
+    assert sum(len(b[1]) for b in batches) == 10
+
+
+def test_synthetic_generators():
+    img = synthetic_imagenet_image(0)
+    assert img.shape == (224, 224, 3)
+    assert 0 <= img.min() and img.max() <= 1
+    x, y = synthetic_classification_batch(0, 8, 32, 3, 10)
+    assert x.shape == (8, 32, 32, 3)
+    assert y.shape == (8,)
