@@ -1,0 +1,81 @@
+"""BO-guided saliency CLI — the reference's flagship path
+(``bayesian_active_learning_imagenet.py:379-498``): GP-EI Bayesian
+optimization over superpixel-window masks, summed-label heatmap, bbox + IOU.
+
+The whole active-learning loop runs on device (one jit) instead of the
+reference's per-sample dataset walk.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from network_interpretation_imagenet_tpu.cli import common
+from network_interpretation_imagenet_tpu.config import BOConfig
+from network_interpretation_imagenet_tpu.saliency.bo_pipeline import bo_window_saliency
+from network_interpretation_imagenet_tpu.saliency.pipeline import localization_score
+from network_interpretation_imagenet_tpu.saliency.viz import mark_boundaries, save_panels
+
+
+def main(argv=None):
+    p = common.build_parser(__doc__)
+    common.add_bo_flags(p)
+    p.add_argument("--bbox_threshold", type=int, default=180)
+    args = p.parse_args(argv)
+
+    start = time.time()
+    image, disp, label, gt_bbox = common.resolve_image(args)
+    engine = common.build_engine(args)
+    pred, _ = engine.predict_one(image)
+    if label is not None and pred != label:
+        # Reference raises here (:221); we degrade gracefully (SURVEY §5).
+        print(f"[warn] wrong prediction (pred={pred}, label={label}); "
+              "explaining the predicted class instead")
+    target = label if label is not None and pred == label else pred
+
+    seg = common.segment_display(disp, common.segment_config(args))
+    print(f"{common.segment_config(args).method} number of segments: {seg.max() + 1}")
+
+    cfg = BOConfig(n_iters=args.n_iters, n_pre_samples=args.n_pre_samples)
+    out, trace = bo_window_saliency(
+        engine, image, seg, cfg, window_fraction=args.window_fraction,
+        seed=args.seed, target=target, fused=not args.no_fused,
+    )
+    duration = time.time() - start
+
+    common.write_heatmap_png(os.path.join(args.out, "heatmap.png"), out.heatmap)
+    save_panels(
+        os.path.join(args.out, f"index_{args.eval_img_index}.png"),
+        [disp, mark_boundaries(disp, seg), out.heatmap],
+        ["Org_img", "Superpixels", "Summed label training heatmap"],
+    )
+    if args.save_pngs:
+        from network_interpretation_imagenet_tpu.ops import masking
+        import jax.numpy as jnp
+
+        masks = np.asarray(masking.window_masks(
+            jnp.asarray(seg), jnp.asarray(out.firsts), jnp.int32(out.width)))
+        common.save_mask_pngs(os.path.join(args.out, "masks"), masks, out.eval.labels)
+
+    payload = {
+        "eval_img_index": args.eval_img_index,
+        "target": int(target),
+        "num_segments": out.num_segments,
+        "bo_xp": trace.xp.tolist(),
+        "bo_yp": [round(float(v), 5) for v in trace.yp],
+        "survived": int(out.eval.survived.sum()),
+        "time_duration_s": round(duration, 3),
+    }
+    if gt_bbox is not None:
+        iou, pred_box = localization_score(out.heatmap, gt_bbox, args.bbox_threshold)
+        payload["IOU"] = round(float(iou), 4)
+        payload["pred_box_xywh"] = [int(v) for v in pred_box]
+        payload["gt_box_xywh"] = [float(v) for v in gt_bbox]
+    common.emit_result(args.out, "bo_result.json", payload)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,226 @@
+"""Shared CLI plumbing: flags, image/engine resolution, artifact writers.
+
+Consolidates the ~40-line argparse blocks duplicated across the reference
+scripts (``bayesian_active_learning_imagenet.py:48-87``,
+``generate_gp_training_data_imagenet.py:42-81``, ``args.py:11-117``) into one
+parser builder with the same flag names.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional, Tuple
+
+import numpy as np
+
+from network_interpretation_imagenet_tpu.config import (
+    DATASETS,
+    BOConfig,
+    GPConfig,
+    MaskConfig,
+    SegmentConfig,
+)
+
+
+def build_parser(description: str, dataset_default: str = "imagenet") -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    g = p.add_argument_group("data")
+    g.add_argument("--data", default=None, help="dataset root directory")
+    g.add_argument("--dataset", default=dataset_default, choices=sorted(DATASETS))
+    g.add_argument("--synthetic", action="store_true",
+                   help="use a deterministic synthetic image (no dataset needed)")
+    g.add_argument("--eval_img_index", type=int, default=1,
+                   help="index of the evaluation image (reference flag)")
+
+    g = p.add_argument_group("model")
+    g.add_argument("--arch", "-a", default="resnet18",
+                   help="resnet18/34/50/101/152 | vgg* | resnet (CIFAR) | densenet | mnist_cnn")
+    g.add_argument("--depth", type=int, default=56, help="depth for CIFAR resnet/densenet")
+    g.add_argument("--ckpt", default=None,
+                   help=".pth.tar (torch) or orbax dir to load weights from")
+    g.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    g.add_argument("--mask-batch", type=int, default=128)
+
+    g = p.add_argument_group("segmentation")
+    g.add_argument("--segmenter", default="felzenszwalb",
+                   choices=["felzenszwalb", "slic"])
+    g.add_argument("--scale", type=float, default=100.0)
+    g.add_argument("--sigma", type=float, default=0.5)
+    g.add_argument("--min_size", type=int, default=50)
+    g.add_argument("--n_segments", type=int, default=48)
+
+    g = p.add_argument_group("masks")
+    g.add_argument("--num_mask_samples", type=int, default=100)
+    g.add_argument("--window_fraction", type=float, default=0.4)
+    g.add_argument("--num_masked_superpixels", type=int, default=1)
+
+    g = p.add_argument_group("output")
+    g.add_argument("--out", default="./outputs", help="artifact directory")
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--save-pngs", action="store_true",
+                   help="also write per-mask PNGs like the reference ./masks dir")
+    return p
+
+
+def add_bo_flags(p: argparse.ArgumentParser) -> None:
+    g = p.add_argument_group("bayesian optimization")
+    g.add_argument("--n_iters", type=int, default=10)
+    g.add_argument("--n_pre_samples", type=int, default=3)
+    g.add_argument("--no-fused", action="store_true",
+                   help="use the host-driven BO loop instead of the one-jit loop")
+
+
+def add_gp_flags(p: argparse.ArgumentParser) -> None:
+    g = p.add_argument_group("gp surrogate")
+    g.add_argument("--gp-mode", default="train", choices=["train", "eval", "train+eval"],
+                   help="reference gp_regression.py Train/Eval switch")
+    g.add_argument("--grid_size", type=int, default=30)
+    g.add_argument("--gp_iters", type=int, default=20)
+    g.add_argument("--gp_lr", type=float, default=0.1)
+    g.add_argument("--gp-ckpt", default="./gp_saved_checkpoints")
+
+
+def segment_config(args) -> SegmentConfig:
+    spec = DATASETS[args.dataset]
+    min_size = args.min_size
+    if args.dataset == "mnist" and min_size == 50:
+        min_size = 5   # reference generate_gp_training_data_mnist.py:187
+    if args.dataset.startswith("cifar") and min_size == 50:
+        min_size = 10  # reference generate_gp_training_data_cifar.py:293
+    return SegmentConfig(
+        method=args.segmenter, scale=args.scale, sigma=args.sigma,
+        min_size=min_size, n_segments=args.n_segments,
+    )
+
+
+def resolve_image(args) -> Tuple[np.ndarray, np.ndarray, Optional[int], Optional[np.ndarray]]:
+    """→ (normalized f32 HWC image, display uint8 HWC, label?, gt_bbox?)."""
+    import jax.numpy as jnp
+
+    from network_interpretation_imagenet_tpu.ops import preprocess
+
+    spec = DATASETS[args.dataset]
+    if args.synthetic or not args.data:
+        from network_interpretation_imagenet_tpu.data import synthetic_imagenet_image
+
+        base = synthetic_imagenet_image(args.seed + args.eval_img_index, spec.image_size)
+        if spec.channels == 1:
+            base = base[:, :, :1]
+        img = np.asarray(
+            preprocess.normalize(jnp.asarray(base), spec.mean, spec.std)
+        )
+        disp = np.asarray(preprocess.to_display_uint8(jnp.asarray(img)))
+        if spec.channels == 1:
+            disp = disp[:, :, 0]
+        return img, disp, None, None
+
+    if args.dataset == "imagenet":
+        from network_interpretation_imagenet_tpu.data import ImagenetLocalizationDataset
+
+        ds = ImagenetLocalizationDataset(args.data)
+        # Reference counts images 1-based (count == eval_img_index).
+        img, label, gt = ds[max(args.eval_img_index - 1, 0)]
+        disp = np.asarray(preprocess.to_display_uint8(jnp.asarray(img)))
+        return img, disp, label, gt
+    if args.dataset == "mnist":
+        from network_interpretation_imagenet_tpu.data import load_mnist_dir
+
+        xs, ys = load_mnist_dir(args.data, train=False)
+        i = max(args.eval_img_index - 1, 0)
+        img = xs[i]
+        disp = (img[:, :, 0] * 255).astype(np.uint8)
+        return img, disp, int(ys[i]), None
+    if args.dataset.startswith("cifar"):
+        from network_interpretation_imagenet_tpu.data import load_cifar10_dir
+        from network_interpretation_imagenet_tpu.ops import preprocess as pp
+
+        xs, ys = load_cifar10_dir(args.data, train=False)
+        i = max(args.eval_img_index - 1, 0)
+        img = np.asarray(pp.normalize(jnp.asarray(xs[i]), spec.mean, spec.std))
+        disp = np.asarray(pp.to_display_uint8(jnp.asarray(img)))
+        return img, disp, int(ys[i]), None
+    raise ValueError(args.dataset)
+
+
+def build_engine(args, num_classes: Optional[int] = None):
+    import jax
+    import jax.numpy as jnp
+
+    from network_interpretation_imagenet_tpu.models import create_model
+    from network_interpretation_imagenet_tpu.saliency import SaliencyEngine
+    from network_interpretation_imagenet_tpu.utils import convert
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    bundle = create_model(
+        args.arch, args.dataset, num_classes=num_classes,
+        depth=args.depth, dtype=dtype,
+    )
+    if args.ckpt and args.ckpt.endswith((".pth.tar", ".pth", ".tar")):
+        variables = convert.convert_checkpoint(args.ckpt, args.arch, depth=args.depth)
+    elif args.ckpt:
+        from network_interpretation_imagenet_tpu.utils.checkpoint import restore_checkpoint
+
+        blob = restore_checkpoint(os.path.dirname(args.ckpt) or ".",
+                                  os.path.basename(args.ckpt))
+        variables = {"params": blob["params"]}
+        if "batch_stats" in blob:
+            variables["batch_stats"] = blob["batch_stats"]
+    else:
+        print("[warn] no --ckpt: random-initialized weights", file=sys.stderr)
+        variables = bundle.init(jax.random.PRNGKey(args.seed))
+    return SaliencyEngine(bundle, variables, mask_batch=args.mask_batch, compute_dtype=dtype)
+
+
+def segment_display(disp: np.ndarray, cfg: SegmentConfig) -> np.ndarray:
+    from network_interpretation_imagenet_tpu.segment import segment_image
+
+    return segment_image(disp, cfg)
+
+
+# --- artifacts -------------------------------------------------------------
+
+
+def write_heatmap_png(path: str, heat: np.ndarray) -> None:
+    import jax.numpy as jnp
+
+    from network_interpretation_imagenet_tpu.ops import aggregate, colormap
+
+    gray = np.asarray(aggregate.normalize_to_uint8(jnp.asarray(heat)))
+    bgr = np.asarray(colormap.apply_jet(jnp.asarray(gray)))
+    _imwrite(path, bgr)
+
+
+def _imwrite(path: str, bgr: np.ndarray) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        import cv2
+
+        cv2.imwrite(path, bgr)
+    except Exception:
+        from PIL import Image
+
+        Image.fromarray(bgr[:, :, ::-1] if bgr.ndim == 3 else bgr).save(path)
+
+
+def save_mask_npz(path: str, **arrays) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **arrays)
+
+
+def save_mask_pngs(out_dir: str, masks: np.ndarray, labels: np.ndarray) -> None:
+    """Reference artifact parity: ``masks/mask_{i}_{0|1}.png`` with 255=keep
+    (``generate_gp_training_data_imagenet.py:257-266``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    for i, (m, lab) in enumerate(zip(masks, labels)):
+        _imwrite(os.path.join(out_dir, f"mask_{i}_{int(lab)}.png"),
+                 (m.astype(np.uint8) * 255))
+
+
+def emit_result(out_dir: str, name: str, payload: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, name), "w") as f:
+        json.dump(payload, f, indent=2, default=str)
+    print(json.dumps(payload, default=str))

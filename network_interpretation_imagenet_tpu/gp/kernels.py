@@ -17,10 +17,15 @@ Array = jax.Array
 
 
 def sq_dists(x1: Array, x2: Array) -> Array:
-    """Pairwise squared distances [N, M] between [N, D] and [M, D]."""
+    """Pairwise squared distances [N, M] between [N, D] and [M, D].
+
+    The cross-term matmul runs at HIGHEST precision: TPU matmuls default to
+    bf16 inputs, and a bf16-noisy gram matrix loses positive-definiteness,
+    NaN-ing the downstream Cholesky (observed at 224² scale).
+    """
     a = jnp.sum(x1 * x1, axis=1)[:, None]
     b = jnp.sum(x2 * x2, axis=1)[None, :]
-    cross = x1 @ x2.T  # MXU
+    cross = jnp.matmul(x1, x2.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(a + b - 2.0 * cross, 0.0)
 
 

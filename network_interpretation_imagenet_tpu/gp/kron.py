@@ -19,19 +19,49 @@ approximation:
 Hyperparameters (lengthscale, outputscale, noise, constant mean) train with
 Adam exactly as the reference's 20×lr-0.1 loop (``gp_regression.py:179-224``),
 but against the exact MLL.
+
+Work split (TPU-first): the two H×H eigendecompositions are tiny serial
+LAPACK work — they run on HOST (cached per lengthscale); everything that
+scales with the grid (the Q-basis matmuls, MLL reductions, Adam updates)
+runs jitted on device. XLA's eigh both compiles slowly and differentiates
+pathologically for near-singular RBF grams, so it is kept out of jit
+entirely.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from network_interpretation_imagenet_tpu.gp.kernels import rbf_kernel_1d
 
 Array = jax.Array
+
+
+@functools.lru_cache(maxsize=64)
+def _host_eigs(ls_key: float, size: int):
+    """Host eigendecomposition of the unit-outputscale 1-D RBF gram."""
+    grid = np.arange(size, dtype=np.float64)
+    d = grid[:, None] - grid[None, :]
+    k = np.exp(-0.5 * (d / float(ls_key)) ** 2)
+    lam, q = np.linalg.eigh(k)
+    return (
+        np.maximum(lam, 0.0).astype(np.float32),
+        q.astype(np.float32),
+    )
+
+
+def _host_factored(ls: float, h: int, w: int):
+    ls_key = round(float(ls), 6)
+    lam_h, qh = _host_eigs(ls_key, h)
+    lam_w, qw = _host_eigs(ls_key, w)
+    lam_hat = np.maximum(np.outer(lam_h, lam_w), 0.0)
+    return qh, qw, lam_hat
 
 
 class KronGPParams(NamedTuple):
@@ -56,9 +86,10 @@ def init_params(
 
 
 def _eigs(params: KronGPParams, h: int, w: int):
+    """jnp-traced eigendecomposition — retained for fully-traced exactness
+    tests; production paths use the host eigs + device cores below."""
     ls = jnp.exp(params.log_lengthscale)
     os_ = jnp.exp(params.log_outputscale)
-    # outputscale folded into the H factor; W factor unit-scale.
     kh = rbf_kernel_1d(jnp.arange(h, dtype=jnp.float32), ls, os_)
     kw = rbf_kernel_1d(jnp.arange(w, dtype=jnp.float32), ls, 1.0)
     lam_h, qh = jnp.linalg.eigh(kh)
@@ -67,35 +98,60 @@ def _eigs(params: KronGPParams, h: int, w: int):
     return qh, qw, lam
 
 
+@jax.jit
+def _mll_core(qh, qw, lam_hat, y, os_, noise, mean_const):
+    # HIGHEST matmul precision: bf16-default TPU matmuls corrupt the
+    # eigenbasis projections enough to break the MLL/posterior math.
+    with jax.default_matmul_precision("highest"):
+        n = y.shape[0] * y.shape[1]
+        denom = os_ * lam_hat + noise
+        yt = qh.T @ (y - mean_const) @ qw
+        quad = jnp.sum(yt * yt / denom)
+        logdet = jnp.sum(jnp.log(denom))
+        return 0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
+
+
+@jax.jit
+def _posterior_core(qh, qw, lam_hat, y, os_, noise, mean_const):
+    with jax.default_matmul_precision("highest"):
+        lam = os_ * lam_hat
+        denom = lam + noise
+        yt = qh.T @ (y - mean_const) @ qw
+        mean = qh @ (lam * yt / denom) @ qw.T + mean_const
+        m = lam * lam / denom
+        var = os_ - (qh * qh) @ m @ (qw * qw).T
+        return mean, jnp.maximum(var, 1e-12)
+
+
+def _unpack(params: KronGPParams):
+    return (
+        float(jnp.exp(params.log_lengthscale)),
+        jnp.exp(params.log_outputscale).astype(jnp.float32),
+        jnp.exp(params.log_noise).astype(jnp.float32),
+        jnp.asarray(params.mean_const, jnp.float32),
+    )
+
+
 def neg_mll(params: KronGPParams, y_grid: Array) -> Array:
     """Exact negative log marginal likelihood of the grid observations."""
     h, w = y_grid.shape
-    qh, qw, lam = _eigs(params, h, w)
-    noise = jnp.exp(params.log_noise)
-    yc = y_grid - params.mean_const
-    yt = qh.T @ yc @ qw
-    denom = lam + noise
-    quad = jnp.sum(yt * yt / denom)
-    logdet = jnp.sum(jnp.log(denom))
-    n = h * w
-    return 0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
+    ls, os_, noise, mc = _unpack(params)
+    qh, qw, lam_hat = _host_factored(ls, h, w)
+    return _mll_core(
+        jnp.asarray(qh), jnp.asarray(qw), jnp.asarray(lam_hat),
+        jnp.asarray(y_grid, jnp.float32), os_, noise, mc,
+    )
 
 
 def posterior(params: KronGPParams, y_grid: Array) -> Tuple[Array, Array]:
     """Exact posterior mean and variance at every training-grid point."""
     h, w = y_grid.shape
-    qh, qw, lam = _eigs(params, h, w)
-    noise = jnp.exp(params.log_noise)
-    os_ = jnp.exp(params.log_outputscale)
-    yc = y_grid - params.mean_const
-    yt = qh.T @ yc @ qw
-    denom = lam + noise
-    alpha_t = yt / denom
-    mean = qh @ (lam * alpha_t) @ qw.T + params.mean_const
-    m = lam * lam / denom  # λ²/(λ+σ²)
-    var = os_ - (qh * qh) @ m @ (qw * qw).T
-    var = jnp.maximum(var, 1e-12)
-    return mean, var
+    ls, os_, noise, mc = _unpack(params)
+    qh, qw, lam_hat = _host_factored(ls, h, w)
+    return _posterior_core(
+        jnp.asarray(qh), jnp.asarray(qw), jnp.asarray(lam_hat),
+        jnp.asarray(y_grid, jnp.float32), os_, noise, mc,
+    )
 
 
 def fit_adam(
@@ -103,32 +159,86 @@ def fit_adam(
     params: KronGPParams | None = None,
     iters: int = 20,
     lr: float = 0.1,
+    lengthscale_grid: Tuple[float, ...] = (2.0, 4.0, 8.0, 16.0, 32.0, 64.0),
 ) -> Tuple[KronGPParams, Array]:
-    """Adam hyperparameter optimization of the exact MLL (reference trains 20
-    iters of Adam(0.1) on the gpytorch MLL, ``gp_regression.py:179-224``).
+    """Hyperparameter fit against the exact MLL, reference training-loop
+    shape (20 Adam(0.1) iters, ``gp_regression.py:179-224``):
 
-    Returns (params, per-iter loss history). Fully jitted: the optimizer loop
-    is a `lax.scan`.
+    1. lengthscale by exact-MLL sweep over a candidate grid (host eigh per
+       candidate, cached; MLL evaluated on device);
+    2. Adam on (log_outputscale, log_noise, mean_const) in the FIXED
+       eigenbasis of the winning lengthscale — gradients there are exact
+       because Q and λ̂ do not depend on those parameters, and XLA never has
+       to differentiate (or even compile) an eigendecomposition.
+
+    Returns (params, per-Adam-iter loss history).
     """
-    if params is None:
-        params = init_params()
+    del params  # lengthscale comes from the sweep
+    y = jnp.asarray(y_grid, jnp.float32)
+    h, w = y.shape
+    n = h * w
     opt = optax.adam(lr)
 
+    # Host: eigendecompose every candidate (cached across calls).
+    qh_all, qw_all, lam_all = zip(
+        *[_host_factored(float(ls), h, w) for ls in lengthscale_grid]
+    )
+    qh_all = jnp.asarray(np.stack(qh_all))
+    qw_all = jnp.asarray(np.stack(qw_all))
+    lam_all = jnp.asarray(np.stack(lam_all))
+
     @jax.jit
-    def run(p0, y):
-        state0 = opt.init(p0)
+    def run(qh_all, qw_all, lam_all, y):
+      with jax.default_matmul_precision("highest"):
+          y_mean0 = jnp.mean(y)
+          y_var0 = jnp.maximum(jnp.var(y), 1e-6)
 
-        def step(carry, _):
-            p, s = carry
-            loss, grads = jax.value_and_grad(neg_mll)(p, y)
-            updates, s = opt.update(grads, s)
-            p = optax.apply_updates(p, updates)
-            return (p, s), loss
+          def factored_mll(yt, ones_t, lam_hat, log_os, log_noise, mean):
+              denom = jnp.exp(log_os) * lam_hat + jnp.exp(log_noise)
+              yc = yt - mean * ones_t
+              quad = jnp.sum(yc * yc / denom)
+              logdet = jnp.sum(jnp.log(denom))
+              return 0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
 
-        (p_final, _), losses = jax.lax.scan(step, (p0, state0), None, length=iters)
-        return p_final, losses
+          def eval_ls(qh, qw, lam_hat):
+              yt = qh.T @ y @ qw
+              ones_t = jnp.outer(jnp.sum(qh, axis=0), jnp.sum(qw, axis=0))
+              mll0 = factored_mll(
+                  yt, ones_t, lam_hat,
+                  jnp.log(y_var0), jnp.log(0.1 * y_var0), y_mean0,
+              )
+              return mll0, yt, ones_t
 
-    return run(params, jnp.asarray(y_grid, jnp.float32))
+          losses_ls, yt_all, ones_all = jax.vmap(eval_ls)(qh_all, qw_all, lam_all)
+          best = jnp.argmin(losses_ls)
+          yt = yt_all[best]
+          ones_t = ones_all[best]
+          lam_hat = lam_all[best]
+
+          p0 = (jnp.log(y_var0), jnp.log(0.1 * y_var0), y_mean0)
+          s0 = opt.init(p0)
+
+          def step(carry, _):
+              p, s = carry
+              loss, grads = jax.value_and_grad(
+                  lambda pp: factored_mll(yt, ones_t, lam_hat, *pp)
+              )(p)
+              updates, s = opt.update(grads, s)
+              p = optax.apply_updates(p, updates)
+              return (p, s), loss
+
+          (pf, _), losses = jax.lax.scan(step, (p0, s0), None, length=iters)
+          return best, pf, losses
+
+    best, pf, losses = run(qh_all, qw_all, lam_all, y)
+    log_os, log_noise, mean = pf
+    ls_best = float(lengthscale_grid[int(best)])
+    return (
+        KronGPParams(
+            jnp.log(jnp.asarray(ls_best, jnp.float32)), log_os, log_noise, mean
+        ),
+        losses,
+    )
 
 
 def predict_offgrid(
@@ -140,17 +250,18 @@ def predict_offgrid(
     mean*(t) = k_h(t_r) · A · k_w(t_c)ᵀ with A = unvec((K+σ²I)⁻¹ y).
     """
     h, w = y_grid.shape
-    qh, qw, lam = _eigs(params, h, w)
-    noise = jnp.exp(params.log_noise)
-    ls = jnp.exp(params.log_lengthscale)
-    os_ = jnp.exp(params.log_outputscale)
-    yc = y_grid - params.mean_const
-    yt = qh.T @ yc @ qw
-    alpha_grid = qh @ (yt / (lam + noise)) @ qw.T  # [H, W] = unvec(α)
+    ls_f, os_, noise, mc = _unpack(params)
+    qh, qw, lam_hat = _host_factored(ls_f, h, w)
+    qh, qw, lam_hat = jnp.asarray(qh), jnp.asarray(qw), jnp.asarray(lam_hat)
+    lam = os_ * lam_hat
+    y = jnp.asarray(y_grid, jnp.float32)
+    yt = qh.T @ (y - mc) @ qw
+    alpha_grid = qh @ (yt / (lam + noise)) @ qw.T  # [H, W] = unvec(alpha)
 
+    ls = jnp.asarray(ls_f, jnp.float32)
     rows = jnp.arange(h, dtype=jnp.float32)
     cols = jnp.arange(w, dtype=jnp.float32)
     kr = os_ * jnp.exp(-0.5 * ((points[:, 0:1] - rows[None, :]) / ls) ** 2)
     kc = jnp.exp(-0.5 * ((points[:, 1:2] - cols[None, :]) / ls) ** 2)
     mean = jnp.einsum("ph,hw,pw->p", kr, alpha_grid, kc)
-    return mean + params.mean_const
+    return mean + mc

@@ -75,7 +75,13 @@ def _chol_from_raw(raw: Array) -> Array:
 
 
 def _marginals(params: VGPParams, inducing: Array, x: Array):
-    """q(f) marginals μ, s² at inputs x."""
+    """q(f) marginals μ, s² at inputs x (HIGHEST matmul precision — bf16
+    TPU-default matmuls break the PSD-ness this math depends on)."""
+    with jax.default_matmul_precision("highest"):
+        return _marginals_impl(params, inducing, x)
+
+
+def _marginals_impl(params: VGPParams, inducing: Array, x: Array):
     ls = jnp.exp(params.log_lengthscale)
     os_ = jnp.exp(params.log_outputscale)
     jitter = 1e-4

@@ -1,0 +1,88 @@
+"""Pallas TPU kernel: fused window-mask construction + image masking + cast.
+
+Produces the masked bf16 image batch the classifier consumes directly from
+``(image, segments, firsts)`` — one kernel instead of XLA's
+broadcast-compare → broadcast-multiply → convert chain. The mask bank is
+never materialized as a separate [K, H, W] array in HBM; each grid step
+computes its mask on the VPU from the segment map resident in VMEM and
+writes only the final bf16 block.
+
+This op is bandwidth-trivial next to the conv stack (the true hot op, which
+XLA owns), but it keeps the masking stage off the HBM round-trip and is the
+template for custom fusions in this framework. Falls back to the pure-XLA
+formulation off-TPU (``interpret=True`` for CPU tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _mask_apply_kernel(firsts_ref, width_ref, image_ref, segments_ref, out_ref):
+    """Grid step k: out[k] = cast(image * (first_k <= seg < first_k + w))."""
+    k = pl.program_id(0)
+    first = firsts_ref[k]          # scalar-prefetched (SMEM)
+    width = width_ref[0]
+    seg = segments_ref[:, :]       # [H, W] int32, VMEM-resident
+    keep = (seg >= first) & (seg < first + width)   # VPU compare
+    img = image_ref[:, :, :]       # [H, W, C]
+    out_ref[0, :, :, :] = (
+        img * keep[:, :, None].astype(img.dtype)
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def masked_batch_pallas(
+    image: Array,
+    segments: Array,
+    firsts: Array,
+    width: Array,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> Array:
+    """Fused masked-batch builder: f32[H,W,C] × int32[H,W] × int32[K] →
+    ``out_dtype``[K,H,W,C]. ``firsts``/``width`` ride scalar prefetch (SMEM)
+    so index math is ready before each body runs; image + segment map stay
+    pinned in VMEM across the whole grid.
+    """
+    k = firsts.shape[0]
+    h, w, c = image.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # firsts, width
+        grid=(k,),
+        in_specs=[
+            pl.BlockSpec((h, w, c), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, w), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, w, c), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _mask_apply_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, h, w, c), out_dtype),
+        interpret=interpret,
+    )(
+        jnp.asarray(firsts, jnp.int32),
+        jnp.asarray(width, jnp.int32).reshape(1),
+        image,
+        jnp.asarray(segments, jnp.int32),
+    )
+
+
+def masked_batch_xla(
+    image: Array, segments: Array, firsts: Array, width: Array, out_dtype=jnp.bfloat16
+) -> Array:
+    """Pure-XLA formulation (the engine default; numerically identical)."""
+    from network_interpretation_imagenet_tpu.ops import masking
+
+    masks = masking.window_masks(segments, firsts, width)
+    return masking.apply_masks(image, masks).astype(out_dtype)

@@ -62,10 +62,12 @@ class SaliencyEngine:
         variables: Any,
         mask_batch: int = 128,
         compute_dtype: Any = jnp.bfloat16,
+        use_pallas_masking: bool = False,
     ) -> None:
         self.bundle = bundle
         self.mask_batch = int(mask_batch)
         self.compute_dtype = compute_dtype
+        self.use_pallas_masking = use_pallas_masking
         self.variables = jax.device_put(variables)
 
         apply_fn = bundle.logits
@@ -88,11 +90,22 @@ class SaliencyEngine:
                 jnp.max(probs, axis=-1),
             )
 
+        use_pallas = use_pallas_masking
+
         @jax.jit
         def _eval_window(variables, image, segments, firsts, width, target):
             def step(_, f_chunk):
-                masks = masking.window_masks(segments, f_chunk, width)
-                imgs = masking.apply_masks(image, masks).astype(compute_dtype)
+                if use_pallas:
+                    from network_interpretation_imagenet_tpu.ops.pallas_masking import (
+                        masked_batch_pallas,
+                    )
+
+                    imgs = masked_batch_pallas(
+                        image, segments, f_chunk, width, out_dtype=compute_dtype
+                    )
+                else:
+                    masks = masking.window_masks(segments, f_chunk, width)
+                    imgs = masking.apply_masks(image, masks).astype(compute_dtype)
                 return None, _outcomes(apply_fn(variables, imgs), target)
 
             chunks = firsts.reshape(-1, self.mask_batch)

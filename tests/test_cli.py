@@ -1,0 +1,141 @@
+"""CLI smoke tests (in-process, CPU, tiny configs): every entry point runs
+end-to-end on synthetic data and emits its artifacts."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from network_interpretation_imagenet_tpu.cli import (
+    bayesian_active_learning_imagenet as cli_bo,
+)
+from network_interpretation_imagenet_tpu.cli import (
+    generate_gp_training_data_cifar as cli_cifar,
+)
+from network_interpretation_imagenet_tpu.cli import (
+    generate_gp_training_data_imagenet as cli_imagenet,
+)
+from network_interpretation_imagenet_tpu.cli import (
+    generate_gp_training_data_mnist as cli_mnist,
+)
+from network_interpretation_imagenet_tpu.cli import generate_superpixels as cli_seg
+from network_interpretation_imagenet_tpu.cli import gp_classification as cli_gpc
+from network_interpretation_imagenet_tpu.cli import gp_regression as cli_gpr
+from network_interpretation_imagenet_tpu.cli import (
+    gp_superpixel_data_imagenet as cli_gps,
+)
+
+MNIST_CKPT = "/root/reference/saved_checkpoints/mnist/checkpoint.pth.tar"
+
+
+def _json(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_cli_generate_superpixels(tmp_path):
+    out = str(tmp_path)
+    cli_seg.main(["--synthetic", "--dataset", "mnist", "--segmenter", "slic",
+                  "--n_segments", "9", "--out", out])
+    r = _json(os.path.join(out, "superpixels.json"))
+    assert len(r["segments"]) == 2
+    assert os.path.exists(r["figure"])
+
+
+@pytest.mark.skipif(not os.path.exists(MNIST_CKPT), reason="ckpt absent")
+def test_cli_mnist_gp_data_and_gp_consumers(tmp_path):
+    out = str(tmp_path / "gen")
+    cli_mnist.main([
+        "--mode", "gp-data", "--synthetic",
+        "--ckpt", MNIST_CKPT, "--num_mask_samples", "24",
+        "--mask-batch", "8", "--dtype", "float32",
+        "--segmenter", "slic", "--n_segments", "9",
+        "--out", out, "--save-pngs",
+    ])
+    r = _json(os.path.join(out, "mnist_gp_data_result.json"))
+    assert r["correct_pred_count"] + r["wrong_pred_count"] == 24
+    assert os.path.exists(os.path.join(out, "masks.npz"))
+    # PNG artifact parity: mask_{i}_{label}.png files exist.
+    pngs = os.listdir(os.path.join(out, "masks"))
+    assert len(pngs) == 24
+    assert all(p.startswith("mask_") for p in pngs)
+
+    # gp_regression consumes the npz...
+    out2 = str(tmp_path / "gpr")
+    cli_gpr.main(["--masks", os.path.join(out, "masks.npz"),
+                  "--gp-mode", "train+eval", "--gp_iters", "5",
+                  "--dataset", "mnist", "--out", out2])
+    r2 = _json(os.path.join(out2, "gp_regression_result.json"))
+    assert "mean_range" in r2 and "train_losses" in r2
+
+    # ...and the PNG dir (reference parity path).
+    out3 = str(tmp_path / "gpr_png")
+    cli_gpr.main(["--masks", os.path.join(out, "masks"),
+                  "--gp-mode", "train+eval", "--gp_iters", "3",
+                  "--dataset", "mnist", "--out", out3])
+    assert os.path.exists(os.path.join(out3, "gp_reg_result.png"))
+
+    # gp_classification on the same masks.
+    out4 = str(tmp_path / "gpc")
+    cli_gpc.main(["--masks", os.path.join(out, "masks.npz"),
+                  "--dataset", "mnist", "--gp_iters", "10",
+                  "--train_subsample", "256", "--out", out4])
+    r4 = _json(os.path.join(out4, "gp_classification_result.json"))
+    assert 0.0 <= r4["prob_range"][0] <= r4["prob_range"][1] <= 1.0
+
+
+def test_cli_imagenet_random_masks_small(tmp_path):
+    out = str(tmp_path)
+    cli_imagenet.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num_mask_samples", "12", "--mask-batch", "4", "--dtype", "float32",
+        "--segmenter", "slic", "--n_segments", "9",
+        "--skip-threshold-search", "--out", out,
+    ])
+    r = _json(os.path.join(out, "gp_training_data_result.json"))
+    assert r["num_mask_samples"] == 12
+    assert os.path.exists(os.path.join(out, "heatmap.png"))
+
+
+def test_cli_bo_small(tmp_path):
+    out = str(tmp_path)
+    cli_bo.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--mask-batch", "4", "--dtype", "float32",
+        "--segmenter", "slic", "--n_segments", "9",
+        "--n_iters", "3", "--n_pre_samples", "2", "--out", out,
+    ])
+    r = _json(os.path.join(out, "bo_result.json"))
+    assert len(r["bo_xp"]) == 5
+    assert os.path.exists(os.path.join(out, "heatmap.png"))
+
+
+def test_cli_mnist_train_nn(tmp_path):
+    out = str(tmp_path)
+    cli_mnist.main(["--mode", "train-nn", "--synthetic", "--epochs", "1",
+                    "--batch-size", "32", "--out", out])
+    r = _json(os.path.join(out, "mnist_train_result.json"))
+    assert r["epochs"] == 1
+    assert os.path.isdir(os.path.join(out, "saved_checkpoints", "mnist", "checkpoint"))
+
+
+def test_cli_cifar_train_small(tmp_path):
+    out = str(tmp_path)
+    cli_cifar.main(["--mode", "train", "--synthetic", "--depth", "8",
+                    "--epochs", "1", "--batch-size", "32", "--out", out])
+    r = _json(os.path.join(out, "cifar_train_result.json"))
+    assert r["epochs_run"] == 1
+
+
+def test_cli_gp_superpixel_fused(tmp_path):
+    out = str(tmp_path)
+    cli_gps.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num_mask_samples", "12", "--mask-batch", "4", "--dtype", "float32",
+        "--segmenter", "slic", "--n_segments", "9", "--gp_iters", "5",
+        "--out", out,
+    ])
+    r = _json(os.path.join(out, "gp_superpixel_result.json"))
+    assert "gp_lengthscale" in r
+    assert os.path.exists(os.path.join(out, "gp_superpixel_result.png"))
