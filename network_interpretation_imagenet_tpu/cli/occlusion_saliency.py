@@ -1,0 +1,74 @@
+"""Occlusion / gradient saliency CLI (BASELINE.json config 3: "ImageNet
+ResNet-18 occlusion/gradient saliency, 224×224 batched masks").
+
+Methods: ``occlusion`` (patch-sweep probability drop, batched masked
+forwards), ``gradient`` (input gradient — the reference's commented-out
+oracle, ``gp_superpixel_data_imagenet.py:235-251``), ``grad_input``,
+``integrated`` (integrated gradients).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from network_interpretation_imagenet_tpu.cli import common
+from network_interpretation_imagenet_tpu.saliency import gradient as grad_mod
+from network_interpretation_imagenet_tpu.saliency.pipeline import localization_score
+from network_interpretation_imagenet_tpu.saliency.viz import save_panels
+
+
+def main(argv=None):
+    p = common.build_parser(__doc__)
+    p.add_argument("--method", default="occlusion",
+                   choices=["occlusion", "gradient", "grad_input", "integrated"])
+    p.add_argument("--patch", type=int, default=32)
+    p.add_argument("--stride", type=int, default=16)
+    p.add_argument("--ig-steps", type=int, default=16)
+    p.add_argument("--bbox_threshold", type=int, default=180)
+    args = p.parse_args(argv)
+
+    image, disp, label, gt_bbox = common.resolve_image(args)
+    engine = common.build_engine(args)
+    pred, _ = engine.predict_one(image)
+    target = label if (label is not None and pred == label) else pred
+
+    logits_fn = engine.bundle.logits
+    variables = engine.variables
+    if args.method == "occlusion":
+        heat = grad_mod.occlusion_map(
+            logits_fn, variables, image, target,
+            patch=args.patch, stride=args.stride, batch=args.mask_batch,
+            compute_dtype=engine.compute_dtype,
+        )
+    elif args.method == "gradient":
+        heat = grad_mod.input_gradient(logits_fn, variables, image, target)
+    elif args.method == "grad_input":
+        heat = grad_mod.grad_times_input(logits_fn, variables, image, target)
+    else:
+        heat = grad_mod.integrated_gradients(
+            logits_fn, variables, image, target, steps=args.ig_steps
+        )
+    heat = np.asarray(heat)
+
+    common.write_heatmap_png(os.path.join(args.out, f"{args.method}_heatmap.png"), heat)
+    save_panels(
+        os.path.join(args.out, f"{args.method}_result.png"),
+        [disp, heat],
+        ["Original image", f"{args.method} saliency"],
+    )
+    payload = {
+        "method": args.method,
+        "target": int(target),
+        "heat_range": [float(heat.min()), float(heat.max())],
+    }
+    if gt_bbox is not None:
+        iou, pred_box = localization_score(heat, gt_bbox, args.bbox_threshold)
+        payload["IOU"] = round(float(iou), 4)
+        payload["pred_box_xywh"] = [int(v) for v in pred_box]
+    common.emit_result(args.out, f"{args.method}_result.json", payload)
+
+
+if __name__ == "__main__":
+    main()

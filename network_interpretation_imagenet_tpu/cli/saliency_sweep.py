@@ -1,0 +1,71 @@
+"""Val-set saliency sweep CLI (BASELINE.json config 5: full val-set saliency
+sweep, data-parallel): run superpixel-mask saliency over many images,
+reporting mean IOU / survival / p50 latency / evals-per-second; per-image
+failures and misclassifications are skipped and counted, not fatal
+(the reference aborts — ``bayesian_active_learning_imagenet.py:221``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from network_interpretation_imagenet_tpu.cli import common
+from network_interpretation_imagenet_tpu.saliency.sweep import saliency_sweep
+from network_interpretation_imagenet_tpu.utils.logging import PhaseLogger
+
+
+def _synthetic_dataset(args, spec, n):
+    import jax.numpy as jnp
+
+    from network_interpretation_imagenet_tpu.data import synthetic_imagenet_image
+    from network_interpretation_imagenet_tpu.ops import preprocess
+
+    for i in range(n):
+        base = synthetic_imagenet_image(args.seed + i, spec.image_size)
+        if spec.channels == 1:
+            base = base[:, :, :1]
+        img = np.asarray(preprocess.normalize(jnp.asarray(base), spec.mean, spec.std))
+        yield img, None, None
+
+
+def main(argv=None):
+    p = common.build_parser(__doc__)
+    p.add_argument("--num-images", type=int, default=8)
+    p.add_argument("--bbox_threshold", type=int, default=180)
+    p.add_argument("--trace", action="store_true", help="emit per-phase JSON logs")
+    args = p.parse_args(argv)
+
+    from network_interpretation_imagenet_tpu.config import DATASETS
+
+    spec = DATASETS[args.dataset]
+    engine = common.build_engine(args)
+
+    if args.data and args.dataset == "imagenet":
+        from network_interpretation_imagenet_tpu.data import ImagenetLocalizationDataset
+
+        dataset = iter(ImagenetLocalizationDataset(args.data))
+    else:
+        dataset = _synthetic_dataset(args, spec, args.num_images)
+
+    logger = PhaseLogger(enabled=args.trace)
+    res = saliency_sweep(
+        engine,
+        dataset,
+        common.segment_config(args),
+        num_mask_samples=args.num_mask_samples,
+        window_fraction=args.window_fraction,
+        bbox_threshold=args.bbox_threshold,
+        max_images=args.num_images,
+        seed=args.seed,
+        logger=logger,
+    )
+    payload = dataclasses.asdict(res)
+    payload.pop("per_image")
+    payload["per_image_count"] = res.images_explained
+    common.emit_result(args.out, "sweep_result.json", payload)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Gradient- and occlusion-based saliency (BASELINE.json config 3:
+"ImageNet ResNet-18 occlusion/gradient saliency, 224×224 batched masks").
+
+The reference carries an input-gradient oracle in commented-out form
+(``gp_superpixel_data_imagenet.py:235-251``: backward to ``input_var.grad``,
+top-k over channel-summed gradients); occlusion saliency is the classic
+square-patch sweep — the same masked-forward engine evaluated on a regular
+grid of patch masks instead of superpixel windows.
+
+All methods are single-jit batched computations:
+  * ``input_gradient`` — ∂ logit_target / ∂ pixels (one backward);
+  * ``grad_times_input``, ``integrated_gradients`` (Riemann path, one
+    batched forward/backward over all steps);
+  * ``occlusion_map`` — P(target) drop for every patch position, evaluated
+    as one scan of batched forwards.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _target_logit_fn(logits_fn: Callable, variables: Any, target: int):
+    def f(image: Array) -> Array:
+        logits = logits_fn(variables, image[None]).astype(jnp.float32)[0]
+        return logits[target]
+
+    return f
+
+
+def input_gradient(
+    logits_fn: Callable, variables: Any, image: Array, target: int
+) -> Array:
+    """|∂ logit_t / ∂ x| summed over channels → f32[H, W]."""
+    g = jax.grad(_target_logit_fn(logits_fn, variables, target))(
+        jnp.asarray(image, jnp.float32)
+    )
+    return jnp.sum(jnp.abs(g), axis=-1)
+
+
+def grad_times_input(
+    logits_fn: Callable, variables: Any, image: Array, target: int
+) -> Array:
+    """|grad ⊙ input| summed over channels → f32[H, W]."""
+    image = jnp.asarray(image, jnp.float32)
+    g = jax.grad(_target_logit_fn(logits_fn, variables, target))(image)
+    return jnp.sum(jnp.abs(g * image), axis=-1)
+
+
+def integrated_gradients(
+    logits_fn: Callable,
+    variables: Any,
+    image: Array,
+    target: int,
+    steps: int = 16,
+    baseline: Optional[Array] = None,
+) -> Array:
+    """Integrated gradients along the straight path from ``baseline``
+    (default zeros — the masked-pixel value in this framework's convention,
+    see ``ops.masking.apply_masks``). One vmapped backward over all steps.
+    """
+    image = jnp.asarray(image, jnp.float32)
+    base = jnp.zeros_like(image) if baseline is None else baseline
+    alphas = (jnp.arange(steps, dtype=jnp.float32) + 0.5) / steps
+    path = base[None] + alphas[:, None, None, None] * (image - base)[None]
+
+    grad_one = jax.grad(_target_logit_fn(logits_fn, variables, target))
+    grads = jax.vmap(grad_one)(path)  # [S, H, W, C]
+    avg = jnp.mean(grads, axis=0)
+    return jnp.sum(jnp.abs((image - base) * avg), axis=-1)
+
+
+def occlusion_map(
+    logits_fn: Callable,
+    variables: Any,
+    image: Array,
+    target: int,
+    patch: int = 32,
+    stride: int = 16,
+    batch: int = 64,
+    compute_dtype: Any = jnp.bfloat16,
+) -> Array:
+    """Classic occlusion saliency: slide a ``patch``² zero-window over the
+    image; the map holds the target-probability DROP at each covered pixel
+    (averaged over overlapping patches). All patch positions are evaluated
+    as batched masked forwards (scan of ``batch``-sized chunks).
+    """
+    image = jnp.asarray(image, jnp.float32)
+    h, w, _ = image.shape
+    ys = np.arange(0, h - patch + 1, stride, dtype=np.int32)
+    xs = np.arange(0, w - patch + 1, stride, dtype=np.int32)
+    pos = np.stack(np.meshgrid(ys, xs, indexing="ij"), -1).reshape(-1, 2)
+    k = len(pos)
+    pad = (-k) % batch
+    pos_p = np.concatenate([pos, np.zeros((pad, 2), np.int32)]) if pad else pos
+    valid = (np.arange(len(pos_p)) < k).astype(np.float32)
+
+    base_logits = logits_fn(variables, image[None].astype(compute_dtype))
+    base_prob = jax.nn.softmax(base_logits.astype(jnp.float32), -1)[0, target]
+
+    rows = jnp.arange(h)[:, None]
+    cols = jnp.arange(w)[None, :]
+
+    @jax.jit
+    def run(pos_arr, valid_arr):
+        def step(_, chunk):
+            py, px = chunk[:, 0], chunk[:, 1]
+            inside = (
+                (rows[None] >= py[:, None, None])
+                & (rows[None] < (py + patch)[:, None, None])
+                & (cols[None] >= px[:, None, None])
+                & (cols[None] < (px + patch)[:, None, None])
+            )
+            imgs = image[None] * (~inside)[:, :, :, None].astype(image.dtype)
+            logits = logits_fn(variables, imgs.astype(compute_dtype))
+            probs = jax.nn.softmax(logits.astype(jnp.float32), -1)[:, target]
+            return None, (probs, inside)
+
+        _, (probs, insides) = jax.lax.scan(
+            step, None, pos_arr.reshape(-1, batch, 2)
+        )
+        probs = probs.reshape(-1)
+        insides = insides.reshape(-1, h, w).astype(jnp.float32) * valid_arr[:, None, None]
+        drop = jnp.maximum(base_prob - probs, 0.0)
+        heat = jnp.einsum("k,khw->hw", drop, insides)
+        count = jnp.maximum(jnp.sum(insides, axis=0), 1.0)
+        return heat / count
+
+    return run(jnp.asarray(pos_p), jnp.asarray(valid))[:, :]

@@ -1,0 +1,127 @@
+"""Val-set saliency sweep — many images, data-parallel over the mesh.
+
+BASELINE.json config 5: "ImageNet DenseNet full val-set saliency sweep,
+data-parallel over v5e pod". The per-image work (segment → masked forwards →
+heatmap → IOU) runs through the batched engine; the *image axis* parallelizes
+two ways:
+
+  * single-host: images stream through one engine whose mask batches already
+    saturate the chip (host segments image i+1 while the device evaluates
+    image i's masks);
+  * multi-device: the mask batch of each image shards over the mesh's data
+    axis (`parallel.sharded_engine`), and metric reductions ride ``psum``.
+
+The reference aborts the whole run on the first misclassified image
+(``bayesian_active_learning_imagenet.py:221``); the sweep skips and records
+them (SURVEY §5 failure-handling plan).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Iterable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from network_interpretation_imagenet_tpu.config import SegmentConfig
+from network_interpretation_imagenet_tpu.saliency.engine import SaliencyEngine
+from network_interpretation_imagenet_tpu.saliency.pipeline import (
+    localization_score,
+    random_window_saliency,
+)
+from network_interpretation_imagenet_tpu.segment import segment_image
+from network_interpretation_imagenet_tpu.utils.logging import PhaseLogger
+from network_interpretation_imagenet_tpu.utils.meters import AverageMeter
+from network_interpretation_imagenet_tpu.ops import preprocess
+
+
+@dataclasses.dataclass
+class SweepResult:
+    images_total: int = 0
+    images_explained: int = 0
+    images_skipped_misclassified: int = 0
+    images_failed: int = 0
+    mean_iou: float = 0.0
+    mean_survival: float = 0.0
+    p50_latency_s: float = 0.0
+    evals_per_sec: float = 0.0
+    per_image: list = dataclasses.field(default_factory=list)
+
+
+def saliency_sweep(
+    engine: SaliencyEngine,
+    dataset: Iterable,
+    seg_cfg: SegmentConfig,
+    num_mask_samples: int = 100,
+    window_fraction: float = 0.4,
+    bbox_threshold: int = 180,
+    max_images: Optional[int] = None,
+    seed: int = 0,
+    logger: Optional[PhaseLogger] = None,
+) -> SweepResult:
+    """Sweep (image, label, gt_bbox?) triples; returns aggregate metrics.
+
+    ``dataset`` yields ``(normalized f32 HWC image, int label, gt_bbox|None)``.
+    """
+    log = logger or PhaseLogger(enabled=False)
+    res = SweepResult()
+    iou_m, surv_m = AverageMeter(), AverageMeter()
+    latencies = []
+    total_evals = 0
+    t_start = time.perf_counter()
+
+    for i, item in enumerate(dataset):
+        if max_images is not None and i >= max_images:
+            break
+        image, label, gt_bbox = (item + (None,))[:3] if len(item) == 2 else item
+        res.images_total += 1
+        t0 = time.perf_counter()
+        try:
+            pred, _ = engine.predict_one(image)
+            if label is not None and pred != int(label):
+                res.images_skipped_misclassified += 1
+                log.emit({"event": "skip_misclassified", "index": i,
+                          "pred": int(pred), "label": int(label)})
+                continue
+            target = int(label) if label is not None else pred
+            disp = np.asarray(preprocess.to_display_uint8(jnp.asarray(image)))
+            if disp.ndim == 3 and disp.shape[2] == 1:
+                disp = disp[:, :, 0]
+            with log.phase("segment", index=i):
+                seg = segment_image(disp, seg_cfg)
+            with log.phase("masked_forwards", index=i, k=num_mask_samples):
+                out = random_window_saliency(
+                    engine, image, seg, num_samples=num_mask_samples,
+                    window_fraction=window_fraction, seed=seed + i, target=target,
+                )
+            total_evals += num_mask_samples
+            row = {
+                "index": i,
+                "target": target,
+                "num_segments": out.num_segments,
+                "survival": float(out.eval.survived.mean()),
+            }
+            surv_m.update(row["survival"])
+            if gt_bbox is not None:
+                iou, pred_box = localization_score(
+                    out.heatmap, gt_bbox, bbox_threshold
+                )
+                row["iou"] = float(iou)
+                iou_m.update(float(iou))
+            res.per_image.append(row)
+            res.images_explained += 1
+            latencies.append(time.perf_counter() - t0)
+            log.emit({"event": "image_done", **row,
+                      "seconds": round(latencies[-1], 3)})
+        except Exception as e:  # per-image failure isolation
+            res.images_failed += 1
+            log.emit({"event": "image_failed", "index": i, "error": repr(e)})
+
+    wall = time.perf_counter() - t_start
+    res.mean_iou = iou_m.avg
+    res.mean_survival = surv_m.avg
+    res.p50_latency_s = float(np.median(latencies)) if latencies else 0.0
+    res.evals_per_sec = total_evals / wall if wall > 0 else 0.0
+    return res

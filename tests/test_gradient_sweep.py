@@ -1,0 +1,120 @@
+"""Tests for gradient/occlusion saliency and the val-set sweep driver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from network_interpretation_imagenet_tpu.config import SegmentConfig
+from network_interpretation_imagenet_tpu.data.labels import class_name
+from network_interpretation_imagenet_tpu.models import create_model
+from network_interpretation_imagenet_tpu.saliency import gradient as grad_mod
+from network_interpretation_imagenet_tpu.saliency.engine import SaliencyEngine
+from network_interpretation_imagenet_tpu.saliency.sweep import saliency_sweep
+from network_interpretation_imagenet_tpu.utils.nn import (
+    entropy_loss,
+    kaiming_normal_init,
+    ste_round,
+)
+
+
+def _toy_model():
+    """'Classifier' whose class-1 logit is the sum of a fixed region."""
+
+    def logits_fn(variables, imgs):
+        region = imgs[:, 4:12, 4:12, :]
+        # 0.05 scale keeps softmax unsaturated so occlusion drops register.
+        s = jnp.sum(region, axis=(1, 2, 3)) * 0.05
+        return jnp.stack([jnp.full_like(s, 1.0), s], axis=1)
+
+    return logits_fn
+
+
+def test_input_gradient_localizes_evidence():
+    logits_fn = _toy_model()
+    img = np.ones((16, 16, 1), np.float32)
+    heat = np.asarray(grad_mod.input_gradient(logits_fn, None, img, 1))
+    assert heat.shape == (16, 16)
+    assert heat[4:12, 4:12].min() > 0
+    assert heat[:4].max() == 0 and heat[:, :4].max() == 0
+
+
+def test_grad_times_input_and_integrated_agree_for_linear_model():
+    # For a linear model, IG == grad ⊙ (x - baseline) exactly.
+    logits_fn = _toy_model()
+    rng = np.random.RandomState(0)
+    img = rng.rand(16, 16, 1).astype(np.float32)
+    gi = np.asarray(grad_mod.grad_times_input(logits_fn, None, img, 1))
+    ig = np.asarray(grad_mod.integrated_gradients(logits_fn, None, img, 1, steps=4))
+    np.testing.assert_allclose(gi, ig, atol=1e-5)
+
+
+def test_occlusion_map_finds_region():
+    logits_fn = _toy_model()
+    img = np.ones((16, 16, 1), np.float32)
+    heat = np.asarray(
+        grad_mod.occlusion_map(
+            logits_fn, None, img, 1, patch=4, stride=4, batch=8,
+            compute_dtype=jnp.float32,
+        )
+    )
+    assert heat.shape == (16, 16)
+    # Probability drop concentrates on the evidence region.
+    assert heat[4:12, 4:12].mean() > heat[:4, :4].mean()
+    assert heat.min() >= 0
+
+
+def test_saliency_sweep_mixed_outcomes():
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=8, compute_dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+
+    def dataset():
+        img = rng.rand(28, 28, 1).astype(np.float32)
+        pred, _ = engine.predict_one(img)
+        yield img, pred, np.array([4, 4, 10, 10])   # explained, with IOU
+        yield img, (pred + 1) % 10, None            # misclassified → skipped
+        yield img, None, None                       # no label → explained
+
+    cfg = SegmentConfig(method="slic", n_segments=9, slic_iters=4)
+    res = saliency_sweep(engine, dataset(), cfg, num_mask_samples=8)
+    assert res.images_total == 3
+    assert res.images_explained == 2
+    assert res.images_skipped_misclassified == 1
+    assert res.images_failed == 0
+    assert res.evals_per_sec > 0
+    assert 0 <= res.mean_survival <= 1
+
+
+# --- small utils -----------------------------------------------------------
+
+
+def test_ste_round_gradient_is_identity():
+    g = jax.grad(lambda x: jnp.sum(ste_round(x) * 3.0))(jnp.asarray([0.2, 0.7]))
+    np.testing.assert_allclose(np.asarray(g), [3.0, 3.0])
+    np.testing.assert_allclose(
+        np.asarray(ste_round(jnp.asarray([0.2, 0.7]))), [0.0, 1.0]
+    )
+
+
+def test_entropy_loss():
+    # Uniform logits → entropy log(K).
+    logits = jnp.zeros((2, 4))
+    np.testing.assert_allclose(float(entropy_loss(logits)), np.log(4), rtol=1e-6)
+    # Peaked logits → near-zero entropy.
+    peaked = jnp.asarray([[100.0, 0.0, 0.0, 0.0]])
+    assert float(entropy_loss(peaked)) < 1e-3
+
+
+def test_kaiming_init_scale():
+    init = kaiming_normal_init()
+    k = init(jax.random.PRNGKey(0), (3, 3, 64, 128))
+    fan_in = 3 * 3 * 64
+    np.testing.assert_allclose(float(jnp.std(k)), np.sqrt(2.0 / fan_in), rtol=0.1)
+
+
+def test_class_names():
+    assert class_name(3, "cifar10") == "cat"
+    assert class_name(7, "mnist") == "7"
+    assert class_name(42, "imagenet") == "class_42"
+    assert class_name(1, "imagenet", {1: "goldfish"}) == "goldfish"
