@@ -26,16 +26,17 @@ Array = jax.Array
 
 
 def _mask_apply_kernel(firsts_ref, width_ref, image_ref, segments_ref, out_ref):
-    """Grid step k: out[k] = cast(image * (first_k <= seg < first_k + w))."""
+    """Grid step (k, r): out[k, rows_r] for one mask k and one row tile r."""
     k = pl.program_id(0)
     first = firsts_ref[k]          # scalar-prefetched (SMEM)
     width = width_ref[0]
-    seg = segments_ref[:, :]       # [H, W] int32, VMEM-resident
+    seg = segments_ref[:, :]       # [TILE_H, W] int32 row tile, VMEM-resident
     keep = (seg >= first) & (seg < first + width)   # VPU compare
-    img = image_ref[:, :, :]       # [H, W, C]
-    out_ref[0, :, :, :] = (
-        img * keep[:, :, None].astype(img.dtype)
-    ).astype(out_ref.dtype)
+    # Cast to f32 BEFORE inserting the minor dim: Mosaic only supports
+    # non-no-op minor-dim insertion for 32-bit types (i1 reshape fails).
+    keep_f = keep.astype(jnp.float32)
+    img = image_ref[:, :, :]       # [TILE_H, W, C]
+    out_ref[0, :, :, :] = (img * keep_f[:, :, None]).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -54,15 +55,30 @@ def masked_batch_pallas(
     """
     k = firsts.shape[0]
     h, w, c = image.shape
+    # Row-tile the grid so each step's VMEM block stays small (a full
+    # [K, H, W, C] output block OOMs the 16MB scoped-VMEM budget when the
+    # kernel runs inside a scan body).
+    tile_h = h
+    for cand in (8, 16, 32):
+        if h % cand == 0:
+            tile_h = cand
+            break
+    n_tiles = h // tile_h
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # firsts, width
-        grid=(k,),
+        grid=(k, n_tiles),
         in_specs=[
-            pl.BlockSpec((h, w, c), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, w), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_h, w, c), lambda i, r, *_: (r, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_h, w), lambda i, r, *_: (r, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, h, w, c), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, tile_h, w, c),
+            lambda i, r, *_: (i, r, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
     )
     return pl.pallas_call(
