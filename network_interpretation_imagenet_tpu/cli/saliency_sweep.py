@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--num-images", type=int, default=8)
     p.add_argument("--bbox_threshold", type=int, default=180)
     p.add_argument("--trace", action="store_true", help="emit per-phase JSON logs")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard each image's mask batch over all devices")
     args = p.parse_args(argv)
 
     from network_interpretation_imagenet_tpu.config import DATASETS
@@ -49,6 +51,11 @@ def main(argv=None):
     else:
         dataset = _synthetic_dataset(args, spec, args.num_images)
 
+    mesh = None
+    if args.data_parallel:
+        from network_interpretation_imagenet_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
     logger = PhaseLogger(enabled=args.trace)
     res = saliency_sweep(
         engine,
@@ -60,6 +67,7 @@ def main(argv=None):
         max_images=args.num_images,
         seed=args.seed,
         logger=logger,
+        mesh=mesh,
     )
     payload = dataclasses.asdict(res)
     payload.pop("per_image")

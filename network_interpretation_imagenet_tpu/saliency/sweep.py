@@ -50,6 +50,47 @@ class SweepResult:
     per_image: list = dataclasses.field(default_factory=list)
 
 
+def _sharded_window_saliency(
+    engine: SaliencyEngine, mesh, image, segments, num_samples: int,
+    window_fraction: float, seed: int, target: int,
+):
+    """Mask-parallel variant of random_window_saliency over a device mesh."""
+    import jax
+
+    from network_interpretation_imagenet_tpu.ops import aggregate, masking
+    from network_interpretation_imagenet_tpu.parallel import sharded_window_eval
+    from network_interpretation_imagenet_tpu.saliency.engine import MaskEvalResult
+    from network_interpretation_imagenet_tpu.saliency.pipeline import SaliencyOutput
+
+    segments = np.asarray(segments, np.int32)
+    s = int(segments.max()) + 1
+    width = int(window_fraction * s)
+    key = jax.random.PRNGKey(seed)
+    firsts = np.asarray(
+        masking.sample_window_starts(key, num_samples, jnp.int32(s), jnp.int32(width))
+    )
+    survived, probs, _ = sharded_window_eval(
+        mesh, engine.bundle.logits, engine.variables, image, segments,
+        firsts, width, target, compute_dtype=engine.compute_dtype,
+    )
+    heat = np.asarray(
+        aggregate.summed_superpixel_labels(
+            jnp.asarray(segments), jnp.asarray(firsts), jnp.int32(width),
+            jnp.asarray(survived),
+        )
+    )
+    return SaliencyOutput(
+        segments=segments, num_segments=s,
+        eval=MaskEvalResult(
+            survived=survived,
+            preds=np.where(survived, target, -1),
+            prob_target=probs,
+            prob_max=np.full_like(probs, np.nan),
+        ),
+        heatmap=heat, firsts=firsts, width=width,
+    )
+
+
 def saliency_sweep(
     engine: SaliencyEngine,
     dataset: Iterable,
@@ -60,10 +101,13 @@ def saliency_sweep(
     max_images: Optional[int] = None,
     seed: int = 0,
     logger: Optional[PhaseLogger] = None,
+    mesh=None,
 ) -> SweepResult:
     """Sweep (image, label, gt_bbox?) triples; returns aggregate metrics.
 
     ``dataset`` yields ``(normalized f32 HWC image, int label, gt_bbox|None)``.
+    With ``mesh`` (>1 device), each image's mask batch shards over the data
+    axis via `parallel.sharded_engine` and survival counts psum across chips.
     """
     log = logger or PhaseLogger(enabled=False)
     res = SweepResult()
@@ -92,10 +136,17 @@ def saliency_sweep(
             with log.phase("segment", index=i):
                 seg = segment_image(disp, seg_cfg)
             with log.phase("masked_forwards", index=i, k=num_mask_samples):
-                out = random_window_saliency(
-                    engine, image, seg, num_samples=num_mask_samples,
-                    window_fraction=window_fraction, seed=seed + i, target=target,
-                )
+                if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+                    out = _sharded_window_saliency(
+                        engine, mesh, image, seg, num_mask_samples,
+                        window_fraction, seed + i, target,
+                    )
+                else:
+                    out = random_window_saliency(
+                        engine, image, seg, num_samples=num_mask_samples,
+                        window_fraction=window_fraction, seed=seed + i,
+                        target=target,
+                    )
             total_evals += num_mask_samples
             row = {
                 "index": i,

@@ -118,3 +118,28 @@ def test_class_names():
     assert class_name(7, "mnist") == "7"
     assert class_name(42, "imagenet") == "class_42"
     assert class_name(1, "imagenet", {1: "goldfish"}) == "goldfish"
+
+
+def test_saliency_sweep_data_parallel_matches_single():
+    """Sharded mask-parallel sweep on the 8-device mesh gives the same
+    survival statistics as the single-device engine."""
+    from network_interpretation_imagenet_tpu.parallel import make_mesh
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=8, compute_dtype=jnp.float32)
+    rng = np.random.RandomState(2)
+    imgs = [rng.rand(28, 28, 1).astype(np.float32) for _ in range(2)]
+
+    def dataset():
+        for img in imgs:
+            yield img, None, None
+
+    cfg = SegmentConfig(method="slic", n_segments=9, slic_iters=4)
+    res_single = saliency_sweep(engine, dataset(), cfg, num_mask_samples=16, seed=5)
+    res_sharded = saliency_sweep(
+        engine, dataset(), cfg, num_mask_samples=16, seed=5, mesh=make_mesh()
+    )
+    assert res_sharded.images_explained == res_single.images_explained == 2
+    for a, b in zip(res_single.per_image, res_sharded.per_image):
+        np.testing.assert_allclose(a["survival"], b["survival"])
