@@ -45,14 +45,6 @@ class MaskEvalResult:
         return self.survived.astype(np.int32)
 
 
-def _pad_to_multiple(x: np.ndarray, b: int, fill) -> Tuple[np.ndarray, int]:
-    k = x.shape[0]
-    pad = (-k) % b
-    if pad:
-        x = np.concatenate([x, np.full((pad,) + x.shape[1:], fill, x.dtype)])
-    return x, k
-
-
 class SaliencyEngine:
     """Owns jitted compute for one classifier (params resident on device)."""
 
@@ -60,7 +52,7 @@ class SaliencyEngine:
         self,
         bundle: ModelBundle,
         variables: Any,
-        mask_batch: int = 128,
+        mask_batch: int = 1024,
         compute_dtype: Any = jnp.bfloat16,
         use_pallas_masking: bool = False,
     ) -> None:
@@ -94,52 +86,78 @@ class SaliencyEngine:
 
         @jax.jit
         def _eval_window(variables, image, segments, firsts, width, target):
-            def step(_, f_chunk):
-                if use_pallas:
-                    from network_interpretation_imagenet_tpu.ops.pallas_masking import (
-                        masked_batch_pallas,
-                    )
+            if use_pallas:
+                from network_interpretation_imagenet_tpu.ops.pallas_masking import (
+                    masked_batch_pallas,
+                )
 
-                    imgs = masked_batch_pallas(
-                        image, segments, f_chunk, width, out_dtype=compute_dtype
-                    )
-                else:
-                    masks = masking.window_masks(segments, f_chunk, width)
-                    imgs = masking.apply_masks(image, masks).astype(compute_dtype)
-                return None, _outcomes(apply_fn(variables, imgs), target)
-
-            chunks = firsts.reshape(-1, self.mask_batch)
-            _, outs = jax.lax.scan(step, None, chunks)
-            return tuple(o.reshape(-1) for o in outs)
+                imgs = masked_batch_pallas(
+                    image, segments, firsts, width, out_dtype=compute_dtype
+                )
+            else:
+                masks = masking.window_masks(segments, firsts, width)
+                imgs = masking.apply_masks(image, masks).astype(compute_dtype)
+            return _outcomes(apply_fn(variables, imgs), target)
 
         self._eval_window = _eval_window
 
         @jax.jit
         def _eval_knockout(variables, image, segments, knock_ids, target):
-            def step(_, ids_chunk):
-                masks = masking.knockout_masks(segments, ids_chunk)
-                imgs = masking.apply_masks(image, masks).astype(compute_dtype)
-                return None, _outcomes(apply_fn(variables, imgs), target)
-
-            chunks = knock_ids.reshape(-1, self.mask_batch, knock_ids.shape[-1])
-            _, outs = jax.lax.scan(step, None, chunks)
-            return tuple(o.reshape(-1) for o in outs)
+            masks = masking.knockout_masks(segments, knock_ids)
+            imgs = masking.apply_masks(image, masks).astype(compute_dtype)
+            return _outcomes(apply_fn(variables, imgs), target)
 
         self._eval_knockout = _eval_knockout
 
         @jax.jit
         def _eval_bank(variables, image, masks, target):
-            def step(_, m_chunk):
-                imgs = masking.apply_masks(image, m_chunk).astype(compute_dtype)
-                return None, _outcomes(apply_fn(variables, imgs), target)
-
-            chunks = masks.reshape(
-                -1, self.mask_batch, masks.shape[-2], masks.shape[-1]
-            )
-            _, outs = jax.lax.scan(step, None, chunks)
-            return tuple(o.reshape(-1) for o in outs)
+            imgs = masking.apply_masks(image, masks).astype(compute_dtype)
+            return _outcomes(apply_fn(variables, imgs), target)
 
         self._eval_bank = _eval_bank
+
+    def _chunk_sizes(self, k: int):
+        """Cover k masks with as few forwards as possible: full `mask_batch`
+        chunks, then one power-of-two-bucketed remainder (min 32) so repeat
+        workloads hit a handful of compiled shapes.
+
+        Flat mega-batches beat a lax.scan over small chunks measurably (v5e,
+        ResNet-101@224²: 7.0k evals/s at 2048 flat vs 4.5k at scan-of-128) —
+        the scan serializes chunks and blocks XLA's cross-batch pipelining.
+        """
+        sizes = []
+        while k > 0:
+            if k >= self.mask_batch:
+                sizes.append(self.mask_batch)
+                k -= self.mask_batch
+            else:
+                b = 32
+                while b < k:
+                    b *= 2
+                sizes.append(min(b, self.mask_batch))
+                k = 0
+        return sizes
+
+    def _run_chunked(self, fn, lead: np.ndarray, pad_value, args_before, args_after):
+        """Host loop over bucketed chunks of the leading array; concatenates
+        the 4-tuple outcome arrays."""
+        k = lead.shape[0]
+        outs = []
+        off = 0
+        for size in self._chunk_sizes(k):
+            chunk = lead[off : off + size]
+            off += len(chunk)
+            if len(chunk) < size:
+                pad = np.full((size - len(chunk),) + chunk.shape[1:], pad_value,
+                              chunk.dtype)
+                chunk = np.concatenate([chunk, pad])
+            outs.append(fn(*args_before, jnp.asarray(chunk), *args_after))
+        # ONE batched device→host fetch: per-array np.asarray readbacks pay a
+        # tunnel round-trip each (~15ms on axon) — device_get amortizes them.
+        outs = jax.device_get(outs)
+        return tuple(
+            np.concatenate([np.asarray(o[i]) for o in outs])[:k] for i in range(4)
+        )
 
     # -- public API ---------------------------------------------------------
 
@@ -157,54 +175,48 @@ class SaliencyEngine:
         """Evaluate K contiguous-window masks (reference window semantics,
         ``bayesian_active_learning_imagenet.py:178-185``) in ceil(K/B) batched
         forwards."""
-        firsts_p, k = _pad_to_multiple(
-            np.asarray(firsts, np.int32), self.mask_batch, 0
+        outs = self._run_chunked(
+            self._eval_window,
+            np.asarray(firsts, np.int32),
+            0,
+            (self.variables, jnp.asarray(image), jnp.asarray(segments)),
+            (jnp.int32(width), jnp.int32(target)),
         )
-        outs = self._eval_window(
-            self.variables,
-            jnp.asarray(image),
-            jnp.asarray(segments),
-            jnp.asarray(firsts_p),
-            jnp.int32(width),
-            jnp.int32(target),
-        )
-        return self._trim(outs, k)
+        return self._wrap(outs)
 
     def eval_knockout_masks(
         self, image: Array, segments: Array, knock_ids: np.ndarray, target: int
     ) -> MaskEvalResult:
         """Evaluate K knockout masks (reference MNIST/CIFAR semantics,
         ``generate_gp_training_data_mnist.py:218-223``)."""
-        ids_p, k = _pad_to_multiple(
-            np.asarray(knock_ids, np.int32), self.mask_batch, -1
+        outs = self._run_chunked(
+            self._eval_knockout,
+            np.asarray(knock_ids, np.int32),
+            -1,
+            (self.variables, jnp.asarray(image), jnp.asarray(segments)),
+            (jnp.int32(target),),
         )
-        outs = self._eval_knockout(
-            self.variables,
-            jnp.asarray(image),
-            jnp.asarray(segments),
-            jnp.asarray(ids_p),
-            jnp.int32(target),
-        )
-        return self._trim(outs, k)
+        return self._wrap(outs)
 
     def eval_mask_bank(
         self, image: Array, masks: np.ndarray, target: int
     ) -> MaskEvalResult:
         """Evaluate an explicit bool[K, H, W] mask bank (threshold search)."""
-        masks_p, k = _pad_to_multiple(
-            np.asarray(masks, bool), self.mask_batch, False
+        outs = self._run_chunked(
+            self._eval_bank,
+            np.asarray(masks, bool),
+            False,
+            (self.variables, jnp.asarray(image)),
+            (jnp.int32(target),),
         )
-        outs = self._eval_bank(
-            self.variables, jnp.asarray(image), jnp.asarray(masks_p), jnp.int32(target)
-        )
-        return self._trim(outs, k)
+        return self._wrap(outs)
 
     @staticmethod
-    def _trim(outs, k: int) -> MaskEvalResult:
-        survived, preds, p_t, p_m = (np.asarray(o)[:k] for o in outs)
+    def _wrap(outs) -> MaskEvalResult:
+        survived, preds, p_t, p_m = outs
         return MaskEvalResult(
             survived=survived.astype(bool),
-            preds=preds,
+            preds=preds.astype(np.int32),
             prob_target=p_t.astype(np.float32),
             prob_max=p_m.astype(np.float32),
         )
