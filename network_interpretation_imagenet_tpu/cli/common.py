@@ -42,7 +42,7 @@ def build_parser(description: str, dataset_default: str = "imagenet") -> argpars
     g.add_argument("--ckpt", default=None,
                    help=".pth.tar (torch) or orbax dir to load weights from")
     g.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    g.add_argument("--mask-batch", type=int, default=128)
+    g.add_argument("--mask-batch", type=int, default=1024)
 
     g = p.add_argument_group("segmentation")
     g.add_argument("--segmenter", default="felzenszwalb",

@@ -1,0 +1,82 @@
+"""Multi-host (DCN) initialization and mesh layout.
+
+The reference's distributed story is dead code (gloo flags parsed, never
+initialized — SURVEY §2c). The TPU-native design:
+
+  * ICI (within a slice): mask batches and training batches shard over the
+    "data" axis; TP over "model". Collectives (psum / all-gather from
+    sharding annotations) ride the intra-slice interconnect.
+  * DCN (across slices/hosts): the *image axis* of val-set sweeps shards
+    coarsely across processes — each host sweeps a disjoint stride of the
+    dataset; only scalar metrics cross DCN (one psum at the end). No
+    activation traffic ever crosses DCN.
+
+Single-host environments (this repo's CI and the one-chip bench) skip
+``jax.distributed.initialize`` entirely; the same code runs unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize JAX's multi-process runtime when running under a launcher.
+
+    Reads the standard env (``JAX_COORDINATOR_ADDRESS`` etc.) when args are
+    omitted; returns False (no-op) in single-process settings so callers can
+    unconditionally invoke it.
+    """
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None and num_processes is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def process_strided_indices(total: int) -> range:
+    """The image-axis DCN split: process i sweeps images i, i+P, i+2P, ...
+
+    Deterministic, balanced, and requires no coordination beyond process
+    count; merge per-host SweepResults by summing counters and
+    count-weighted means.
+    """
+    return range(jax.process_index(), total, jax.process_count())
+
+
+def merge_sweep_metrics(results):
+    """Reduce per-host SweepResult objects (host 0 gathers via any transport
+    — typically a tiny allgather of the scalar dict)."""
+    from network_interpretation_imagenet_tpu.saliency.sweep import SweepResult
+
+    out = SweepResult()
+    total_iou_w = 0.0
+    total_surv_w = 0.0
+    for r in results:
+        out.images_total += r.images_total
+        out.images_explained += r.images_explained
+        out.images_skipped_misclassified += r.images_skipped_misclassified
+        out.images_failed += r.images_failed
+        out.per_image.extend(r.per_image)
+        iou_n = sum(1 for row in r.per_image if "iou" in row)
+        out.mean_iou += r.mean_iou * iou_n
+        total_iou_w += iou_n
+        out.mean_survival += r.mean_survival * r.images_explained
+        total_surv_w += r.images_explained
+    out.mean_iou = out.mean_iou / total_iou_w if total_iou_w else 0.0
+    out.mean_survival = out.mean_survival / total_surv_w if total_surv_w else 0.0
+    lats = [r.p50_latency_s for r in results if r.p50_latency_s > 0]
+    out.p50_latency_s = sorted(lats)[len(lats) // 2] if lats else 0.0
+    out.evals_per_sec = sum(r.evals_per_sec for r in results)
+    return out

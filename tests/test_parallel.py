@@ -87,3 +87,25 @@ def test_param_shardings_split_head():
     # Biases replicate.
     bias = shardings["conv6"]["bias"]
     assert bias.spec == jax.sharding.PartitionSpec()
+
+
+def test_multihost_helpers_single_process():
+    from network_interpretation_imagenet_tpu.parallel import multihost
+    from network_interpretation_imagenet_tpu.saliency.sweep import SweepResult
+
+    # Single-process: initialize is a no-op returning False.
+    assert multihost.initialize_distributed() is False
+    idx = list(multihost.process_strided_indices(5))
+    assert idx == [0, 1, 2, 3, 4]  # 1 process → all images
+
+    a = SweepResult(images_total=2, images_explained=2, mean_iou=0.5,
+                    mean_survival=0.8, p50_latency_s=0.1, evals_per_sec=100,
+                    per_image=[{"iou": 0.5}, {"iou": 0.5}])
+    b = SweepResult(images_total=2, images_explained=2, mean_iou=0.7,
+                    mean_survival=0.6, p50_latency_s=0.3, evals_per_sec=50,
+                    per_image=[{"iou": 0.7}, {"iou": 0.7}])
+    merged = multihost.merge_sweep_metrics([a, b])
+    assert merged.images_total == 4
+    np.testing.assert_allclose(merged.mean_iou, 0.6)
+    np.testing.assert_allclose(merged.mean_survival, 0.7)
+    assert merged.evals_per_sec == 150
