@@ -7,11 +7,16 @@ path is worse — it re-iterates the whole val dataset per sample
 (``bayesian_active_learning_imagenet.py:126-129``).
 
 TPU redesign: the image and segment map live on device; masks are *fused*
-into the forward — each `lax.scan` step builds a [B, H, W] mask chunk from
-window starts by pure comparison (never materializing the full [K, H, W]
-bank in HBM), multiplies it into the image broadcast, and runs one batched
-bf16 forward on the MXU. Per-mask survive labels, predictions, and target
-probabilities come back as arrays; aggregation is an einsum downstream.
+into the forward — each flat mega-batch (up to ``mask_batch`` masks, default
+1024) builds its [B, H, W] masks from window starts by pure comparison,
+multiplies them into the image broadcast, and runs one batched bf16 forward
+on the MXU. Flat batches beat a `lax.scan` over small chunks measurably
+(v5e: 7.0k vs 4.5k evals/s) because XLA pipelines across the whole batch;
+remainders bucket to powers of two so repeat workloads stay on a handful of
+compiled shapes, and all outcome arrays come back in a single batched
+device→host fetch (per-array readbacks pay a tunnel round-trip each).
+Per-mask survive labels, predictions, and target probabilities come back as
+numpy arrays; aggregation is an einsum downstream.
 """
 
 from __future__ import annotations

@@ -139,3 +139,37 @@ def test_cli_gp_superpixel_fused(tmp_path):
     r = _json(os.path.join(out, "gp_superpixel_result.json"))
     assert "gp_lengthscale" in r
     assert os.path.exists(os.path.join(out, "gp_superpixel_result.png"))
+
+
+def test_cli_occlusion_and_gradient(tmp_path):
+    from network_interpretation_imagenet_tpu.cli import occlusion_saliency as cli_occ
+
+    out = str(tmp_path / "occ")
+    cli_occ.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--method", "occlusion", "--patch", "8", "--stride", "8",
+        "--mask-batch", "8", "--dtype", "float32", "--out", out,
+    ])
+    r = _json(os.path.join(out, "occlusion_result.json"))
+    assert r["method"] == "occlusion"
+    out2 = str(tmp_path / "grad")
+    cli_occ.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--method", "gradient", "--dtype", "float32", "--out", out2,
+    ])
+    assert os.path.exists(os.path.join(out2, "gradient_result.json"))
+
+
+def test_cli_saliency_sweep(tmp_path):
+    from network_interpretation_imagenet_tpu.cli import saliency_sweep as cli_sweep
+
+    out = str(tmp_path)
+    cli_sweep.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num-images", "2", "--num_mask_samples", "8", "--mask-batch", "8",
+        "--dtype", "float32", "--segmenter", "slic", "--n_segments", "9",
+        "--out", out,
+    ])
+    r = _json(os.path.join(out, "sweep_result.json"))
+    assert r["images_total"] == 2
+    assert r["images_failed"] == 0
