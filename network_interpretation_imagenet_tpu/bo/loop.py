@@ -128,27 +128,35 @@ def fused_window_bo(
     alpha: float = 1e-5,
     epsilon: float = 1e-7,
     lengthscale_grid=(0.5, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0),
+    proposals_per_iter: int = 1,
 ):
     """One-jit BO over window starts. ``logits_fn(images[B,H,W,C]) -> [B,K]``
     must close over model variables. ``upper`` (traced) bounds candidates to
     [0, upper]; ``max_candidates`` is the static buffer size (≥ upper+1).
 
+    ``proposals_per_iter`` (q) > 1 enables q-batched BO — a TPU-first
+    extension of the reference's one-sample-per-iteration loop: the top-q EI
+    candidates are dedup-resolved sequentially but EVALUATED in one batched
+    forward, so each GP refit buys q observations at ~the cost of one.
+
     Returns (xs, ys, survived, count): fixed-size arrays with `count` valid
-    leading... entries are in evaluation order.
+    leading entries, in evaluation order.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    max_obs = n_pre_samples + n_iters
+    q = int(proposals_per_iter)
+    max_obs = n_pre_samples + n_iters * q
     ls_grid = jnp.asarray(lengthscale_grid, jnp.float32)
     cand = jnp.arange(max_candidates, dtype=jnp.float32)
     cand_ok = cand <= upper
 
-    def eval_start(first: Array) -> Tuple[Array, Array]:
-        mask = masking.window_masks(segments, first[None].astype(jnp.int32), width)
-        img = (image[None] * mask[0][None, :, :, None].astype(image.dtype))
-        logits = logits_fn(img).astype(jnp.float32)[0]
-        prob = jax.nn.softmax(logits)[target]
-        return prob, jnp.argmax(logits) == target
+    def eval_starts(firsts: Array) -> Tuple[Array, Array]:
+        """Evaluate a batch of window starts in ONE forward."""
+        masks = masking.window_masks(segments, firsts.astype(jnp.int32), width)
+        imgs = image[None] * masks[:, :, :, None].astype(image.dtype)
+        logits = logits_fn(imgs).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)[:, target]
+        return probs, jnp.argmax(logits, axis=-1) == target
 
     def masked_norm(ys, valid):
         cnt = jnp.maximum(jnp.sum(valid), 1.0)
@@ -180,18 +188,24 @@ def fused_window_bo(
         y_obs_masked = jnp.where(valid > 0, yn, -jnp.inf)  # max over valid only
         ei = expected_improvement(mu, sigma, y_obs_masked, greater_is_better=True)
         ei = jnp.where(cand_ok, ei, -jnp.inf)
-        return jnp.argmax(ei).astype(jnp.float32)
+        _, top_idx = jax.lax.top_k(ei, q)
+        return top_idx.astype(jnp.float32)  # [q] best candidates by EI
 
-    def record(state: _FusedState, x: Array) -> _FusedState:
-        prob, surv = eval_start(x)
-        i = state.count
-        return _FusedState(
-            state.xs.at[i].set(x),
-            state.ys.at[i].set(prob),
-            state.survived.at[i].set(surv),
-            state.count + 1,
-            state.key,
-        )
+    def record_batch(state: _FusedState, xs_new: Array) -> _FusedState:
+        """Evaluate a batch of starts (one forward) and append all."""
+        probs, survs = eval_starts(xs_new)
+
+        def put(j, st):
+            i = st.count
+            return _FusedState(
+                st.xs.at[i].set(xs_new[j]),
+                st.ys.at[i].set(probs[j]),
+                st.survived.at[i].set(survs[j]),
+                st.count + 1,
+                st.key,
+            )
+
+        return jax.lax.fori_loop(0, xs_new.shape[0], put, state)
 
     @jax.jit
     def run(key):
@@ -204,22 +218,32 @@ def fused_window_bo(
             jnp.zeros(max_obs, bool), jnp.int32(0), key,
         )
 
-        def pre_body(i, st):
-            return record(st, pre[i])
-
-        state = jax.lax.fori_loop(0, n_pre_samples, pre_body, state)
+        state = record_batch(state, pre)  # all pre-samples: ONE forward
 
         def bo_body(_, st: _FusedState) -> _FusedState:
-            proposal = fit_and_propose(st)
-            valid = jnp.arange(max_obs) < st.count
-            dup = jnp.any(valid & (jnp.abs(proposal - st.xs) <= epsilon))
-            key, sub = jax.random.split(st.key)
-            rand_x = jax.random.randint(
-                sub, (), 0, upper.astype(jnp.int32) + 1
-            ).astype(jnp.float32)
-            x = jnp.where(dup, rand_x, proposal)
-            st = st._replace(key=key)
-            return record(st, x)
+            proposals = fit_and_propose(st)  # [q]
+            # Sequential dedup (reference rule: duplicate → random resample),
+            # also against proposals already accepted this round.
+            def resolve(j, carry):
+                chosen, key = carry
+                prop = proposals[j]
+                valid = jnp.arange(max_obs) < st.count
+                dup_obs = jnp.any(valid & (jnp.abs(prop - st.xs) <= epsilon))
+                prior = jnp.arange(q) < j
+                dup_new = jnp.any(prior & (jnp.abs(prop - chosen) <= epsilon))
+                key, sub = jax.random.split(key)
+                rand_x = jax.random.randint(
+                    sub, (), 0, upper.astype(jnp.int32) + 1
+                ).astype(jnp.float32)
+                chosen = chosen.at[j].set(
+                    jnp.where(dup_obs | dup_new, rand_x, prop)
+                )
+                return chosen, key
+
+            chosen, key = jax.lax.fori_loop(
+                0, q, resolve, (jnp.full((q,), -1.0), st.key)
+            )
+            return record_batch(st._replace(key=key), chosen)
 
         state = jax.lax.fori_loop(0, n_iters, bo_body, state)
         return state.xs, state.ys, state.survived, state.count

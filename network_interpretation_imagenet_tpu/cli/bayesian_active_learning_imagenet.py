@@ -24,6 +24,9 @@ def main(argv=None):
     p = common.build_parser(__doc__)
     common.add_bo_flags(p)
     p.add_argument("--bbox_threshold", type=int, default=180)
+    p.add_argument("--proposals-per-iter", type=int, default=1,
+                   help="q-batched BO: evaluate top-q EI proposals per "
+                        "iteration in one forward (1 = reference behavior)")
     args = p.parse_args(argv)
 
     start = time.time()
@@ -43,6 +46,7 @@ def main(argv=None):
     out, trace = bo_window_saliency(
         engine, image, seg, cfg, window_fraction=args.window_fraction,
         seed=args.seed, target=target, fused=not args.no_fused,
+        proposals_per_iter=args.proposals_per_iter,
     )
     duration = time.time() - start
 

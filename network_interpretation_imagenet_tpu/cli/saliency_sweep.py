@@ -37,6 +37,8 @@ def main(argv=None):
     p.add_argument("--trace", action="store_true", help="emit per-phase JSON logs")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard each image's mask batch over all devices")
+    p.add_argument("--image-batch", type=int, default=1,
+                   help="fuse this many images' mask banks into one forward")
     args = p.parse_args(argv)
 
     from network_interpretation_imagenet_tpu.config import DATASETS
@@ -68,6 +70,7 @@ def main(argv=None):
         seed=args.seed,
         logger=logger,
         mesh=mesh,
+        image_batch=args.image_batch,
     )
     payload = dataclasses.asdict(res)
     payload.pop("per_image")

@@ -40,6 +40,7 @@ def bo_window_saliency(
     seed: int = 0,
     target: Optional[int] = None,
     fused: bool = True,
+    proposals_per_iter: int = 1,
 ) -> Tuple[SaliencyOutput, BOResult]:
     """Run BO saliency for one image; returns the aggregate output + BO trace.
 
@@ -75,6 +76,7 @@ def bo_window_saliency(
             alpha=cfg.alpha,
             epsilon=cfg.epsilon,
             lengthscale_grid=cfg.lengthscale_grid,
+            proposals_per_iter=proposals_per_iter,
         )
         n = int(count)
         bo_res = BOResult(

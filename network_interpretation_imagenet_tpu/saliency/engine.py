@@ -121,6 +121,36 @@ class SaliencyEngine:
 
         self._eval_bank = _eval_bank
 
+        @jax.jit
+        def _eval_window_multi(variables, images, segments, firsts, widths, targets):
+            """N images × K masks in ONE forward: [N,K] outcomes.
+
+            Flattens the (image, mask) grid into a single N·K batch so small
+            per-image mask counts (e.g. the reference's 100/image) still fill
+            the MXU — the val-set-sweep throughput path.
+            """
+            n, k = firsts.shape
+            seg = segments[:, None, :, :]                     # [N,1,H,W]
+            lo = firsts[:, :, None, None]                     # [N,K,1,1]
+            hi = lo + widths[:, None, None, None]
+            masks = (seg >= lo) & (seg < hi)                  # [N,K,H,W]
+            imgs = (
+                images[:, None] * masks[..., None].astype(images.dtype)
+            ).astype(compute_dtype)
+            flat = imgs.reshape((n * k,) + imgs.shape[2:])
+            logits = apply_fn(variables, flat).astype(jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1).reshape(n, k, -1)
+            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(n, k)
+            p_t = jnp.take_along_axis(probs, targets[:, None, None], axis=2)[..., 0]
+            return (
+                preds == targets[:, None],
+                preds,
+                p_t,
+                jnp.max(probs, axis=-1),
+            )
+
+        self._eval_window_multi = _eval_window_multi
+
     def _chunk_sizes(self, k: int):
         """Cover k masks with as few forwards as possible: full `mask_batch`
         chunks, then one power-of-two-bucketed remainder (min 32) so repeat
@@ -202,6 +232,36 @@ class SaliencyEngine:
             (jnp.int32(target),),
         )
         return self._wrap(outs)
+
+    def eval_window_masks_multi(
+        self, images, segments, firsts, widths, targets
+    ):
+        """Evaluate K window masks for each of N images in one forward.
+
+        Args: images [N,H,W,C] f32, segments [N,H,W] int32, firsts [N,K]
+        int32, widths [N] int32, targets [N] int32.
+        Returns a list of N MaskEvalResult.
+        """
+        outs = jax.device_get(
+            self._eval_window_multi(
+                self.variables,
+                jnp.asarray(np.asarray(images, np.float32)),
+                jnp.asarray(np.asarray(segments, np.int32)),
+                jnp.asarray(np.asarray(firsts, np.int32)),
+                jnp.asarray(np.asarray(widths, np.int32)),
+                jnp.asarray(np.asarray(targets, np.int32)),
+            )
+        )
+        survived, preds, p_t, p_m = (np.asarray(o) for o in outs)
+        return [
+            MaskEvalResult(
+                survived=survived[i].astype(bool),
+                preds=preds[i].astype(np.int32),
+                prob_target=p_t[i].astype(np.float32),
+                prob_max=p_m[i].astype(np.float32),
+            )
+            for i in range(len(survived))
+        ]
 
     def eval_mask_bank(
         self, image: Array, masks: np.ndarray, target: int

@@ -102,13 +102,21 @@ def saliency_sweep(
     seed: int = 0,
     logger: Optional[PhaseLogger] = None,
     mesh=None,
+    image_batch: int = 1,
 ) -> SweepResult:
     """Sweep (image, label, gt_bbox?) triples; returns aggregate metrics.
 
     ``dataset`` yields ``(normalized f32 HWC image, int label, gt_bbox|None)``.
     With ``mesh`` (>1 device), each image's mask batch shards over the data
     axis via `parallel.sharded_engine` and survival counts psum across chips.
+    With ``image_batch`` > 1 (same-shape images), up to that many images'
+    mask banks evaluate in ONE forward (``eval_window_masks_multi``) so small
+    per-image K still fills the chip.
     """
+    import jax
+
+    from network_interpretation_imagenet_tpu.ops import aggregate, masking
+
     log = logger or PhaseLogger(enabled=False)
     res = SweepResult()
     iou_m, surv_m = AverageMeter(), AverageMeter()
@@ -116,10 +124,54 @@ def saliency_sweep(
     total_evals = 0
     t_start = time.perf_counter()
 
+    def finish_image(i, target, seg, s, heat, survived, t0):
+        nonlocal total_evals
+        total_evals += num_mask_samples
+        row = {
+            "index": i,
+            "target": target,
+            "num_segments": s,
+            "survival": float(np.mean(survived)),
+        }
+        surv_m.update(row["survival"])
+        gt_bbox = gt_by_index.get(i)
+        if gt_bbox is not None:
+            iou, _ = localization_score(heat, gt_bbox, bbox_threshold)
+            row["iou"] = float(iou)
+            iou_m.update(float(iou))
+        res.per_image.append(row)
+        res.images_explained += 1
+        latencies.append(time.perf_counter() - t0)
+        log.emit({"event": "image_done", **row,
+                  "seconds": round(latencies[-1], 3)})
+
+    gt_by_index = {}
+    pending = []  # (i, image, seg, s, width, firsts, target, t0)
+
+    def flush_pending():
+        if not pending:
+            return
+        idxs, imgs, segs, ss, widths, firsts, targets, t0s = zip(*pending)
+        results = engine.eval_window_masks_multi(
+            np.stack(imgs), np.stack(segs), np.stack(firsts),
+            np.asarray(widths, np.int32), np.asarray(targets, np.int32),
+        )
+        for j, r in enumerate(results):
+            heat = np.asarray(
+                aggregate.summed_superpixel_labels(
+                    jnp.asarray(segs[j]), jnp.asarray(firsts[j]),
+                    jnp.int32(widths[j]), jnp.asarray(r.survived),
+                )
+            )
+            finish_image(idxs[j], targets[j], segs[j], ss[j], heat,
+                         r.survived, t0s[j])
+        pending.clear()
+
     for i, item in enumerate(dataset):
         if max_images is not None and i >= max_images:
             break
         image, label, gt_bbox = (item + (None,))[:3] if len(item) == 2 else item
+        gt_by_index[i] = gt_bbox
         res.images_total += 1
         t0 = time.perf_counter()
         try:
@@ -134,7 +186,21 @@ def saliency_sweep(
             if disp.ndim == 3 and disp.shape[2] == 1:
                 disp = disp[:, :, 0]
             with log.phase("segment", index=i):
-                seg = segment_image(disp, seg_cfg)
+                seg = np.asarray(segment_image(disp, seg_cfg), np.int32)
+            s = int(seg.max()) + 1
+            if image_batch > 1:
+                width = int(window_fraction * s)
+                key = jax.random.PRNGKey(seed + i)
+                firsts = np.asarray(
+                    masking.sample_window_starts(
+                        key, num_mask_samples, jnp.int32(s), jnp.int32(width)
+                    )
+                )
+                pending.append((i, np.asarray(image), seg, s, width, firsts,
+                                target, t0))
+                if len(pending) >= image_batch:
+                    flush_pending()
+                continue
             with log.phase("masked_forwards", index=i, k=num_mask_samples):
                 if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
                     out = _sharded_window_saliency(
@@ -147,29 +213,13 @@ def saliency_sweep(
                         window_fraction=window_fraction, seed=seed + i,
                         target=target,
                     )
-            total_evals += num_mask_samples
-            row = {
-                "index": i,
-                "target": target,
-                "num_segments": out.num_segments,
-                "survival": float(out.eval.survived.mean()),
-            }
-            surv_m.update(row["survival"])
-            if gt_bbox is not None:
-                iou, pred_box = localization_score(
-                    out.heatmap, gt_bbox, bbox_threshold
-                )
-                row["iou"] = float(iou)
-                iou_m.update(float(iou))
-            res.per_image.append(row)
-            res.images_explained += 1
-            latencies.append(time.perf_counter() - t0)
-            log.emit({"event": "image_done", **row,
-                      "seconds": round(latencies[-1], 3)})
+            finish_image(i, target, seg, out.num_segments, out.heatmap,
+                         out.eval.survived, t0)
         except Exception as e:  # per-image failure isolation
             res.images_failed += 1
             log.emit({"event": "image_failed", "index": i, "error": repr(e)})
 
+    flush_pending()
     wall = time.perf_counter() - t_start
     res.mean_iou = iou_m.avg
     res.mean_survival = surv_m.avg

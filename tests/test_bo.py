@@ -156,3 +156,29 @@ def test_bo_window_saliency_end_to_end():
         assert out.width == int(0.4 * 8)
         assert np.all(trace.xp <= int(0.6 * 8))
         assert np.all(trace.yp >= 0) and np.all(trace.yp <= 1)
+
+
+def test_fused_bo_q_batched():
+    """q proposals per iteration: q× observations for the same iteration
+    count, all distinct-or-resampled, same optimum found."""
+    h = w = 16
+    segments = (np.arange(h * w).reshape(h, w) // (h * w // 8)).astype(np.int32)
+    image = np.zeros((h, w, 1), np.float32)
+    image[(segments >= 3) & (segments <= 5)] = 1.0
+
+    def logits_fn(imgs):
+        s = jnp.sum(imgs, axis=(1, 2, 3))
+        return jnp.stack([jnp.full_like(s, 3.0), s * 0.15], axis=1)
+
+    xs, ys, survived, count = fused_window_bo(
+        logits_fn, jnp.asarray(image), jnp.asarray(segments),
+        jnp.int32(3), jnp.int32(1), jnp.int32(7),
+        max_candidates=8, n_pre_samples=2, n_iters=4,
+        key=jax.random.PRNGKey(0), proposals_per_iter=2,
+    )
+    assert int(count) == 2 + 4 * 2
+    xs = np.asarray(xs)[: int(count)]
+    ys = np.asarray(ys)[: int(count)]
+    assert xs.max() <= 7 and xs.min() >= 0
+    best = int(xs[np.argmax(ys)])
+    assert best in (2, 3, 4)

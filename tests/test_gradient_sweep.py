@@ -143,3 +143,25 @@ def test_saliency_sweep_data_parallel_matches_single():
     assert res_sharded.images_explained == res_single.images_explained == 2
     for a, b in zip(res_single.per_image, res_sharded.per_image):
         np.testing.assert_allclose(a["survival"], b["survival"])
+
+
+def test_saliency_sweep_image_batched_matches_single():
+    """image_batch>1 (multi-image fused forwards) must match streaming."""
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=16, compute_dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    imgs = [rng.rand(28, 28, 1).astype(np.float32) for _ in range(3)]
+
+    def dataset():
+        for img in imgs:
+            yield img, None, None
+
+    cfg = SegmentConfig(method="slic", n_segments=9, slic_iters=4)
+    res_a = saliency_sweep(engine, dataset(), cfg, num_mask_samples=8, seed=9)
+    res_b = saliency_sweep(engine, dataset(), cfg, num_mask_samples=8, seed=9,
+                           image_batch=2)  # 2+1 flush pattern
+    assert res_b.images_explained == res_a.images_explained == 3
+    for a, b in zip(res_a.per_image, res_b.per_image):
+        assert a["index"] == b["index"]
+        np.testing.assert_allclose(a["survival"], b["survival"])

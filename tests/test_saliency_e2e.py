@@ -130,3 +130,25 @@ def test_localization_score_synthetic():
     # Slightly-off gt still gives high-but-imperfect IOU.
     iou2, _ = localization_score(heat, [10, 8, 11, 11], bbox_threshold=180)
     assert 0.7 < iou2 < 1.0
+
+
+def test_multi_image_window_eval_matches_per_image(mnist_engine, digit_setup):
+    """Batched N-image evaluation must equal per-image evaluation."""
+    img, seg, target = digit_setup
+    rng2 = np.random.RandomState(7)
+    img2 = rng2.rand(28, 28, 1).astype(np.float32)
+    seg2 = (np.arange(784).reshape(28, 28) % 6).astype(np.int32)
+    target2, _ = mnist_engine.predict_one(img2)
+
+    firsts = np.stack([np.arange(6), np.arange(6) + 1]).astype(np.int32)
+    widths = np.asarray([3, 2], np.int32)
+    multi = mnist_engine.eval_window_masks_multi(
+        np.stack([img, img2]), np.stack([seg, seg2]), firsts, widths,
+        np.asarray([target, target2]),
+    )
+    single0 = mnist_engine.eval_window_masks(img, seg, firsts[0], 3, target)
+    single1 = mnist_engine.eval_window_masks(img2, seg2, firsts[1], 2, target2)
+    np.testing.assert_array_equal(multi[0].survived, single0.survived)
+    np.testing.assert_array_equal(multi[1].survived, single1.survived)
+    np.testing.assert_allclose(multi[0].prob_target, single0.prob_target, atol=1e-5)
+    np.testing.assert_allclose(multi[1].prob_target, single1.prob_target, atol=1e-5)
