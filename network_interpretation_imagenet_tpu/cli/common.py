@@ -134,10 +134,17 @@ def resolve_image(args) -> Tuple[np.ndarray, np.ndarray, Optional[int], Optional
         disp = (img[:, :, 0] * 255).astype(np.uint8)
         return img, disp, int(ys[i]), None
     if args.dataset.startswith("cifar"):
-        from network_interpretation_imagenet_tpu.data import load_cifar10_dir
+        from network_interpretation_imagenet_tpu.data.loaders import (
+            load_cifar10_dir,
+            load_cifar100_dir,
+        )
         from network_interpretation_imagenet_tpu.ops import preprocess as pp
 
-        xs, ys = load_cifar10_dir(args.data, train=False)
+        loader = (
+            load_cifar100_dir if args.dataset.startswith("cifar100")
+            else load_cifar10_dir
+        )
+        xs, ys = loader(args.data, train=False)
         i = max(args.eval_img_index - 1, 0)
         img = np.asarray(pp.normalize(jnp.asarray(xs[i]), spec.mean, spec.std))
         disp = np.asarray(pp.to_display_uint8(jnp.asarray(img)))

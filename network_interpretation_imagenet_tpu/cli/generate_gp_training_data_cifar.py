@@ -47,7 +47,7 @@ def main(argv=None):
             x, y = synthetic_classification_batch(args.seed, 512, 32, 3, 10)
             train_loader = ArrayLoader(x, y, args.batch_size, shuffle=True)
             val_loader = ArrayLoader(x[-128:], y[-128:], args.batch_size)
-        bundle = create_model(args.arch, "cifar10", depth=args.depth)
+        bundle = create_model(args.arch, args.dataset, depth=args.depth)
         cfg = TrainConfig(
             optimizer=args.optimizer, lr=args.lr, momentum=args.momentum,
             weight_decay=args.weight_decay, epochs=args.epochs,

@@ -33,10 +33,12 @@ class DatasetSpec:
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
-CIFAR10_MEAN = (0.4914, 0.4822, 0.4465)
-CIFAR10_STD = (0.2470, 0.2435, 0.2616)
-CIFAR100_MEAN = (0.5071, 0.4865, 0.4409)
-CIFAR100_STD = (0.2673, 0.2564, 0.2762)
+# Reference dataloader.py:16-21 constants (must match exactly: converted
+# reference checkpoints see these inputs).
+CIFAR10_MEAN = (0.4914, 0.4824, 0.4467)
+CIFAR10_STD = (0.2471, 0.2435, 0.2616)
+CIFAR100_MEAN = (0.5071, 0.4867, 0.4408)
+CIFAR100_STD = (0.2675, 0.2565, 0.2761)
 
 DATASETS = {
     # reference config.py:3-20 (cifar10/cifar10+/cifar100/cifar100+; '+' =

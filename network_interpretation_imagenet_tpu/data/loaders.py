@@ -73,6 +73,18 @@ def load_cifar10_dir(data_dir: str, train: bool = False):
     return x.astype(np.float32) / 255.0, np.asarray(ys, np.int64)
 
 
+def load_cifar100_dir(data_dir: str, train: bool = False):
+    """Load CIFAR-100 python format (``cifar-100-python`` with 'train'/'test'
+    files and b'fine_labels')."""
+    base = data_dir
+    if os.path.isdir(os.path.join(data_dir, "cifar-100-python")):
+        base = os.path.join(data_dir, "cifar-100-python")
+    with open(os.path.join(base, "train" if train else "test"), "rb") as f:
+        d = pickle.load(f, encoding="bytes")
+    x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return x.astype(np.float32) / 255.0, np.asarray(d[b"fine_labels"], np.int64)
+
+
 # --- batching / augmentation ------------------------------------------------
 
 
@@ -81,7 +93,9 @@ def _augment(images: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
     (the reference's ``augmentation`` flag, ``config.py:3-20``)."""
     n, h, w, c = images.shape
     out = np.empty_like(images)
-    padded = np.pad(images, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="reflect")
+    # Zero padding — torchvision RandomCrop(32, padding=4) default, which
+    # the reference's '+' recipe uses (dataloader.py:26-33 semantics).
+    padded = np.pad(images, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="constant")
     for i in range(n):
         dy, dx = rng.randint(0, 9, 2)
         img = padded[i, dy : dy + h, dx : dx + w]
@@ -149,8 +163,9 @@ def get_cifar_loaders(
     from network_interpretation_imagenet_tpu.config import DATASETS
 
     spec = DATASETS[dataset]
-    train_x, train_y = load_cifar10_dir(data_dir, train=True)
-    test_x, test_y = load_cifar10_dir(data_dir, train=False)
+    loader = load_cifar100_dir if dataset.startswith("cifar100") else load_cifar10_dir
+    train_x, train_y = loader(data_dir, train=True)
+    test_x, test_y = loader(data_dir, train=False)
     val_x, val_y = train_x[-5000:], train_y[-5000:]
     common = dict(mean=spec.mean, std=spec.std, seed=seed)
     return (

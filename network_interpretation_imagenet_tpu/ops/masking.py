@@ -44,10 +44,10 @@ def window_masks(segments: Array, firsts: Array, width: Array) -> Array:
       bool[K, H, W] mask bank; True = pixel kept.
     """
     firsts = jnp.asarray(firsts, jnp.int32)
-    width = jnp.asarray(width, jnp.int32)
+    width = jnp.asarray(width, jnp.int32)  # scalar or [K]; broadcasting covers both
     seg = segments[None, :, :]
     lo = firsts[:, None, None]
-    hi = (firsts + width if width.ndim == 0 else firsts + width)[:, None, None]
+    hi = (firsts + width)[:, None, None]
     return (seg >= lo) & (seg < hi)
 
 

@@ -50,11 +50,12 @@ def bbox_from_mask(mask: Array) -> Array:
 
 
 def largest_component_bbox(mask: np.ndarray) -> np.ndarray:
-    """Bbox [x, y, w, h] of the largest 4-connected component (host, numpy).
+    """Bbox [x, y, w, h] of the largest 8-connected component (host, numpy).
 
-    Exact-parity stand-in for the reference's
-    ``cv2.findContours`` + largest ``boundingRect`` (``utils.py:100-108``).
-    Runs once per image on a 224² boolean mask — negligible host cost.
+    Stand-in for the reference's ``cv2.findContours`` + largest
+    ``boundingRect`` (``utils.py:100-108``); 8-connectivity matches
+    findContours' treatment of diagonally-touching foreground. Runs once per
+    image on a 224² boolean mask — negligible host cost.
     """
     mask = np.asarray(mask, bool)
     h, w = mask.shape
@@ -74,10 +75,14 @@ def largest_component_bbox(mask: np.ndarray) -> np.ndarray:
                     y, x = stack.pop()
                     y0, y1 = min(y0, y), max(y1, y)
                     x0, x1 = min(x0, x), max(x1, x)
-                    for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
-                        if 0 <= ny < h and 0 <= nx < w and mask[ny, nx] and labels[ny, nx] == 0:
-                            labels[ny, nx] = cur
-                            stack.append((ny, nx))
+                    for ny in (y - 1, y, y + 1):
+                        for nx in (x - 1, x, x + 1):
+                            if (
+                                0 <= ny < h and 0 <= nx < w
+                                and mask[ny, nx] and labels[ny, nx] == 0
+                            ):
+                                labels[ny, nx] = cur
+                                stack.append((ny, nx))
                 bw, bh = x1 - x0 + 1, y1 - y0 + 1
                 # Reference keeps the box with largest area w*h (utils.py:103-107,
                 # including its use of the *updated* size for comparison).

@@ -177,6 +177,10 @@ class SaliencyEngine:
         """Host loop over bucketed chunks of the leading array; concatenates
         the 4-tuple outcome arrays."""
         k = lead.shape[0]
+        if k == 0:
+            z = np.zeros(0)
+            return (z.astype(bool), z.astype(np.int32), z.astype(np.float32),
+                    z.astype(np.float32))
         outs = []
         off = 0
         for size in self._chunk_sizes(k):

@@ -118,6 +118,14 @@ def saliency_sweep(
     from network_interpretation_imagenet_tpu.ops import aggregate, masking
 
     log = logger or PhaseLogger(enabled=False)
+    if mesh is not None and image_batch > 1:
+        # Mask-sharding and image-batching are alternative fills for the same
+        # device capacity; silently dropping one would mislead — prefer the
+        # explicit mesh and say so.
+        log.emit({"event": "warn",
+                  "message": "mesh + image_batch>1: using the mesh-sharded "
+                             "path, image_batch ignored"})
+        image_batch = 1
     res = SweepResult()
     iou_m, surv_m = AverageMeter(), AverageMeter()
     latencies = []
@@ -149,23 +157,31 @@ def saliency_sweep(
     pending = []  # (i, image, seg, s, width, firsts, target, t0)
 
     def flush_pending():
+        """Evaluate the pending image batch; a failure marks ALL pending
+        images failed (never lost, never re-enqueued) and the sweep goes on."""
         if not pending:
             return
-        idxs, imgs, segs, ss, widths, firsts, targets, t0s = zip(*pending)
-        results = engine.eval_window_masks_multi(
-            np.stack(imgs), np.stack(segs), np.stack(firsts),
-            np.asarray(widths, np.int32), np.asarray(targets, np.int32),
-        )
-        for j, r in enumerate(results):
-            heat = np.asarray(
-                aggregate.summed_superpixel_labels(
-                    jnp.asarray(segs[j]), jnp.asarray(firsts[j]),
-                    jnp.int32(widths[j]), jnp.asarray(r.survived),
-                )
-            )
-            finish_image(idxs[j], targets[j], segs[j], ss[j], heat,
-                         r.survived, t0s[j])
+        batch = list(pending)
         pending.clear()
+        try:
+            idxs, imgs, segs, ss, widths, firsts, targets, t0s = zip(*batch)
+            results = engine.eval_window_masks_multi(
+                np.stack(imgs), np.stack(segs), np.stack(firsts),
+                np.asarray(widths, np.int32), np.asarray(targets, np.int32),
+            )
+            for j, r in enumerate(results):
+                heat = np.asarray(
+                    aggregate.summed_superpixel_labels(
+                        jnp.asarray(segs[j]), jnp.asarray(firsts[j]),
+                        jnp.int32(widths[j]), jnp.asarray(r.survived),
+                    )
+                )
+                finish_image(idxs[j], targets[j], segs[j], ss[j], heat,
+                             r.survived, t0s[j])
+        except Exception as e:
+            res.images_failed += len(batch)
+            log.emit({"event": "batch_failed", "indices": [b[0] for b in batch],
+                      "error": repr(e)})
 
     for i, item in enumerate(dataset):
         if max_images is not None and i >= max_images:

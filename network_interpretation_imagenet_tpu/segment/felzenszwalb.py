@@ -74,16 +74,35 @@ def _smooth(img: np.ndarray, sigma: float) -> np.ndarray:
 
 
 def _edges_8conn(h: int, w: int):
-    """Vectorized 8-connectivity edge lists (right, down, ddiag, adiag)."""
+    """Vectorized 8-connectivity edge lists in the SAME order the C++ kernel
+    emits them (pixel raster-major, then right/down/down-right/down-left per
+    pixel). Order matters: FH merge decisions depend on processing order
+    within equal-weight tie classes, and both backends use stable sorts — a
+    matching pre-sort order keeps the two backends bit-identical even on
+    quantized images full of ties."""
     idx = np.arange(h * w, dtype=np.int32).reshape(h, w)
-    pairs = []
-    pairs.append((idx[:, :-1].ravel(), idx[:, 1:].ravel()))          # right
-    pairs.append((idx[:-1, :].ravel(), idx[1:, :].ravel()))          # down
-    pairs.append((idx[:-1, :-1].ravel(), idx[1:, 1:].ravel()))       # down-right
-    pairs.append((idx[:-1, 1:].ravel(), idx[1:, :-1].ravel()))       # down-left
-    a = np.concatenate([p[0] for p in pairs])
-    b = np.concatenate([p[1] for p in pairs])
-    return a, b
+    n = h * w
+    a4 = np.full((n, 4), -1, np.int32)
+    b4 = np.full((n, 4), -1, np.int32)
+    flat = idx.ravel()
+    # direction 0: right
+    m = np.zeros((h, w), bool); m[:, :-1] = True
+    a4[flat[m.ravel()], 0] = idx[:, :-1].ravel()
+    b4[flat[m.ravel()], 0] = idx[:, 1:].ravel()
+    # direction 1: down
+    m = np.zeros((h, w), bool); m[:-1, :] = True
+    a4[flat[m.ravel()], 1] = idx[:-1, :].ravel()
+    b4[flat[m.ravel()], 1] = idx[1:, :].ravel()
+    # direction 2: down-right
+    m = np.zeros((h, w), bool); m[:-1, :-1] = True
+    a4[flat[m.ravel()], 2] = idx[:-1, :-1].ravel()
+    b4[flat[m.ravel()], 2] = idx[1:, 1:].ravel()
+    # direction 3: down-left
+    m = np.zeros((h, w), bool); m[:-1, 1:] = True
+    a4[flat[m.ravel()], 3] = idx[:-1, 1:].ravel()
+    b4[flat[m.ravel()], 3] = idx[1:, :-1].ravel()
+    valid = a4.ravel() >= 0
+    return a4.ravel()[valid], b4.ravel()[valid]
 
 
 def _felzenszwalb_numpy(

@@ -99,10 +99,19 @@ class Trainer:
     def save(self, epoch: int, is_best: bool) -> None:
         if not self.save_dir:
             return
+        # opt_state is saved as flat leaves: Orbax restores plain dicts, so
+        # structure is re-imposed at resume from a freshly-initialized state
+        # (optimizer step count rides along — the stepped lr schedule and
+        # momentum must survive resume, unlike a params-only restore).
+        opt_leaves = [
+            np.asarray(x) for x in jax.tree_util.tree_leaves(self.state.opt_state)
+        ]
         save_checkpoint(
             {
                 "params": self.state.params,
                 "batch_stats": self.state.batch_stats,
+                "opt_leaves": {str(i): leaf for i, leaf in enumerate(opt_leaves)},
+                "step": np.asarray(self.state.step),
                 "epoch": np.asarray(epoch),
                 "best_err1": np.asarray(self.best_err1),
                 "best_epoch": np.asarray(self.best_epoch),
@@ -120,9 +129,18 @@ class Trainer:
         blob = restore_checkpoint(self.save_dir)
         if blob is None:
             return False
+        opt_state = self.state.opt_state
+        if "opt_leaves" in blob:
+            leaves = [
+                blob["opt_leaves"][str(i)] for i in range(len(blob["opt_leaves"]))
+            ]
+            treedef = jax.tree_util.tree_structure(opt_state)
+            opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
         self.state = self.state._replace(
             params=jax.device_put(blob["params"]),
             batch_stats=jax.device_put(blob["batch_stats"]),
+            opt_state=jax.device_put(opt_state),
+            step=jnp.asarray(blob.get("step", 0), jnp.int32),
         )
         self.start_epoch = int(blob["epoch"]) + 1
         self.best_err1 = float(blob["best_err1"])

@@ -160,3 +160,26 @@ def test_synthetic_generators():
     x, y = synthetic_classification_batch(0, 8, 32, 3, 10)
     assert x.shape == (8, 32, 32, 3)
     assert y.shape == (8,)
+
+
+def test_load_cifar100(tmp_path):
+    rng = np.random.RandomState(0)
+    base = tmp_path / "cifar-100-python"
+    base.mkdir()
+    for name, n in (("train", 40), ("test", 10)):
+        with open(base / name, "wb") as f:
+            pickle.dump(
+                {
+                    b"data": (rng.rand(n, 3072) * 255).astype(np.uint8),
+                    b"fine_labels": rng.randint(0, 100, n).tolist(),
+                },
+                f,
+            )
+    from network_interpretation_imagenet_tpu.data.loaders import load_cifar100_dir
+
+    x, y = load_cifar100_dir(str(tmp_path), train=True)
+    assert x.shape == (40, 32, 32, 3)
+    assert y.max() < 100
+    train, val, test = get_cifar_loaders(str(tmp_path), "cifar100+", batch_size=8)
+    xb, yb = next(iter(train))
+    assert xb.shape == (8, 32, 32, 3)

@@ -137,3 +137,13 @@ def test_topk_correct():
     top1, top5 = metrics.topk_correct(logits, labels, (1, 5))
     assert int(top1) == 1
     assert int(top5) == 2  # sample 3's label 4 ranks 6th -> only samples 1,2 in top5
+
+
+def test_largest_component_8_connectivity():
+    """Diagonally-touching blobs are ONE component (cv2.findContours
+    semantics)."""
+    mask = np.zeros((8, 8), bool)
+    mask[1:3, 1:3] = True
+    mask[3:6, 3:7] = True  # touches the first blob only at corner (2,2)/(3,3)
+    box = metrics.largest_component_bbox(mask)
+    np.testing.assert_array_equal(box, [1, 1, 6, 5])

@@ -152,3 +152,10 @@ def test_multi_image_window_eval_matches_per_image(mnist_engine, digit_setup):
     np.testing.assert_array_equal(multi[1].survived, single1.survived)
     np.testing.assert_allclose(multi[0].prob_target, single0.prob_target, atol=1e-5)
     np.testing.assert_allclose(multi[1].prob_target, single1.prob_target, atol=1e-5)
+
+
+def test_engine_empty_mask_bank(mnist_engine, digit_setup):
+    img, seg, target = digit_setup
+    out = mnist_engine.eval_mask_bank(img, np.zeros((0, 28, 28), bool), target)
+    assert out.survived.shape == (0,)
+    assert out.prob_target.shape == (0,)

@@ -104,3 +104,15 @@ def test_segment_image_dispatcher_felzenszwalb():
     seg = segment_image(_block_image(16), cfg)
     uniq = np.unique(seg)
     np.testing.assert_array_equal(uniq, np.arange(len(uniq)))
+
+
+def test_native_matches_numpy_on_tie_heavy_image():
+    """Quantized flat-region images are full of equal-weight edges; backend
+    edge emission order must match so stable sorts agree tie-for-tie."""
+    lib = _load_native()
+    if lib is None:
+        pytest.skip("native kernel not buildable")
+    img = _block_image(20)  # flat quadrants → masses of zero-weight ties
+    a = felzenszwalb(img, scale=30.0, sigma=0.5, min_size=5, backend="native")
+    b = felzenszwalb(img, scale=30.0, sigma=0.5, min_size=5, backend="numpy")
+    np.testing.assert_array_equal(a, b)

@@ -98,3 +98,23 @@ def test_checkpoint_roundtrip(tmp_path):
     best = restore_checkpoint(str(tmp_path), name="model_best")
     assert int(best["epoch"]) == 7
     assert restore_checkpoint(str(tmp_path), name="nonexistent") is None
+
+
+def test_trainer_resume_restores_opt_state_and_step(tmp_path):
+    """Resume must restore the optimizer step so the stepped lr schedule and
+    momentum continue instead of replaying from step 0."""
+    bundle = create_model("resnet", "cifar10", depth=8, num_classes=4)
+    cfg = TrainConfig(optimizer="sgd", lr=0.05, epochs=2, batch_size=16,
+                      decay_epochs=(1,), decay_rate=0.1)
+    train_loader, val_loader = _loaders()
+    t = Trainer(bundle, cfg, steps_per_epoch=len(train_loader), save_dir=str(tmp_path))
+    t.fit(train_loader, val_loader)
+    steps_done = int(t.state.step)
+    assert steps_done == 2 * len(train_loader)
+
+    t2 = Trainer(bundle, cfg, steps_per_epoch=len(train_loader), save_dir=str(tmp_path))
+    assert t2.resume()
+    assert int(t2.state.step) == steps_done
+    # Momentum trace restored (non-zero after SGD steps).
+    leaves = jax.tree_util.tree_leaves(t2.state.opt_state)
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves if hasattr(l, "shape") and np.ndim(l) > 0)
