@@ -19,6 +19,10 @@ from network_interpretation_imagenet_tpu.cli import common
 from network_interpretation_imagenet_tpu.cli.gp_regression import load_mask_source
 from network_interpretation_imagenet_tpu.gp import variational
 from network_interpretation_imagenet_tpu.saliency.viz import save_panels
+from network_interpretation_imagenet_tpu.utils.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+)
 
 
 def main(argv=None):
@@ -48,8 +52,27 @@ def main(argv=None):
 
     grid_size = min(args.grid_size, 10)  # reference grid_size=10 (:141)
     model = variational.init_model(n, grid_size=grid_size, lengthscale=n / 8.0)
-    iters = args.gp_iters if args.gp_iters != 20 else 30  # ref default 30
-    model, losses = variational.fit_adam(model, x, y, iters=iters, lr=args.gp_lr)
+    ckpt_name = "gp_cls_checkpoint"
+    if args.gp_mode == "eval":
+        # Reference loads the saved GP state dict before prediction
+        # (gp_classification.py:222-228).
+        blob = restore_checkpoint(args.gp_ckpt, name=ckpt_name)
+        if blob is None:
+            raise SystemExit(f"no GP ckpt under {args.gp_ckpt}; run --gp-mode train")
+        import numpy as _np
+
+        model = variational.VGPModel(
+            variational.VGPParams(**{k: _np.asarray(v) for k, v in blob.items()}),
+            model.inducing,
+        )
+        losses = np.zeros(1)
+    else:
+        iters = args.gp_iters if args.gp_iters != 20 else 30  # ref default 30
+        model, losses = variational.fit_adam(model, x, y, iters=iters, lr=args.gp_lr)
+        save_checkpoint(
+            {k: np.asarray(v) for k, v in model.params._asdict().items()},
+            args.gp_ckpt, name=ckpt_name,
+        )
 
     all_x = np.stack([yy.ravel(), xx.ravel()], -1).astype(np.float32)
     probs = np.asarray(variational.predict_proba(model, all_x)).reshape(n, n)

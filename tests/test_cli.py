@@ -173,3 +173,28 @@ def test_cli_saliency_sweep(tmp_path):
     r = _json(os.path.join(out, "sweep_result.json"))
     assert r["images_total"] == 2
     assert r["images_failed"] == 0
+
+
+def test_cli_gp_classification_ckpt_roundtrip(tmp_path):
+    """Train saves the variational GP state; eval restores it (reference
+    gp_classification.py:217,222-228 semantics)."""
+    # Reuse a tiny mask npz.
+    out0 = str(tmp_path / "gen")
+    cli_imagenet.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num_mask_samples", "8", "--mask-batch", "4", "--dtype", "float32",
+        "--segmenter", "slic", "--n_segments", "9",
+        "--skip-threshold-search", "--out", out0,
+    ])
+    ckpt = str(tmp_path / "gpck")
+    out1 = str(tmp_path / "train")
+    cli_gpc.main(["--masks", os.path.join(out0, "masks.npz"), "--dataset", "mnist",
+                  "--gp_iters", "5", "--train_subsample", "128",
+                  "--gp-ckpt", ckpt, "--out", out1])
+    out2 = str(tmp_path / "eval")
+    cli_gpc.main(["--masks", os.path.join(out0, "masks.npz"), "--dataset", "mnist",
+                  "--gp-mode", "eval", "--train_subsample", "128",
+                  "--gp-ckpt", ckpt, "--out", out2])
+    r1 = _json(os.path.join(out1, "gp_classification_result.json"))
+    r2 = _json(os.path.join(out2, "gp_classification_result.json"))
+    np.testing.assert_allclose(r1["prob_range"], r2["prob_range"], atol=1e-5)
