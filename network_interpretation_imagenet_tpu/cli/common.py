@@ -16,13 +16,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from network_interpretation_imagenet_tpu.config import (
-    DATASETS,
-    BOConfig,
-    GPConfig,
-    MaskConfig,
-    SegmentConfig,
-)
+from network_interpretation_imagenet_tpu.config import DATASETS, SegmentConfig
 
 
 def build_parser(description: str, dataset_default: str = "imagenet") -> argparse.ArgumentParser:

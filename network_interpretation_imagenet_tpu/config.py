@@ -11,7 +11,7 @@ from a single object.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 # ---------------------------------------------------------------------------
 # Dataset registry (reference config.py:3-20 plus the ImageNet/MNIST presets

@@ -13,9 +13,8 @@ then breaks — ``dataset.py:69-106`` — reproduced here).
 
 from __future__ import annotations
 
-import csv
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

@@ -11,7 +11,7 @@ output signature (the MNIST CNN returns feature tuples, reference
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ All classifiers in this package:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -9,14 +9,13 @@ shipped ``saved_checkpoints/mnist/checkpoint.pth.tar`` converts losslessly
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from network_interpretation_imagenet_tpu.models.common import (
-    BatchNorm,
     ConvBNRelu,
     global_mean_pool,
 )

@@ -15,7 +15,7 @@ convolution tiling. Inference is pure — BN uses running stats.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple, Type
+from typing import Any, Sequence, Type
 
 import jax
 import jax.numpy as jnp

@@ -22,8 +22,7 @@ numpy arrays; aggregation is an einsum downstream.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

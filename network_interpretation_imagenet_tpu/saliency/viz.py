@@ -9,7 +9,7 @@ Covers the reference's figure output: boundary-marked superpixel views
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
