@@ -73,6 +73,7 @@ class SegmentConfig:
     n_segments: int = 48            # target #superpixels (typ. Felzenszwalb yields ~40-80)
     compactness: float = 10.0
     slic_iters: int = 10
+    enforce_connectivity: bool = False  # host postprocess merging SLIC islands
     # static upper bound on segment count so downstream stays jit-static
     max_segments: int = 256
 

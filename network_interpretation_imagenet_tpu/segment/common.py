@@ -40,11 +40,15 @@ def segment_image(img_u8: np.ndarray, cfg: SegmentConfig) -> np.ndarray:
     if cfg.method == "slic":
         import numpy as _np
 
-        seg = slic_mod.slic(
-            img_u8,
-            n_segments=cfg.n_segments,
-            compactness=cfg.compactness,
-            num_iters=cfg.slic_iters,
+        seg = _np.asarray(
+            slic_mod.slic(
+                img_u8,
+                n_segments=cfg.n_segments,
+                compactness=cfg.compactness,
+                num_iters=cfg.slic_iters,
+            )
         )
-        return relabel_sequential(_np.asarray(seg))
+        if cfg.enforce_connectivity:
+            seg = slic_mod.enforce_connectivity(seg)
+        return relabel_sequential(seg)
     raise ValueError(f"unknown segmentation method {cfg.method}")

@@ -160,6 +160,15 @@ def convert_densenet(
     n = (depth - 4) // 3
     if bn_size > 0:
         n //= 2
+
+    def pick(*candidates):
+        """Old torchvision uses dotted child names ('norm.1' — what the
+        reference's era produces); modern torchvision uses 'norm1'."""
+        for c in candidates:
+            if c + ".weight" in sd:
+                return c
+        raise KeyError(candidates)
+
     tb = _TreeBuilder()
     tb.conv(sd, "features.conv0", "conv0")
     tb.bn(sd, "features.norm0", "norm0")
@@ -167,11 +176,11 @@ def convert_densenet(
         for j in range(1, n + 1):
             t = f"features.denseblock{i}.denselayer{j}"
             f = f"denseblock{i}_layer{j}"
-            tb.bn(sd, f"{t}.norm.1", f, "norm1")
-            tb.conv(sd, f"{t}.conv.1", f, "conv1")
+            tb.bn(sd, pick(f"{t}.norm.1", f"{t}.norm1"), f, "norm1")
+            tb.conv(sd, pick(f"{t}.conv.1", f"{t}.conv1"), f, "conv1")
             if bn_size > 0:
-                tb.bn(sd, f"{t}.norm.2", f, "norm2")
-                tb.conv(sd, f"{t}.conv.2", f, "conv2")
+                tb.bn(sd, pick(f"{t}.norm.2", f"{t}.norm2"), f, "norm2")
+                tb.conv(sd, pick(f"{t}.conv.2", f"{t}.conv2"), f, "conv2")
         if i != 3:
             tb.bn(sd, f"features.transition{i}.norm", f"transition{i}", "norm")
             tb.conv(sd, f"features.transition{i}.conv", f"transition{i}", "conv")

@@ -116,3 +116,23 @@ def test_native_matches_numpy_on_tie_heavy_image():
     a = felzenszwalb(img, scale=30.0, sigma=0.5, min_size=5, backend="native")
     b = felzenszwalb(img, scale=30.0, sigma=0.5, min_size=5, backend="numpy")
     np.testing.assert_array_equal(a, b)
+
+
+def test_enforce_connectivity_merges_islands():
+    from network_interpretation_imagenet_tpu.segment.slic import enforce_connectivity
+
+    labels = np.zeros((10, 10), np.int32)
+    labels[:, 5:] = 1
+    labels[0, 0] = 1  # isolated fragment of label 1 inside label 0's region
+    out = enforce_connectivity(labels)
+    assert out[0, 0] == 0  # absorbed into the surrounding label
+    # Main regions untouched.
+    assert out[5, 2] == 0 and out[5, 8] == 1
+
+
+def test_segment_image_slic_with_connectivity():
+    cfg = SegmentConfig(method="slic", n_segments=4, slic_iters=5,
+                        enforce_connectivity=True)
+    seg = segment_image(_block_image(16), cfg)
+    uniq = np.unique(seg)
+    np.testing.assert_array_equal(uniq, np.arange(len(uniq)))
