@@ -224,3 +224,83 @@ def test_roundtrip_resnet18_random_weights(rng):
         t_logits = tmodel(torch.from_numpy(x)).numpy()
     j_logits = np.asarray(bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(j_logits, t_logits, atol=1e-3, rtol=1e-3)
+
+
+def test_densenet_roundtrip_random_weights(rng):
+    """Reference-style DenseNet-BC (depth 10, k=12): torch replica → convert →
+    flax logits match."""
+
+    class TorchDenseLayer(tnn.Module):
+        def __init__(self, inp, growth, bn_size):
+            super().__init__()
+            # Modern-torchvision undotted child names (current torch forbids
+            # dots; the converter accepts both this and the reference-era
+            # dotted 'norm.1' form).
+            self.norm1 = tnn.BatchNorm2d(inp)
+            self.conv1 = tnn.Conv2d(inp, bn_size * growth, 1, bias=False)
+            self.norm2 = tnn.BatchNorm2d(bn_size * growth)
+            self.conv2 = tnn.Conv2d(bn_size * growth, growth, 3, padding=1,
+                                    bias=False)
+
+        def forward(self, x):
+            y = self.conv1(tF.relu(self.norm1(x)))
+            y = self.conv2(tF.relu(self.norm2(y)))
+            return torch.cat([x, y], 1)
+
+    class TorchTransition(tnn.Module):
+        def __init__(self, inp, out):
+            super().__init__()
+            self.norm = tnn.BatchNorm2d(inp)
+            self.conv = tnn.Conv2d(inp, out, 1, bias=False)
+
+        def forward(self, x):
+            x = self.conv(tF.relu(self.norm(x)))
+            return tF.avg_pool2d(x, 2)
+
+    depth, growth, bn_size = 10, 12, 4
+    n = ((depth - 4) // 3) // 2  # = 1 layer per block
+    feats = 24
+
+    class TorchDenseNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = tnn.Module()
+            self.features.add_module("conv0", tnn.Conv2d(3, feats, 3, padding=1, bias=False))
+            self.features.add_module("norm0", tnn.BatchNorm2d(feats))
+            f = feats
+            for i in range(1, 4):
+                block = tnn.Module()
+                for j in range(1, n + 1):
+                    block.add_module(f"denselayer{j}", TorchDenseLayer(f, growth, bn_size))
+                    f += growth
+                self.features.add_module(f"denseblock{i}", block)
+                if i != 3:
+                    out = int(f * 0.5)
+                    self.features.add_module(f"transition{i}", TorchTransition(f, out))
+                    f = out
+            self.features.add_module("norm5", tnn.BatchNorm2d(f))
+            self.classifier = tnn.Linear(f, 10)
+
+        def forward(self, x):
+            x = tF.relu(self.features.norm0(self.features.conv0(x)))
+            for i in range(1, 4):
+                block = getattr(self.features, f"denseblock{i}")
+                for j in range(1, n + 1):
+                    x = getattr(block, f"denselayer{j}")(x)
+                if i != 3:
+                    x = getattr(self.features, f"transition{i}")(x)
+            x = tF.relu(self.features.norm5(x))
+            x = tF.avg_pool2d(x, 8).flatten(1)
+            return self.classifier(x)
+
+    tmodel = TorchDenseNet().eval()
+    sd_np = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()
+             if "num_batches_tracked" not in k}
+    variables = convert.convert_densenet(sd_np, depth=depth, bn_size=bn_size)
+    bundle = create_model("densenet", "cifar10", depth=depth, bn_size=bn_size)
+
+    x = rng.rand(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x)).numpy()
+    j_logits = np.asarray(bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(j_logits, t_logits, atol=1e-3, rtol=1e-3)
