@@ -22,7 +22,11 @@ def make_mesh(
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    assert n % model_parallel == 0, (n, model_parallel)
+    if n % model_parallel != 0:
+        # Indivisible request (e.g. 1 real device, model_parallel=2): fall
+        # back to pure data parallelism rather than crashing — the sharded
+        # code paths are all valid at model=1.
+        model_parallel = 1
     arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, (data_axis, model_axis))
 

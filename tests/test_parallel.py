@@ -24,6 +24,26 @@ def test_mesh_shapes():
     assert mesh1.shape["data"] == 8
 
 
+def test_mesh_indivisible_falls_back_to_dp():
+    # 1 device with model_parallel=2 (the driver's single-TPU degenerate
+    # case, MULTICHIP_r01) must not crash — falls back to pure DP.
+    mesh = make_mesh(jax.devices()[:1], model_parallel=2)
+    assert mesh.shape == {"data": 1, "model": 1}
+    mesh3 = make_mesh(jax.devices()[:3], model_parallel=2)
+    assert mesh3.shape == {"data": 3, "model": 1}
+
+
+def test_graft_entry_dryrun_multichip():
+    # The driver-visible artifact: must run end-to-end on the 8-CPU mesh.
+    import sys
+    sys.path.insert(0, "/root/repo")
+    try:
+        import __graft_entry__
+        __graft_entry__.dryrun_multichip(8)
+    finally:
+        sys.path.remove("/root/repo")
+
+
 def test_sharded_window_eval_matches_local():
     mesh = make_mesh()  # 8-way data parallel
     bundle = create_model("mnist_cnn", "mnist")
