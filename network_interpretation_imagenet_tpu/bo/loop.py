@@ -22,7 +22,7 @@ Two TPU-native drivers:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -114,101 +114,107 @@ class _FusedState(NamedTuple):
     key: Array
 
 
-def fused_window_bo(
-    logits_fn: Callable[[Array], Array],
-    image: Array,
-    segments: Array,
-    width: Array,
-    target: Array,
-    upper: Array,
+def next_pow2(n: int) -> int:
+    """Smallest power of two ≥ n (min 8) — static-shape bucket so images with
+    different segment counts reuse one compiled fused-BO executable."""
+    return max(8, 1 << (max(int(n), 1) - 1).bit_length())
+
+
+def make_fused_window_bo(
+    apply_fn: Callable[[Any, Array], Array],
     max_candidates: int,
     n_pre_samples: int = 3,
     n_iters: int = 10,
-    key: Optional[Array] = None,
     alpha: float = 1e-5,
     epsilon: float = 1e-7,
     lengthscale_grid=(0.5, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0),
     proposals_per_iter: int = 1,
 ):
-    """One-jit BO over window starts. ``logits_fn(images[B,H,W,C]) -> [B,K]``
-    must close over model variables. ``upper`` (traced) bounds candidates to
-    [0, upper]; ``max_candidates`` is the static buffer size (≥ upper+1).
+    """Build the one-jit fused BO runner; reuse it across images so the
+    (expensive, ~minutes) compile happens once per static config.
+
+    ``apply_fn(variables, images[B,H,W,C]) -> logits[B,K]``. The returned
+    ``run(variables, image, segments, width, target, upper, key)`` treats
+    everything except the buffer sizes as traced values — images with any
+    segment count ≤ ``max_candidates`` share the executable (padded
+    candidates are masked via ``upper``).
 
     ``proposals_per_iter`` (q) > 1 enables q-batched BO — a TPU-first
     extension of the reference's one-sample-per-iteration loop: the top-q EI
     candidates are dedup-resolved sequentially but EVALUATED in one batched
     forward, so each GP refit buys q observations at ~the cost of one.
 
-    Returns (xs, ys, survived, count): fixed-size arrays with `count` valid
-    leading entries, in evaluation order.
+    ``run`` returns (xs, ys, survived, count): fixed-size arrays with
+    ``count`` valid leading entries, in evaluation order.
     """
-    if key is None:
-        key = jax.random.PRNGKey(0)
     q = int(proposals_per_iter)
     max_obs = n_pre_samples + n_iters * q
     ls_grid = jnp.asarray(lengthscale_grid, jnp.float32)
     cand = jnp.arange(max_candidates, dtype=jnp.float32)
-    cand_ok = cand <= upper
-
-    def eval_starts(firsts: Array) -> Tuple[Array, Array]:
-        """Evaluate a batch of window starts in ONE forward."""
-        masks = masking.window_masks(segments, firsts.astype(jnp.int32), width)
-        imgs = image[None] * masks[:, :, :, None].astype(image.dtype)
-        logits = logits_fn(imgs).astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)[:, target]
-        return probs, jnp.argmax(logits, axis=-1) == target
-
-    def masked_norm(ys, valid):
-        cnt = jnp.maximum(jnp.sum(valid), 1.0)
-        mean = jnp.sum(ys * valid) / cnt
-        var = jnp.sum(valid * (ys - mean) ** 2) / cnt
-        std = jnp.sqrt(jnp.maximum(var, 1e-12))
-        std = jnp.where(std > 0, std, 1.0)
-        return mean, std
-
-    def fit_and_propose(state: _FusedState) -> Array:
-        valid = (jnp.arange(max_obs) < state.count).astype(jnp.float32)
-        mean, std = masked_norm(state.ys, valid)
-        yn = (state.ys - mean) / std * valid
-        # Padded slots: huge noise → zero posterior influence.
-        noise_vec = jnp.where(valid > 0, alpha, 1e10)
-
-        def mll(ls):
-            p = exact.GPParams(ls, jnp.asarray(1.0), noise_vec)
-            return exact.log_marginal_likelihood(
-                p, state.xs[:, None], yn, normalize_y=False
-            )
-
-        mlls = jax.vmap(mll)(ls_grid)
-        params = exact.GPParams(
-            ls_grid[jnp.nanargmax(mlls)], jnp.asarray(1.0), noise_vec
-        )
-        fit = exact.fit(params, state.xs[:, None], yn, normalize_y=False)
-        mu, sigma = exact.predict(fit, cand[:, None])
-        y_obs_masked = jnp.where(valid > 0, yn, -jnp.inf)  # max over valid only
-        ei = expected_improvement(mu, sigma, y_obs_masked, greater_is_better=True)
-        ei = jnp.where(cand_ok, ei, -jnp.inf)
-        _, top_idx = jax.lax.top_k(ei, q)
-        return top_idx.astype(jnp.float32)  # [q] best candidates by EI
-
-    def record_batch(state: _FusedState, xs_new: Array) -> _FusedState:
-        """Evaluate a batch of starts (one forward) and append all."""
-        probs, survs = eval_starts(xs_new)
-
-        def put(j, st):
-            i = st.count
-            return _FusedState(
-                st.xs.at[i].set(xs_new[j]),
-                st.ys.at[i].set(probs[j]),
-                st.survived.at[i].set(survs[j]),
-                st.count + 1,
-                st.key,
-            )
-
-        return jax.lax.fori_loop(0, xs_new.shape[0], put, state)
 
     @jax.jit
-    def run(key):
+    def run(variables, image, segments, width, target, upper, key):
+        cand_ok = cand <= upper
+
+        def eval_starts(firsts: Array) -> Tuple[Array, Array]:
+            """Evaluate a batch of window starts in ONE forward."""
+            masks = masking.window_masks(segments, firsts.astype(jnp.int32), width)
+            imgs = image[None] * masks[:, :, :, None].astype(image.dtype)
+            logits = apply_fn(variables, imgs).astype(jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1)[:, target]
+            return probs, jnp.argmax(logits, axis=-1) == target
+
+        def masked_norm(ys, valid):
+            cnt = jnp.maximum(jnp.sum(valid), 1.0)
+            mean = jnp.sum(ys * valid) / cnt
+            var = jnp.sum(valid * (ys - mean) ** 2) / cnt
+            std = jnp.sqrt(jnp.maximum(var, 1e-12))
+            std = jnp.where(std > 0, std, 1.0)
+            return mean, std
+
+        def fit_and_propose(state: _FusedState) -> Array:
+            valid = (jnp.arange(max_obs) < state.count).astype(jnp.float32)
+            mean, std = masked_norm(state.ys, valid)
+            yn = (state.ys - mean) / std * valid
+            # Padded slots: huge noise → zero posterior influence.
+            noise_vec = jnp.where(valid > 0, alpha, 1e10)
+
+            def mll(ls):
+                p = exact.GPParams(ls, jnp.asarray(1.0), noise_vec)
+                return exact.log_marginal_likelihood(
+                    p, state.xs[:, None], yn, normalize_y=False
+                )
+
+            mlls = jax.vmap(mll)(ls_grid)
+            params = exact.GPParams(
+                ls_grid[jnp.nanargmax(mlls)], jnp.asarray(1.0), noise_vec
+            )
+            fit = exact.fit(params, state.xs[:, None], yn, normalize_y=False)
+            mu, sigma = exact.predict(fit, cand[:, None])
+            y_obs_masked = jnp.where(valid > 0, yn, -jnp.inf)  # max over valid
+            ei = expected_improvement(
+                mu, sigma, y_obs_masked, greater_is_better=True
+            )
+            ei = jnp.where(cand_ok, ei, -jnp.inf)
+            _, top_idx = jax.lax.top_k(ei, q)
+            return top_idx.astype(jnp.float32)  # [q] best candidates by EI
+
+        def record_batch(state: _FusedState, xs_new: Array) -> _FusedState:
+            """Evaluate a batch of starts (one forward) and append all."""
+            probs, survs = eval_starts(xs_new)
+
+            def put(j, st):
+                i = st.count
+                return _FusedState(
+                    st.xs.at[i].set(xs_new[j]),
+                    st.ys.at[i].set(probs[j]),
+                    st.survived.at[i].set(survs[j]),
+                    st.count + 1,
+                    st.key,
+                )
+
+            return jax.lax.fori_loop(0, xs_new.shape[0], put, state)
+
         key, sub = jax.random.split(key)
         pre = jax.random.randint(
             sub, (n_pre_samples,), 0, upper.astype(jnp.int32) + 1
@@ -248,4 +254,41 @@ def fused_window_bo(
         state = jax.lax.fori_loop(0, n_iters, bo_body, state)
         return state.xs, state.ys, state.survived, state.count
 
-    return run(key)
+    return run
+
+
+def fused_window_bo(
+    logits_fn: Callable[[Array], Array],
+    image: Array,
+    segments: Array,
+    width: Array,
+    target: Array,
+    upper: Array,
+    max_candidates: int,
+    n_pre_samples: int = 3,
+    n_iters: int = 10,
+    key: Optional[Array] = None,
+    alpha: float = 1e-5,
+    epsilon: float = 1e-7,
+    lengthscale_grid=(0.5, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0),
+    proposals_per_iter: int = 1,
+):
+    """One-shot convenience wrapper around :func:`make_fused_window_bo`.
+
+    ``logits_fn(images) -> logits`` closes over model variables. Compiles
+    fresh on every call — callers in a loop over images should build the
+    runner once via :func:`make_fused_window_bo` (the BO pipeline does).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    run = make_fused_window_bo(
+        lambda _, imgs: logits_fn(imgs),
+        max_candidates,
+        n_pre_samples=n_pre_samples,
+        n_iters=n_iters,
+        alpha=alpha,
+        epsilon=epsilon,
+        lengthscale_grid=lengthscale_grid,
+        proposals_per_iter=proposals_per_iter,
+    )
+    return run(None, image, segments, width, target, upper, key)

@@ -20,15 +20,53 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import weakref
+
 from network_interpretation_imagenet_tpu.bo.loop import (
     BOResult,
     bayesian_optimize,
-    fused_window_bo,
+    make_fused_window_bo,
+    next_pow2,
 )
 from network_interpretation_imagenet_tpu.config import BOConfig
 from network_interpretation_imagenet_tpu.ops import aggregate
 from network_interpretation_imagenet_tpu.saliency.engine import SaliencyEngine
 from network_interpretation_imagenet_tpu.saliency.pipeline import SaliencyOutput
+
+
+# Fused-BO runners, cached per engine instance then per static config.
+# max_candidates is bucketed to powers of two (next_pow2), so a sweep over
+# images with varying segment counts compiles O(log S) times, not O(images)
+# — the fused loop costs ~minutes per compile (docs/PERFORMANCE.md).
+_FUSED_RUNNERS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def fused_runner(
+    engine: SaliencyEngine, max_candidates: int, cfg: BOConfig, q: int
+):
+    """Compile-once fused-BO runner for this engine + static config."""
+    per_engine = _FUSED_RUNNERS.setdefault(engine, {})
+    key = (
+        max_candidates, cfg.n_pre_samples, cfg.n_iters, cfg.alpha,
+        cfg.epsilon, tuple(cfg.lengthscale_grid), q,
+    )
+    if key not in per_engine:
+        bundle, dtype = engine.bundle, engine.compute_dtype
+
+        def apply_fn(variables, imgs):
+            return bundle.logits(variables, imgs.astype(dtype))
+
+        per_engine[key] = make_fused_window_bo(
+            apply_fn,
+            max_candidates,
+            n_pre_samples=cfg.n_pre_samples,
+            n_iters=cfg.n_iters,
+            alpha=cfg.alpha,
+            epsilon=cfg.epsilon,
+            lengthscale_grid=cfg.lengthscale_grid,
+            proposals_per_iter=q,
+        )
+    return per_engine[key]
 
 
 def bo_window_saliency(
@@ -55,28 +93,17 @@ def bo_window_saliency(
         target, _ = engine.predict_one(image)
 
     if fused:
-        variables = engine.variables
-        bundle = engine.bundle
-        dtype = engine.compute_dtype
-
-        def logits_fn(imgs):
-            return bundle.logits(variables, imgs.astype(dtype))
-
-        xs, ys, survived, count = fused_window_bo(
-            logits_fn,
+        run = fused_runner(
+            engine, next_pow2(upper + 1), cfg, proposals_per_iter
+        )
+        xs, ys, survived, count = run(
+            engine.variables,
             jnp.asarray(image),
             jnp.asarray(segments),
             jnp.int32(width),
             jnp.int32(target),
             jnp.int32(upper),
-            max_candidates=max(upper + 1, 8),
-            n_pre_samples=cfg.n_pre_samples,
-            n_iters=cfg.n_iters,
-            key=jax.random.PRNGKey(seed),
-            alpha=cfg.alpha,
-            epsilon=cfg.epsilon,
-            lengthscale_grid=cfg.lengthscale_grid,
-            proposals_per_iter=proposals_per_iter,
+            jax.random.PRNGKey(seed),
         )
         n = int(count)
         bo_res = BOResult(
