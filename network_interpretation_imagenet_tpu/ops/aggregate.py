@@ -67,6 +67,24 @@ def summed_superpixel_labels(
     return per_segment[segments]
 
 
+def summed_superpixel_labels_np(segments, firsts, width, labels):
+    """Host (numpy) twin of :func:`summed_superpixel_labels` — the sweep's
+    collect path uses it so heatmap aggregation never enqueues device work
+    behind the next image's mask batch. O(K·S + H·W)."""
+    import numpy as np
+
+    segments = np.asarray(segments, np.int64)
+    firsts = np.asarray(firsts, np.int64)
+    labels = np.asarray(labels, np.float32)
+    s = int(segments.max()) + 1
+    seg_ids = np.arange(s)
+    in_window = (seg_ids[None, :] >= firsts[:, None]) & (
+        seg_ids[None, :] < (firsts + int(width))[:, None]
+    )
+    per_segment = in_window.astype(np.float32).T @ labels
+    return per_segment[segments]
+
+
 def normalize_to_uint8(x: Array) -> Array:
     """Min-max scale to [0, 255] uint8 (reference ``img_show`` idiom,
     e.g. ``bayesian_active_learning_imagenet.py:140-143``)."""

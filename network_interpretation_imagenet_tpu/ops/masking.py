@@ -122,6 +122,24 @@ def sample_window_starts(
     return jax.random.randint(key, (num,), 1, hi + 1, dtype=jnp.int32)
 
 
+def sample_window_starts_host(
+    seed: int, num: int, total_segments: int, width: int
+):
+    """Host-side (numpy) twin of :func:`sample_window_starts`.
+
+    Same distribution — Python-randint-inclusive uniform over
+    ``[1, S - width]`` (``generate_gp_training_data_imagenet.py:227``) — but
+    sampled on the host so the sweep's dispatch path never blocks on a
+    device round-trip. Different PRNG stream than the jax version; the sweep
+    uses this one everywhere so its code paths stay comparable.
+    """
+    import numpy as np
+
+    hi = max(int(total_segments) - int(width), 1)
+    rng = np.random.RandomState(seed)
+    return rng.randint(1, hi + 1, size=num).astype(np.int32)
+
+
 def sample_knockout_ids(
     key: Array, num: int, m: int, total_segments: Array
 ) -> Array:

@@ -121,34 +121,32 @@ class SaliencyEngine:
         self._eval_bank = _eval_bank
 
         @jax.jit
-        def _eval_window_multi(variables, images, segments, firsts, widths, targets):
-            """N images × K masks in ONE forward: [N,K] outcomes.
+        def _eval_window_flat(variables, images, segments, pairs, widths, targets):
+            """Flat (image_idx, first) pairs → one batched forward.
 
-            Flattens the (image, mask) grid into a single N·K batch so small
-            per-image mask counts (e.g. the reference's 100/image) still fill
-            the MXU — the val-set-sweep throughput path.
+            The N×K image/mask grid is flattened on the host and fed through
+            the same `mask_batch` pow-2 chunking as the single-image path, so
+            small per-image mask counts (the reference's 100/image) still
+            fill the MXU while large sweeps stay at bounded memory — the
+            val-set-sweep throughput path.
             """
-            n, k = firsts.shape
-            seg = segments[:, None, :, :]                     # [N,1,H,W]
-            lo = firsts[:, :, None, None]                     # [N,K,1,1]
-            hi = lo + widths[:, None, None, None]
-            masks = (seg >= lo) & (seg < hi)                  # [N,K,H,W]
+            img_idx = pairs[:, 0]
+            firsts = pairs[:, 1]
+            seg = segments[img_idx]                            # [B,H,W]
+            lo = firsts[:, None, None]
+            hi = lo + widths[img_idx][:, None, None]
+            masks = (seg >= lo) & (seg < hi)                   # [B,H,W]
             imgs = (
-                images[:, None] * masks[..., None].astype(images.dtype)
+                images[img_idx] * masks[..., None].astype(images.dtype)
             ).astype(compute_dtype)
-            flat = imgs.reshape((n * k,) + imgs.shape[2:])
-            logits = apply_fn(variables, flat).astype(jnp.float32)
-            probs = jax.nn.softmax(logits, axis=-1).reshape(n, k, -1)
-            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(n, k)
-            p_t = jnp.take_along_axis(probs, targets[:, None, None], axis=2)[..., 0]
-            return (
-                preds == targets[:, None],
-                preds,
-                p_t,
-                jnp.max(probs, axis=-1),
-            )
+            logits = apply_fn(variables, imgs).astype(jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1)
+            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            t = targets[img_idx]
+            p_t = jnp.take_along_axis(probs, t[:, None], axis=1)[:, 0]
+            return preds == t, preds, p_t, jnp.max(probs, axis=-1)
 
-        self._eval_window_multi = _eval_window_multi
+        self._eval_window_flat = _eval_window_flat
 
     def _chunk_sizes(self, k: int):
         """Cover k masks with as few forwards as possible: full `mask_batch`
@@ -172,14 +170,13 @@ class SaliencyEngine:
                 k = 0
         return sizes
 
-    def _run_chunked(self, fn, lead: np.ndarray, pad_value, args_before, args_after):
-        """Host loop over bucketed chunks of the leading array; concatenates
-        the 4-tuple outcome arrays."""
+    def _dispatch_chunked(self, fn, lead: np.ndarray, pad_value, args_before,
+                          args_after):
+        """Enqueue bucketed chunks of the leading array on the device WITHOUT
+        fetching — returns an opaque handle for :meth:`_collect_chunked`.
+        JAX dispatch is async, so the host is free to do other work (e.g.
+        segment the next image) while the device churns."""
         k = lead.shape[0]
-        if k == 0:
-            z = np.zeros(0)
-            return (z.astype(bool), z.astype(np.int32), z.astype(np.float32),
-                    z.astype(np.float32))
         outs = []
         off = 0
         for size in self._chunk_sizes(k):
@@ -190,11 +187,26 @@ class SaliencyEngine:
                               chunk.dtype)
                 chunk = np.concatenate([chunk, pad])
             outs.append(fn(*args_before, jnp.asarray(chunk), *args_after))
+        return outs, k
+
+    def _collect_chunked(self, handle):
+        """Block on a :meth:`_dispatch_chunked` handle; concatenates the
+        4-tuple outcome arrays."""
+        outs, k = handle
+        if k == 0:
+            z = np.zeros(0)
+            return (z.astype(bool), z.astype(np.int32), z.astype(np.float32),
+                    z.astype(np.float32))
         # ONE batched device→host fetch: per-array np.asarray readbacks pay a
         # tunnel round-trip each (~15ms on axon) — device_get amortizes them.
         outs = jax.device_get(outs)
         return tuple(
             np.concatenate([np.asarray(o[i]) for o in outs])[:k] for i in range(4)
+        )
+
+    def _run_chunked(self, fn, lead: np.ndarray, pad_value, args_before, args_after):
+        return self._collect_chunked(
+            self._dispatch_chunked(fn, lead, pad_value, args_before, args_after)
         )
 
     # -- public API ---------------------------------------------------------
@@ -213,14 +225,27 @@ class SaliencyEngine:
         """Evaluate K contiguous-window masks (reference window semantics,
         ``bayesian_active_learning_imagenet.py:178-185``) in ceil(K/B) batched
         forwards."""
-        outs = self._run_chunked(
+        return self.collect(
+            self.eval_window_masks_async(image, segments, firsts, width, target)
+        )
+
+    def eval_window_masks_async(
+        self, image: Array, segments: Array, firsts: np.ndarray, width: int, target: int
+    ):
+        """Enqueue K window-mask evaluations; returns a handle for
+        :meth:`collect`. The host stays free while the device computes —
+        the sweep segments image i+1 during image i's forwards."""
+        return self._dispatch_chunked(
             self._eval_window,
             np.asarray(firsts, np.int32),
             0,
             (self.variables, jnp.asarray(image), jnp.asarray(segments)),
             (jnp.int32(width), jnp.int32(target)),
         )
-        return self._wrap(outs)
+
+    def collect(self, handle) -> MaskEvalResult:
+        """Block on an ``*_async`` handle and wrap the outcomes."""
+        return self._wrap(self._collect_chunked(handle))
 
     def eval_knockout_masks(
         self, image: Array, segments: Array, knock_ids: np.ndarray, target: int
@@ -239,31 +264,53 @@ class SaliencyEngine:
     def eval_window_masks_multi(
         self, images, segments, firsts, widths, targets
     ):
-        """Evaluate K window masks for each of N images in one forward.
+        """Evaluate K window masks for each of N images, `mask_batch` at a
+        time (the N·K grid flattens into the same pow-2-bucketed chunks as
+        the single-image path, so memory stays bounded and the compile cache
+        sees a handful of shapes regardless of (N, K)).
 
         Args: images [N,H,W,C] f32, segments [N,H,W] int32, firsts [N,K]
         int32, widths [N] int32, targets [N] int32.
         Returns a list of N MaskEvalResult.
         """
-        outs = jax.device_get(
-            self._eval_window_multi(
-                self.variables,
-                jnp.asarray(np.asarray(images, np.float32)),
-                jnp.asarray(np.asarray(segments, np.int32)),
-                jnp.asarray(np.asarray(firsts, np.int32)),
-                jnp.asarray(np.asarray(widths, np.int32)),
-                jnp.asarray(np.asarray(targets, np.int32)),
+        images = np.asarray(images, np.float32)
+        segments = np.asarray(segments, np.int32)
+        firsts = np.asarray(firsts, np.int32)
+        widths = np.asarray(widths, np.int32)
+        targets = np.asarray(targets, np.int32)
+        n, k = firsts.shape
+
+        # Bucket the image axis to powers of two (zero-padded) so sweep tail
+        # batches don't each compile a new executable.
+        n_pad = 1
+        while n_pad < n:
+            n_pad *= 2
+        if n_pad > n:
+            zpad = lambda a: np.concatenate(
+                [a, np.zeros((n_pad - n,) + a.shape[1:], a.dtype)]
             )
+            images, segments = zpad(images), zpad(segments)
+            widths, targets = zpad(widths), zpad(targets)
+
+        pairs = np.stack(
+            [np.repeat(np.arange(n, dtype=np.int32), k), firsts.reshape(-1)],
+            axis=1,
         )
-        survived, preds, p_t, p_m = (np.asarray(o) for o in outs)
+        survived, preds, p_t, p_m = self._run_chunked(
+            self._eval_window_flat,
+            pairs,
+            0,
+            (self.variables, jnp.asarray(images), jnp.asarray(segments)),
+            (jnp.asarray(widths), jnp.asarray(targets)),
+        )
         return [
             MaskEvalResult(
-                survived=survived[i].astype(bool),
-                preds=preds[i].astype(np.int32),
-                prob_target=p_t[i].astype(np.float32),
-                prob_max=p_m[i].astype(np.float32),
+                survived=survived[i * k : (i + 1) * k].astype(bool),
+                preds=preds[i * k : (i + 1) * k].astype(np.int32),
+                prob_target=p_t[i * k : (i + 1) * k].astype(np.float32),
+                prob_max=p_m[i * k : (i + 1) * k].astype(np.float32),
             )
-            for i in range(len(survived))
+            for i in range(n)
         ]
 
     def eval_mask_bank(

@@ -6,8 +6,10 @@ heatmap → IOU) runs through the batched engine; the *image axis* parallelizes
 two ways:
 
   * single-host: images stream through one engine whose mask batches already
-    saturate the chip (host segments image i+1 while the device evaluates
-    image i's masks);
+    saturate the chip, in a one-deep pipeline — image i's masked forwards are
+    *dispatched* (JAX async) and their outcomes fetched only after image
+    i+1's host-side segmentation finishes, so the chip and the host CPU
+    overlap instead of alternating;
   * multi-device: the mask batch of each image shards over the mesh's data
     axis (`parallel.sharded_engine`), and metric reductions ride ``psum``.
 
@@ -29,12 +31,10 @@ from network_interpretation_imagenet_tpu.config import SegmentConfig
 from network_interpretation_imagenet_tpu.saliency.engine import SaliencyEngine
 from network_interpretation_imagenet_tpu.saliency.pipeline import (
     localization_score,
-    random_window_saliency,
 )
 from network_interpretation_imagenet_tpu.segment import segment_image
 from network_interpretation_imagenet_tpu.utils.logging import PhaseLogger
 from network_interpretation_imagenet_tpu.utils.meters import AverageMeter
-from network_interpretation_imagenet_tpu.ops import preprocess
 
 
 @dataclasses.dataclass
@@ -52,11 +52,9 @@ class SweepResult:
 
 def _sharded_window_saliency(
     engine: SaliencyEngine, mesh, image, segments, num_samples: int,
-    window_fraction: float, seed: int, target: int,
+    window_fraction: float, seed: int, target: int, firsts=None,
 ):
     """Mask-parallel variant of random_window_saliency over a device mesh."""
-    import jax
-
     from network_interpretation_imagenet_tpu.ops import aggregate, masking
     from network_interpretation_imagenet_tpu.parallel import sharded_window_eval
     from network_interpretation_imagenet_tpu.saliency.engine import MaskEvalResult
@@ -65,10 +63,9 @@ def _sharded_window_saliency(
     segments = np.asarray(segments, np.int32)
     s = int(segments.max()) + 1
     width = int(window_fraction * s)
-    key = jax.random.PRNGKey(seed)
-    firsts = np.asarray(
-        masking.sample_window_starts(key, num_samples, jnp.int32(s), jnp.int32(width))
-    )
+    if firsts is None:
+        firsts = masking.sample_window_starts_host(seed, num_samples, s, width)
+    firsts = np.asarray(firsts, np.int32)
     survived, probs, _ = sharded_window_eval(
         mesh, engine.bundle.logits, engine.variables, image, segments,
         firsts, width, target, compute_dtype=engine.compute_dtype,
@@ -113,7 +110,7 @@ def saliency_sweep(
     mask banks evaluate in ONE forward (``eval_window_masks_multi``) so small
     per-image K still fills the chip.
     """
-    import jax
+    import collections
 
     from network_interpretation_imagenet_tpu.ops import aggregate, masking
 
@@ -155,6 +152,36 @@ def saliency_sweep(
 
     gt_by_index = {}
     pending = []  # (i, image, seg, s, width, firsts, target, t0)
+    inflight = collections.deque()  # streaming path: dispatched, unfetched
+
+    def collect_one():
+        """Fetch the oldest in-flight image's outcomes and finalize it.
+        The skip-misclassified decision is deferred to here — the dispatch
+        path never blocks on the prediction fetch, so the device queue
+        never drains (a misclassified image wastes one mask batch; the
+        reference aborts the whole run instead,
+        ``bayesian_active_learning_imagenet.py:221``)."""
+        if not inflight:
+            return
+        fl = inflight.popleft()
+        try:
+            r = engine.collect(fl["handle"])
+            pred = int(np.asarray(fl["logits"])[0].argmax())
+            label = fl["label"]
+            if label is not None and pred != int(label):
+                res.images_skipped_misclassified += 1
+                log.emit({"event": "skip_misclassified", "index": fl["i"],
+                          "pred": pred, "label": int(label)})
+                return
+            heat = aggregate.summed_superpixel_labels_np(
+                fl["seg"], fl["firsts"], fl["width"], r.survived
+            )
+            finish_image(fl["i"], pred, fl["seg"], fl["s"], heat,
+                         r.survived, fl["t0"])
+        except Exception as e:
+            res.images_failed += 1
+            log.emit({"event": "image_failed", "index": fl["i"],
+                      "error": repr(e)})
 
     def flush_pending():
         """Evaluate the pending image batch; a failure marks ALL pending
@@ -183,6 +210,10 @@ def saliency_sweep(
             log.emit({"event": "batch_failed", "indices": [b[0] for b in batch],
                       "error": repr(e)})
 
+    streaming = image_batch <= 1 and (
+        mesh is None or np.prod(list(mesh.shape.values())) <= 1
+    )
+
     for i, item in enumerate(dataset):
         if max_images is not None and i >= max_images:
             break
@@ -191,6 +222,44 @@ def saliency_sweep(
         res.images_total += 1
         t0 = time.perf_counter()
         try:
+            # Host segmentation runs FIRST so it overlaps the device
+            # evaluating the in-flight image's masks (streaming path). The
+            # display conversion is pure numpy for the same reason — a device
+            # round-trip here would serialize the pipeline.
+            disp = np.asarray(image, np.float32)
+            disp = disp - disp.min()
+            disp = disp / max(float(disp.max()), np.finfo(np.float32).tiny)
+            disp = (disp * 255.0).astype(np.uint8)
+            if disp.ndim == 3 and disp.shape[2] == 1:
+                disp = disp[:, :, 0]
+            with log.phase("segment", index=i):
+                seg = np.asarray(segment_image(disp, seg_cfg), np.int32)
+            s = int(seg.max()) + 1
+
+            width = int(window_fraction * s)
+            firsts = masking.sample_window_starts_host(
+                seed + i, num_mask_samples, s, width
+            )
+            if streaming:
+                # Dispatch everything — unmasked forward, argmax (stays a
+                # device scalar so the mask batch needn't wait for a fetch),
+                # masked forwards — and collect one image behind, so the
+                # device queue never drains while the host segments ahead.
+                logits_dev = engine._predict(
+                    engine.variables, jnp.asarray(np.asarray(image))[None]
+                )
+                target_dev = jnp.argmax(logits_dev[0]).astype(jnp.int32)
+                handle = engine.eval_window_masks_async(
+                    image, seg, firsts, width, target_dev
+                )
+                inflight.append(
+                    {"i": i, "label": label, "logits": logits_dev,
+                     "seg": seg, "s": s, "width": width, "firsts": firsts,
+                     "handle": handle, "t0": t0}
+                )
+                while len(inflight) > 1:
+                    collect_one()
+                continue
             pred, _ = engine.predict_one(image)
             if label is not None and pred != int(label):
                 res.images_skipped_misclassified += 1
@@ -198,43 +267,25 @@ def saliency_sweep(
                           "pred": int(pred), "label": int(label)})
                 continue
             target = int(label) if label is not None else pred
-            disp = np.asarray(preprocess.to_display_uint8(jnp.asarray(image)))
-            if disp.ndim == 3 and disp.shape[2] == 1:
-                disp = disp[:, :, 0]
-            with log.phase("segment", index=i):
-                seg = np.asarray(segment_image(disp, seg_cfg), np.int32)
-            s = int(seg.max()) + 1
             if image_batch > 1:
-                width = int(window_fraction * s)
-                key = jax.random.PRNGKey(seed + i)
-                firsts = np.asarray(
-                    masking.sample_window_starts(
-                        key, num_mask_samples, jnp.int32(s), jnp.int32(width)
-                    )
-                )
                 pending.append((i, np.asarray(image), seg, s, width, firsts,
                                 target, t0))
                 if len(pending) >= image_batch:
                     flush_pending()
-                continue
-            with log.phase("masked_forwards", index=i, k=num_mask_samples):
-                if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+            else:
+                with log.phase("masked_forwards", index=i, k=num_mask_samples):
                     out = _sharded_window_saliency(
                         engine, mesh, image, seg, num_mask_samples,
-                        window_fraction, seed + i, target,
+                        window_fraction, seed + i, target, firsts,
                     )
-                else:
-                    out = random_window_saliency(
-                        engine, image, seg, num_samples=num_mask_samples,
-                        window_fraction=window_fraction, seed=seed + i,
-                        target=target,
-                    )
-            finish_image(i, target, seg, out.num_segments, out.heatmap,
-                         out.eval.survived, t0)
+                finish_image(i, target, seg, out.num_segments, out.heatmap,
+                             out.eval.survived, t0)
         except Exception as e:  # per-image failure isolation
             res.images_failed += 1
             log.emit({"event": "image_failed", "index": i, "error": repr(e)})
 
+    while inflight:
+        collect_one()
     flush_pending()
     wall = time.perf_counter() - t_start
     res.mean_iou = iou_m.avg

@@ -111,3 +111,35 @@ def test_window_masks_jit_with_traced_width(rng):
 
     out = build(jnp.array([2, 5]), jnp.int32(4))
     assert out.shape == (2, 12, 12)
+
+
+def test_host_sampler_matches_device_distribution_bounds():
+    from network_interpretation_imagenet_tpu.ops.masking import (
+        sample_window_starts_host,
+    )
+
+    firsts = sample_window_starts_host(0, 1000, 20, 8)
+    assert firsts.min() >= 1 and firsts.max() <= 12  # [1, S-width] inclusive
+    assert firsts.dtype == np.int32
+    # Tiny S guard: never empty range.
+    tiny = sample_window_starts_host(0, 10, 2, 5)
+    assert set(tiny.tolist()) == {1}
+
+
+def test_summed_superpixel_labels_np_matches_device():
+    import jax.numpy as jnp
+
+    from network_interpretation_imagenet_tpu.ops import aggregate
+
+    rng = np.random.RandomState(3)
+    seg = (np.arange(64).reshape(8, 8) % 7).astype(np.int32)
+    firsts = rng.randint(0, 5, 12).astype(np.int32)
+    labels = (rng.rand(12) > 0.5).astype(np.float32)
+    host = aggregate.summed_superpixel_labels_np(seg, firsts, 3, labels)
+    dev = np.asarray(
+        aggregate.summed_superpixel_labels(
+            jnp.asarray(seg), jnp.asarray(firsts), jnp.int32(3),
+            jnp.asarray(labels),
+        )
+    )
+    np.testing.assert_allclose(host, dev)

@@ -159,3 +159,36 @@ def test_engine_empty_mask_bank(mnist_engine, digit_setup):
     out = mnist_engine.eval_mask_bank(img, np.zeros((0, 28, 28), bool), target)
     assert out.survived.shape == (0,)
     assert out.prob_target.shape == (0,)
+
+
+def test_multi_image_eval_chunks_and_pads(mnist_engine, digit_setup):
+    """N·K larger than mask_batch (16) must chunk, and odd N must pad to the
+    pow-2 image bucket — results identical to the streaming per-image path
+    (VERDICT r1 weak #3: the multi path formerly ignored mask_batch)."""
+    img, seg, target = digit_setup
+    rng2 = np.random.RandomState(11)
+    imgs, segs, targets = [], [], []
+    for i in range(3):  # N=3 → pads to 4
+        im = rng2.rand(28, 28, 1).astype(np.float32)
+        sg = (np.arange(784).reshape(28, 28) % (5 + i)).astype(np.int32)
+        imgs.append(im)
+        segs.append(sg)
+        targets.append(mnist_engine.predict_one(im)[0])
+    k = 20  # N*K = 60 > mask_batch=16 → 4 chunks
+    firsts = np.stack([rng2.randint(0, 5, k) for _ in range(3)]).astype(np.int32)
+    widths = np.asarray([2, 3, 2], np.int32)
+
+    multi = mnist_engine.eval_window_masks_multi(
+        np.stack(imgs), np.stack(segs), firsts, widths, np.asarray(targets)
+    )
+    assert len(multi) == 3
+    for i in range(3):
+        single = mnist_engine.eval_window_masks(
+            imgs[i], segs[i], firsts[i], int(widths[i]), targets[i]
+        )
+        np.testing.assert_array_equal(multi[i].survived, single.survived)
+        np.testing.assert_array_equal(multi[i].preds, single.preds)
+        np.testing.assert_allclose(
+            multi[i].prob_target, single.prob_target, atol=1e-5
+        )
+        np.testing.assert_allclose(multi[i].prob_max, single.prob_max, atol=1e-5)
