@@ -23,9 +23,16 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
 
-MASK_BATCH = 1024  # flat mega-batches beat scan-of-128 (7.0k vs 4.5k evals/s)
-MEASURE_MASKS = 1024
+MASK_BATCH = 2048  # measured optimum (docs/PERFORMANCE.md ladder: 7.05k
+MEASURE_MASKS = 2048  # evals/s at 2048 vs 6.46k at 1024 on v5e)
 SALIENCY_MASKS = 100  # reference --num_mask_samples for ImageNet
+SWEEP_IMAGES = 20
+
+# MFU model: ResNet-101 @ 224² forward ≈ 7.83 GMACs = 15.66 GFLOPs/image
+# (conv+fc, batch-1; torchvision-reported 7.8 GMACs). v5e bf16 peak =
+# 197 TFLOP/s/chip.
+RESNET101_FLOPS = 15.66e9
+V5E_PEAK_FLOPS = 197e12
 
 
 def log(*a):
@@ -172,12 +179,57 @@ def tpu_rate_and_latency():
         lats.append(time.perf_counter() - t0)
     p50 = float(np.median(lats))
     log(f"saliency p50 latency: {p50*1000:.0f} ms (runs: {[f'{x:.3f}' for x in lats]})")
-    return rate, p50
+
+    # --- pipelined val-sweep throughput ---------------------------------
+    # 20 images through the depth-2 dispatch/collect pipeline (host
+    # segmentation overlaps device forwards); reuses the B=2048 executable.
+    from network_interpretation_imagenet_tpu.config import SegmentConfig
+    from network_interpretation_imagenet_tpu.saliency.sweep import saliency_sweep
+
+    def sweep_dataset(n, seed0):
+        r = np.random.RandomState(seed0)
+        yy, xx = np.meshgrid(np.arange(224), np.arange(224), indexing="ij")
+        for i in range(n):
+            img = (0.3 + 0.4 * np.sin(yy / 9.0 + i)[..., None]
+                   * np.cos(xx / 13.0)[..., None]
+                   + 0.15 * r.rand(224, 224, 3)).astype(np.float32)
+            yield np.clip(img, 0, 1), None, None
+
+    seg_cfg = SegmentConfig(method="felzenszwalb", scale=100.0, sigma=0.5,
+                            min_size=50)
+    saliency_sweep(engine, sweep_dataset(2, 7), seg_cfg,
+                   num_mask_samples=MASK_BATCH, seed=0)  # warm
+    sweep_res = saliency_sweep(engine, sweep_dataset(SWEEP_IMAGES, 11),
+                               seg_cfg, num_mask_samples=MASK_BATCH, seed=1)
+    log(f"sweep: {SWEEP_IMAGES} images -> {sweep_res.evals_per_sec:.0f} evals/s")
+
+    # --- fused-BO p50 latency (flagship reference path) ------------------
+    # 10 images with varying segment counts; pow-2 candidate buckets mean
+    # ONE compile, then sub-second active-learning loops.
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.saliency import bo_pipeline
+
+    bo_cfg = BOConfig()  # reference budget: 3 pre + 10 iters
+    bo_lats = []
+    for i in range(10):
+        r = np.random.RandomState(300 + i)
+        img = r.rand(224, 224, 3).astype(np.float32)
+        n_seg = 40 + 2 * i  # varying S, same pow-2 bucket
+        seg = np.asarray(
+            slic_fn((img * 255).astype(np.uint8), n_segments=n_seg, num_iters=10)
+        )
+        t0 = time.perf_counter()
+        bo_pipeline.bo_window_saliency(engine, img, seg, bo_cfg, seed=i, target=1)
+        bo_lats.append(time.perf_counter() - t0)
+    bo_p50 = float(np.median(bo_lats[1:]))  # drop the compile run
+    log(f"fused-BO p50 latency: {bo_p50*1000:.0f} ms "
+        f"(first/compile: {bo_lats[0]:.1f}s)")
+    return rate, p50, sweep_res.evals_per_sec, bo_p50
 
 
 def main():
     cpu_rate = cpu_reference_rate()
-    rate, p50 = tpu_rate_and_latency()
+    rate, p50, sweep_rate, bo_p50 = tpu_rate_and_latency()
     print(
         json.dumps(
             {
@@ -188,6 +240,9 @@ def main():
                 "extra": {
                     "cpu_baseline_evals_per_sec": round(cpu_rate, 3),
                     "p50_saliency_latency_ms": round(p50 * 1000, 1),
+                    "sweep_evals_per_sec": round(sweep_rate, 1),
+                    "bo_p50_latency_ms": round(bo_p50 * 1000, 1),
+                    "mfu_pct": round(rate * RESNET101_FLOPS / V5E_PEAK_FLOPS * 100, 1),
                     "mask_batch": MASK_BATCH,
                     "dtype": "bfloat16",
                 },
