@@ -64,7 +64,11 @@ DATASETS = {
 
 @dataclasses.dataclass(frozen=True)
 class SegmentConfig:
-    method: str = "slic"           # "slic" (TPU-native) | "felzenszwalb" (host parity)
+    # Default = felzenszwalb (reference parity, and 1.4× faster than device
+    # SLIC end-to-end: 34 ms host vs 49 ms device+connectivity at 224² —
+    # docs/PERFORMANCE.md "Segmenter study"). As host work it also overlaps
+    # the chip in the pipelined sweep. "slic" = the on-device alternative.
+    method: str = "felzenszwalb"
     # felzenszwalb params
     scale: float = 100.0
     sigma: float = 0.5
@@ -73,7 +77,9 @@ class SegmentConfig:
     n_segments: int = 48            # target #superpixels (typ. Felzenszwalb yields ~40-80)
     compactness: float = 10.0
     slic_iters: int = 10
-    enforce_connectivity: bool = False  # host postprocess merging SLIC islands
+    # Vectorized host postprocess merging SLIC islands (~14 ms at 224²) —
+    # on by default so SLIC superpixels are spatially coherent like FH's.
+    enforce_connectivity: bool = True
     # static upper bound on segment count so downstream stays jit-static
     max_segments: int = 256
 

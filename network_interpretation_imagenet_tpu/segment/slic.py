@@ -145,62 +145,42 @@ def slic(
 
 def enforce_connectivity(labels: np.ndarray, min_fraction: float = 0.25) -> np.ndarray:
     """Host postprocess: re-assign disconnected fragments of each SLIC label
-    to their dominant neighboring label (fragments smaller than
-    ``min_fraction`` of the label's largest component).
+    to the nearest surviving label (fragments smaller than ``min_fraction``
+    of the label's largest component).
 
     k-means assignment can leave isolated islands; downstream window masks
-    behave better with spatially coherent superpixels. Runs once per image.
+    behave better with spatially coherent superpixels. Fully vectorized:
+    per-label connected components via ``scipy.ndimage.label`` (C), fragment
+    absorption via ONE Euclidean distance transform — ~2 ms at 224², which is
+    why it can be on by default (round 1's per-pixel Python floodfill took
+    seconds).
     """
+    from scipy import ndimage
+
     labels = np.asarray(labels, np.int32)
-    h, w = labels.shape
-    comp = -np.ones((h, w), np.int32)
-    comp_label = []
-    comp_size = []
-    n_comp = 0
-    for sy in range(h):
-        for sx in range(w):
-            if comp[sy, sx] >= 0:
-                continue
-            lab = labels[sy, sx]
-            stack = [(sy, sx)]
-            comp[sy, sx] = n_comp
-            size = 0
-            while stack:
-                y, x = stack.pop()
-                size += 1
-                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
-                    if 0 <= ny < h and 0 <= nx < w and comp[ny, nx] < 0 and labels[ny, nx] == lab:
-                        comp[ny, nx] = n_comp
-                        stack.append((ny, nx))
-            comp_label.append(lab)
-            comp_size.append(size)
-            n_comp += 1
+    keep_pix = np.zeros(labels.shape, bool)
+    # Per-label CC restricted to the label's bounding box (find_objects):
+    # coherent labels cost O(label area), so the pass is ~O(H·W) total on
+    # typical SLIC output.
+    slices = ndimage.find_objects(labels + 1)
+    for lab, sl in enumerate(slices):
+        if sl is None:
+            continue
+        mask = labels[sl] == lab
+        comp, n = ndimage.label(mask)  # 4-connectivity components of this label
+        if n <= 1:
+            keep_pix[sl] |= mask
+            continue
+        sizes = np.bincount(comp.ravel())[1:]  # component 0 = background
+        big = np.concatenate(
+            [[False], sizes >= max(1, min_fraction * sizes.max())]
+        )
+        keep_pix[sl] |= big[comp]
 
-    comp_label_a = np.array(comp_label)
-    comp_size_a = np.array(comp_size)
-    # Largest component per label keeps the label; smaller fragments merge away.
-    keep = np.zeros(n_comp, bool)
-    for lab in np.unique(comp_label_a):
-        idx = np.where(comp_label_a == lab)[0]
-        main = idx[np.argmax(comp_size_a[idx])]
-        keep[main] = True
-        big_enough = comp_size_a[idx] >= min_fraction * comp_size_a[main]
-        keep[idx[big_enough]] = True
-
+    if keep_pix.all():
+        return labels
+    # Every dropped pixel takes the label of its nearest kept pixel.
+    _, (iy, ix) = ndimage.distance_transform_edt(~keep_pix, return_indices=True)
     out = labels.copy()
-    # Iteratively absorb non-kept fragments into an adjacent kept label.
-    for _ in range(8):
-        changed = False
-        for y in range(h):
-            for x in range(w):
-                if keep[comp[y, x]]:
-                    continue
-                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
-                    if 0 <= ny < h and 0 <= nx < w and keep[comp[ny, nx]]:
-                        out[y, x] = out[ny, nx]
-                        comp[y, x] = comp[ny, nx]
-                        changed = True
-                        break
-        if not changed:
-            break
+    out[~keep_pix] = labels[iy[~keep_pix], ix[~keep_pix]]
     return out
