@@ -129,6 +129,8 @@ def make_fused_window_bo(
     epsilon: float = 1e-7,
     lengthscale_grid=(0.5, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0),
     proposals_per_iter: int = 1,
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Build the one-jit fused BO runner; reuse it across images so the
     (expensive, ~minutes) compile happens once per static config.
@@ -142,7 +144,10 @@ def make_fused_window_bo(
     ``proposals_per_iter`` (q) > 1 enables q-batched BO — a TPU-first
     extension of the reference's one-sample-per-iteration loop: the top-q EI
     candidates are dedup-resolved sequentially but EVALUATED in one batched
-    forward, so each GP refit buys q observations at ~the cost of one.
+    forward, so each GP refit buys q observations at ~the cost of one. With
+    ``mesh`` given, that q-batch (and the pre-sample batch) shards over the
+    mesh's ``data_axis`` via `shard_map` *inside* the fused jit — each chip
+    evaluates q/n_data proposals; the tiny GP refit replicates.
 
     ``run`` returns (xs, ys, survived, count): fixed-size arrays with
     ``count`` valid leading entries, in evaluation order.
@@ -152,17 +157,50 @@ def make_fused_window_bo(
     ls_grid = jnp.asarray(lengthscale_grid, jnp.float32)
     cand = jnp.arange(max_candidates, dtype=jnp.float32)
 
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_data = mesh.shape[data_axis]
+
+        def _local_forward(variables, image, segments, width, target, f_local):
+            masks = masking.window_masks(
+                segments, f_local.astype(jnp.int32), width
+            )
+            imgs = image[None] * masks[:, :, :, None].astype(image.dtype)
+            logits = apply_fn(variables, imgs).astype(jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1)[:, target]
+            return probs, jnp.argmax(logits, axis=-1) == target
+
+        _sharded_forward = shard_map(
+            _local_forward,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(data_axis)),
+            out_specs=(P(data_axis), P(data_axis)),
+            check_vma=False,
+        )
+
     @jax.jit
     def run(variables, image, segments, width, target, upper, key):
         cand_ok = cand <= upper
 
         def eval_starts(firsts: Array) -> Tuple[Array, Array]:
-            """Evaluate a batch of window starts in ONE forward."""
-            masks = masking.window_masks(segments, firsts.astype(jnp.int32), width)
-            imgs = image[None] * masks[:, :, :, None].astype(image.dtype)
-            logits = apply_fn(variables, imgs).astype(jnp.float32)
-            probs = jax.nn.softmax(logits, axis=-1)[:, target]
-            return probs, jnp.argmax(logits, axis=-1) == target
+            """Evaluate a batch of window starts in ONE (sharded) forward."""
+            if mesh is None:
+                masks = masking.window_masks(
+                    segments, firsts.astype(jnp.int32), width
+                )
+                imgs = image[None] * masks[:, :, :, None].astype(image.dtype)
+                logits = apply_fn(variables, imgs).astype(jnp.float32)
+                probs = jax.nn.softmax(logits, axis=-1)[:, target]
+                return probs, jnp.argmax(logits, axis=-1) == target
+            b = firsts.shape[0]
+            pad = (-b) % n_data
+            f = jnp.concatenate([firsts, jnp.zeros(pad, firsts.dtype)]) if pad else firsts
+            probs, survs = _sharded_forward(
+                variables, image, segments, width, target, f
+            )
+            return probs[:b], survs[:b]
 
         def masked_norm(ys, valid):
             cnt = jnp.maximum(jnp.sum(valid), 1.0)

@@ -21,6 +21,7 @@ from network_interpretation_imagenet_tpu.parallel.mesh import (  # noqa: F401
 )
 from network_interpretation_imagenet_tpu.parallel.sharded_engine import (  # noqa: F401
     sharded_window_eval,
+    sharded_window_eval_multi,
 )
 from network_interpretation_imagenet_tpu.parallel.train_step import (  # noqa: F401
     make_sharded_train_step,

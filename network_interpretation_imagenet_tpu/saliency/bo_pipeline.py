@@ -42,13 +42,14 @@ _FUSED_RUNNERS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def fused_runner(
-    engine: SaliencyEngine, max_candidates: int, cfg: BOConfig, q: int
+    engine: SaliencyEngine, max_candidates: int, cfg: BOConfig, q: int,
+    mesh=None,
 ):
     """Compile-once fused-BO runner for this engine + static config."""
     per_engine = _FUSED_RUNNERS.setdefault(engine, {})
     key = (
         max_candidates, cfg.n_pre_samples, cfg.n_iters, cfg.alpha,
-        cfg.epsilon, tuple(cfg.lengthscale_grid), q,
+        cfg.epsilon, tuple(cfg.lengthscale_grid), q, mesh,
     )
     if key not in per_engine:
         bundle, dtype = engine.bundle, engine.compute_dtype
@@ -65,6 +66,7 @@ def fused_runner(
             epsilon=cfg.epsilon,
             lengthscale_grid=cfg.lengthscale_grid,
             proposals_per_iter=q,
+            mesh=mesh,
         )
     return per_engine[key]
 
@@ -79,11 +81,14 @@ def bo_window_saliency(
     target: Optional[int] = None,
     fused: bool = True,
     proposals_per_iter: int = 1,
+    mesh=None,
 ) -> Tuple[SaliencyOutput, BOResult]:
     """Run BO saliency for one image; returns the aggregate output + BO trace.
 
     ``fused=True`` runs the one-jit on-device loop; ``fused=False`` uses the
-    host-driven loop (same math, easier to introspect).
+    host-driven loop (same math, easier to introspect). With ``mesh``
+    (fused only), the per-iteration proposal batch shards over the mesh's
+    data axis — pair with ``proposals_per_iter >= n_devices``.
     """
     segments = np.asarray(segments, np.int32)
     s = int(segments.max()) + 1
@@ -94,7 +99,7 @@ def bo_window_saliency(
 
     if fused:
         run = fused_runner(
-            engine, next_pow2(upper + 1), cfg, proposals_per_iter
+            engine, next_pow2(upper + 1), cfg, proposals_per_iter, mesh=mesh
         )
         xs, ys, survived, count = run(
             engine.variables,

@@ -108,21 +108,14 @@ def saliency_sweep(
     axis via `parallel.sharded_engine` and survival counts psum across chips.
     With ``image_batch`` > 1 (same-shape images), up to that many images'
     mask banks evaluate in ONE forward (``eval_window_masks_multi``) so small
-    per-image K still fills the chip.
+    per-image K still fills the chip. Both together compose: the flat N·K
+    grid shards over the mesh (``sharded_window_eval_multi``).
     """
     import collections
 
     from network_interpretation_imagenet_tpu.ops import aggregate, masking
 
     log = logger or PhaseLogger(enabled=False)
-    if mesh is not None and image_batch > 1:
-        # Mask-sharding and image-batching are alternative fills for the same
-        # device capacity; silently dropping one would mislead — prefer the
-        # explicit mesh and say so.
-        log.emit({"event": "warn",
-                  "message": "mesh + image_batch>1: using the mesh-sharded "
-                             "path, image_batch ignored"})
-        image_batch = 1
     res = SweepResult()
     iou_m, surv_m = AverageMeter(), AverageMeter()
     latencies = []
@@ -192,19 +185,33 @@ def saliency_sweep(
         pending.clear()
         try:
             idxs, imgs, segs, ss, widths, firsts, targets, t0s = zip(*batch)
-            results = engine.eval_window_masks_multi(
-                np.stack(imgs), np.stack(segs), np.stack(firsts),
-                np.asarray(widths, np.int32), np.asarray(targets, np.int32),
-            )
-            for j, r in enumerate(results):
-                heat = np.asarray(
-                    aggregate.summed_superpixel_labels(
-                        jnp.asarray(segs[j]), jnp.asarray(firsts[j]),
-                        jnp.int32(widths[j]), jnp.asarray(r.survived),
-                    )
+            if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+                # Image-batching AND mask-sharding compose: the flat N·K grid
+                # shards over the mesh's data axis.
+                from network_interpretation_imagenet_tpu.parallel import (
+                    sharded_window_eval_multi,
+                )
+
+                survived_nk, _ = sharded_window_eval_multi(
+                    mesh, engine.bundle.logits, engine.variables,
+                    np.stack(imgs), np.stack(segs), np.stack(firsts),
+                    np.asarray(widths, np.int32),
+                    np.asarray(targets, np.int32),
+                    compute_dtype=engine.compute_dtype,
+                )
+                survived_per_image = list(survived_nk)
+            else:
+                results = engine.eval_window_masks_multi(
+                    np.stack(imgs), np.stack(segs), np.stack(firsts),
+                    np.asarray(widths, np.int32), np.asarray(targets, np.int32),
+                )
+                survived_per_image = [r.survived for r in results]
+            for j, surv in enumerate(survived_per_image):
+                heat = aggregate.summed_superpixel_labels_np(
+                    segs[j], firsts[j], widths[j], surv
                 )
                 finish_image(idxs[j], targets[j], segs[j], ss[j], heat,
-                             r.survived, t0s[j])
+                             surv, t0s[j])
         except Exception as e:
             res.images_failed += len(batch)
             log.emit({"event": "batch_failed", "indices": [b[0] for b in batch],

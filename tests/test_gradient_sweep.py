@@ -165,3 +165,28 @@ def test_saliency_sweep_image_batched_matches_single():
     for a, b in zip(res_a.per_image, res_b.per_image):
         assert a["index"] == b["index"]
         np.testing.assert_allclose(a["survival"], b["survival"])
+
+
+def test_saliency_sweep_mesh_plus_image_batch_composes():
+    """mesh AND image_batch>1: the flat N·K grid shards over the mesh and
+    must reproduce the single-device streaming results."""
+    from network_interpretation_imagenet_tpu.parallel import make_mesh
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=16, compute_dtype=jnp.float32)
+    rng = np.random.RandomState(6)
+    imgs = [rng.rand(28, 28, 1).astype(np.float32) for _ in range(3)]
+
+    def dataset():
+        for img in imgs:
+            yield img, None, None
+
+    cfg = SegmentConfig(method="slic", n_segments=9, slic_iters=4)
+    res_a = saliency_sweep(engine, dataset(), cfg, num_mask_samples=8, seed=2)
+    res_b = saliency_sweep(engine, dataset(), cfg, num_mask_samples=8, seed=2,
+                           image_batch=2, mesh=make_mesh())
+    assert res_b.images_explained == res_a.images_explained == 3
+    for a, b in zip(res_a.per_image, res_b.per_image):
+        assert a["survival"] == b["survival"]
+        assert a["num_segments"] == b["num_segments"]

@@ -129,3 +129,71 @@ def test_multihost_helpers_single_process():
     np.testing.assert_allclose(merged.mean_iou, 0.6)
     np.testing.assert_allclose(merged.mean_survival, 0.7)
     assert merged.evals_per_sec == 150
+
+
+def test_sharded_multi_image_eval_matches_engine():
+    """N×K sharded multi-image eval == single-device engine results."""
+    from network_interpretation_imagenet_tpu.parallel import (
+        sharded_window_eval_multi,
+    )
+    from network_interpretation_imagenet_tpu.saliency import SaliencyEngine
+
+    mesh = make_mesh()  # 8-way DP
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(2))
+    engine = SaliencyEngine(bundle, variables, mask_batch=16,
+                            compute_dtype=jnp.float32)
+    rng = np.random.RandomState(4)
+    n, k = 3, 7  # n*k=21: not a multiple of 8 → padding path
+    images = rng.rand(n, 28, 28, 1).astype(np.float32)
+    segments = np.stack(
+        [(np.arange(784).reshape(28, 28) % (5 + i)).astype(np.int32)
+         for i in range(n)]
+    )
+    firsts = rng.randint(0, 4, (n, k)).astype(np.int32)
+    widths = np.asarray([2, 3, 2], np.int32)
+    targets = np.asarray([1, 4, 7], np.int32)
+
+    def logits_fn(v, x):
+        return bundle.logits(v, x)
+
+    survived, p_t = sharded_window_eval_multi(
+        mesh, logits_fn, variables, images, segments, firsts, widths,
+        targets, compute_dtype=jnp.float32,
+    )
+    ref = engine.eval_window_masks_multi(images, segments, firsts, widths, targets)
+    for i in range(n):
+        np.testing.assert_array_equal(survived[i], ref[i].survived)
+        np.testing.assert_allclose(p_t[i], ref[i].prob_target, atol=1e-5)
+
+
+def test_fused_bo_sharded_matches_single_device():
+    """Fused BO with the q-proposal forward sharded over the mesh must
+    reproduce the single-device trace (same PRNG, same GP, same EI)."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.saliency import SaliencyEngine
+    from network_interpretation_imagenet_tpu.saliency.bo_pipeline import (
+        bo_window_saliency,
+    )
+
+    mesh = make_mesh()  # 8-way DP
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(3))
+    engine = SaliencyEngine(bundle, variables, mask_batch=16,
+                            compute_dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    img = rng.rand(28, 28, 1).astype(np.float32)
+    seg = (np.arange(784).reshape(28, 28) % 12).astype(np.int32)
+    cfg = BOConfig(n_iters=3, n_pre_samples=2)
+
+    out_single, tr_single = bo_window_saliency(
+        engine, img, seg, cfg, seed=0, target=2, proposals_per_iter=4
+    )
+    out_mesh, tr_mesh = bo_window_saliency(
+        engine, img, seg, cfg, seed=0, target=2, proposals_per_iter=4,
+        mesh=mesh,
+    )
+    np.testing.assert_array_equal(tr_single.xp, tr_mesh.xp)
+    np.testing.assert_allclose(tr_single.yp, tr_mesh.yp, atol=1e-5)
+    np.testing.assert_array_equal(tr_single.survived, tr_mesh.survived)
+    np.testing.assert_allclose(out_single.heatmap, out_mesh.heatmap, atol=1e-5)
