@@ -18,6 +18,25 @@ import numpy as np
 
 from network_interpretation_imagenet_tpu.config import DATASETS, SegmentConfig
 
+# Architecture flags restored from a checkpoint on --resume, so the rebuilt
+# model always matches the saved weights even when the CLI flags drifted
+# (reference ``args.py:79-80`` ``arch_resume_names``).
+ARCH_RESUME_NAMES = (
+    "arch", "depth", "death_mode", "death_rate", "growth_rate", "bn_size",
+    "compression",
+)
+
+
+def apply_arch_resume(args, arch_args: Optional[dict]) -> None:
+    """Overwrite ``args``' architecture flags from a checkpoint's saved
+    ``arch_args`` (no-op when the checkpoint predates them)."""
+    if not arch_args:
+        return
+    for name in ARCH_RESUME_NAMES:
+        if name in arch_args:
+            val = arch_args[name]
+            setattr(args, name, val.item() if hasattr(val, "item") else val)
+
 
 def build_parser(description: str, dataset_default: str = "imagenet") -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
@@ -32,7 +51,19 @@ def build_parser(description: str, dataset_default: str = "imagenet") -> argpars
     g = p.add_argument_group("model")
     g.add_argument("--arch", "-a", default="resnet18",
                    help="resnet18/34/50/101/152 | vgg* | resnet (CIFAR) | densenet | mnist_cnn")
-    g.add_argument("--depth", type=int, default=56, help="depth for CIFAR resnet/densenet")
+    g.add_argument("--depth", "-d", type=int, default=56,
+                   help="depth for CIFAR resnet/densenet")
+    # Reference arch flags (args.py:62-77); restored from a resumed
+    # checkpoint via ARCH_RESUME_NAMES (args.py:79-80 semantics).
+    g.add_argument("--death-mode", default="none",
+                   choices=["none", "linear", "uniform"])
+    g.add_argument("--death-rate", type=float, default=0.5)
+    g.add_argument("--growth-rate", type=int, default=12,
+                   help="DenseNet growth rate")
+    g.add_argument("--bn-size", type=int, default=4,
+                   help="DenseNet bottleneck ratio")
+    g.add_argument("--compression", type=float, default=0.5,
+                   help="DenseNet compression ratio")
     g.add_argument("--ckpt", default=None,
                    help=".pth.tar (torch) or orbax dir to load weights from")
     g.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])

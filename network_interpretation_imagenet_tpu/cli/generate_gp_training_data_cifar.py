@@ -47,15 +47,28 @@ def main(argv=None):
             x, y = synthetic_classification_batch(args.seed, 512, 32, 3, 10)
             train_loader = ArrayLoader(x, y, args.batch_size, shuffle=True)
             val_loader = ArrayLoader(x[-128:], y[-128:], args.batch_size)
-        bundle = create_model(args.arch, args.dataset, depth=args.depth)
+        save_dir = os.path.join(args.out, "saved_checkpoints",
+                                f"{args.dataset}-{args.arch}-{args.depth}")
+        if args.resume:
+            # Restore arch flags from the checkpoint BEFORE building the
+            # model (reference arch_resume_names, args.py:79-80).
+            saved = Trainer.peek_arch_args(save_dir)
+            if saved:
+                common.apply_arch_resume(args, saved)
+        arch_args = {n: getattr(args, n) for n in common.ARCH_RESUME_NAMES}
+        bundle = create_model(
+            args.arch, args.dataset, depth=args.depth,
+            death_mode=args.death_mode, death_rate=args.death_rate,
+            growth_rate=args.growth_rate, bn_size=args.bn_size,
+            compression=args.compression,
+        )
         cfg = TrainConfig(
             optimizer=args.optimizer, lr=args.lr, momentum=args.momentum,
             weight_decay=args.weight_decay, epochs=args.epochs,
             patience=args.patience, seed=args.seed,
         )
-        save_dir = os.path.join(args.out, "saved_checkpoints",
-                                f"{args.dataset}-{args.arch}-{args.depth}")
-        t = Trainer(bundle, cfg, steps_per_epoch=len(train_loader), save_dir=save_dir)
+        t = Trainer(bundle, cfg, steps_per_epoch=len(train_loader),
+                    save_dir=save_dir, arch_args=arch_args)
         if args.resume and t.resume():
             print(f"resumed from epoch {t.start_epoch}")
         history = t.fit(train_loader, val_loader)

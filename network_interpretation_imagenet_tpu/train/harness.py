@@ -63,9 +63,13 @@ class Trainer:
         mesh=None,
         save_dir: Optional[str] = None,
         logger: Optional[PhaseLogger] = None,
+        arch_args: Optional[dict] = None,
     ):
         self.bundle = bundle
         self.cfg = cfg
+        # Architecture flags persisted with the checkpoint so resume can
+        # rebuild the exact model (reference args.py:79-80 arch_resume_names).
+        self.arch_args = dict(arch_args) if arch_args else None
         self.mesh = mesh if mesh is not None else make_mesh(jax.devices()[:1])
         self.save_dir = save_dir
         self.log = logger or PhaseLogger(enabled=False)
@@ -106,20 +110,33 @@ class Trainer:
         opt_leaves = [
             np.asarray(x) for x in jax.tree_util.tree_leaves(self.state.opt_state)
         ]
-        save_checkpoint(
-            {
-                "params": self.state.params,
-                "batch_stats": self.state.batch_stats,
-                "opt_leaves": {str(i): leaf for i, leaf in enumerate(opt_leaves)},
-                "step": np.asarray(self.state.step),
-                "epoch": np.asarray(epoch),
-                "best_err1": np.asarray(self.best_err1),
-                "best_epoch": np.asarray(self.best_epoch),
-                "arch": self.bundle.name,
-            },
-            self.save_dir,
-            is_best=is_best,
-        )
+        blob = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_leaves": {str(i): leaf for i, leaf in enumerate(opt_leaves)},
+            "step": np.asarray(self.state.step),
+            "epoch": np.asarray(epoch),
+            "best_err1": np.asarray(self.best_err1),
+            "best_epoch": np.asarray(self.best_epoch),
+            "arch": self.bundle.name,
+        }
+        if self.arch_args:
+            blob["arch_args"] = dict(self.arch_args)
+        save_checkpoint(blob, self.save_dir, is_best=is_best)
+
+    @staticmethod
+    def peek_arch_args(save_dir: str) -> Optional[dict]:
+        """Read a checkpoint's saved architecture flags WITHOUT building a
+        model — callers restore these into their CLI args before
+        `create_model` (reference ``arch_resume_names`` flow,
+        ``generate_gp_training_data_cifar.py:97-123``)."""
+        blob = restore_checkpoint(save_dir)
+        if blob is None or "arch_args" not in blob:
+            return None
+        return {
+            k: (v.item() if hasattr(v, "item") else v)
+            for k, v in blob["arch_args"].items()
+        }
 
     def resume(self) -> bool:
         """Restore params/epoch from ``save_dir`` (reference resume semantics,

@@ -22,13 +22,22 @@ def _to_numpy_tree(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _is_json_scalar_tree(v) -> bool:
+    if isinstance(v, dict):
+        return all(_is_json_scalar_tree(x) for x in v.values())
+    return v is None or isinstance(v, (str, bool, int, float))
+
+
 def _split_meta(state: Dict[str, Any]):
-    """Top-level string/None entries go to a JSON sidecar (tensorstore can't
+    """Top-level string/None entries — and dicts of pure JSON scalars, e.g.
+    the ``arch_args`` flag blob — go to a JSON sidecar (tensorstore can't
     serialize strings); array pytrees go through Orbax."""
     arrays, meta = {}, {}
     for k, v in state.items():
-        if isinstance(v, (str, bytes)) or v is None:
-            meta[k] = v if not isinstance(v, bytes) else v.decode()
+        if isinstance(v, bytes):
+            meta[k] = v.decode()
+        elif _is_json_scalar_tree(v) and not isinstance(v, (int, float, bool)):
+            meta[k] = v
         else:
             arrays[k] = v
     return arrays, meta

@@ -118,3 +118,30 @@ def test_trainer_resume_restores_opt_state_and_step(tmp_path):
     # Momentum trace restored (non-zero after SGD steps).
     leaves = jax.tree_util.tree_leaves(t2.state.opt_state)
     assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves if hasattr(l, "shape") and np.ndim(l) > 0)
+
+
+def test_arch_args_saved_and_peeked(tmp_path):
+    """arch_resume_names semantics (reference args.py:79-80): arch flags
+    persist with the checkpoint and can be peeked before model build."""
+    from network_interpretation_imagenet_tpu.cli import common as cli_common
+
+    bundle = create_model("resnet", "cifar10", depth=8)
+    cfg = TrainConfig(optimizer="sgd", lr=0.1, epochs=1, seed=0)
+    arch_args = {"arch": "resnet", "depth": 8, "death_mode": "linear",
+                 "death_rate": 0.25, "growth_rate": 12, "bn_size": 4,
+                 "compression": 0.5}
+    t = Trainer(bundle, cfg, steps_per_epoch=2, save_dir=str(tmp_path),
+                arch_args=arch_args)
+    t.save(epoch=0, is_best=True)
+
+    peeked = Trainer.peek_arch_args(str(tmp_path))
+    assert peeked == arch_args
+
+    # CLI flags drifted → apply_arch_resume restores the saved architecture.
+    import argparse
+    drifted = argparse.Namespace(arch="densenet", depth=100, death_mode="none",
+                                 death_rate=0.5, growth_rate=24, bn_size=2,
+                                 compression=1.0)
+    cli_common.apply_arch_resume(drifted, peeked)
+    assert drifted.arch == "resnet" and drifted.depth == 8
+    assert drifted.death_mode == "linear" and drifted.death_rate == 0.25
