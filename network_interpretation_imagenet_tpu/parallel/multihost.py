@@ -76,7 +76,17 @@ def merge_sweep_metrics(results):
         total_surv_w += r.images_explained
     out.mean_iou = out.mean_iou / total_iou_w if total_iou_w else 0.0
     out.mean_survival = out.mean_survival / total_surv_w if total_surv_w else 0.0
-    lats = [r.p50_latency_s for r in results if r.p50_latency_s > 0]
-    out.p50_latency_s = sorted(lats)[len(lats) // 2] if lats else 0.0
+    # True pooled p50 over every image's latency (rows carry "seconds");
+    # fall back to a labeled median-of-medians approximation for results
+    # produced before rows recorded latency.
+    pooled = sorted(
+        row["seconds"] for r in results for row in r.per_image
+        if "seconds" in row
+    )
+    if pooled:
+        out.p50_latency_s = pooled[len(pooled) // 2]
+    else:
+        lats = [r.p50_latency_s for r in results if r.p50_latency_s > 0]
+        out.p50_latency_s = sorted(lats)[len(lats) // 2] if lats else 0.0
     out.evals_per_sec = sum(r.evals_per_sec for r in results)
     return out

@@ -137,11 +137,11 @@ def saliency_sweep(
             iou, _ = localization_score(heat, gt_bbox, bbox_threshold)
             row["iou"] = float(iou)
             iou_m.update(float(iou))
-        res.per_image.append(row)
         res.images_explained += 1
         latencies.append(time.perf_counter() - t0)
-        log.emit({"event": "image_done", **row,
-                  "seconds": round(latencies[-1], 3)})
+        row["seconds"] = round(latencies[-1], 4)
+        res.per_image.append(row)
+        log.emit({"event": "image_done", **row})
 
     gt_by_index = {}
     pending = []  # (i, image, seg, s, width, firsts, target, t0)

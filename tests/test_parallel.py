@@ -197,3 +197,22 @@ def test_fused_bo_sharded_matches_single_device():
     np.testing.assert_allclose(tr_single.yp, tr_mesh.yp, atol=1e-5)
     np.testing.assert_array_equal(tr_single.survived, tr_mesh.survived)
     np.testing.assert_allclose(out_single.heatmap, out_mesh.heatmap, atol=1e-5)
+
+
+def test_merge_sweep_metrics_pools_latencies():
+    """p50 pools ALL per-image latencies, not a median-of-medians."""
+    from network_interpretation_imagenet_tpu.parallel import multihost
+    from network_interpretation_imagenet_tpu.saliency.sweep import SweepResult
+
+    a = SweepResult(images_total=3, images_explained=3, mean_survival=1.0,
+                    p50_latency_s=0.2,
+                    per_image=[{"seconds": s, "survival": 1.0}
+                               for s in (0.1, 0.2, 0.3)])
+    b = SweepResult(images_total=2, images_explained=2, mean_survival=1.0,
+                    p50_latency_s=0.9,
+                    per_image=[{"seconds": s, "survival": 1.0}
+                               for s in (0.9, 1.1)])
+    merged = multihost.merge_sweep_metrics([a, b])
+    # Pooled sorted latencies: 0.1 0.2 0.3 0.9 1.1 → p50 = 0.3
+    # (median-of-medians would give 0.9).
+    np.testing.assert_allclose(merged.p50_latency_s, 0.3)
