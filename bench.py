@@ -151,25 +151,31 @@ def tpu_rate_and_latency():
     log(f"tpu: {MEASURE_MASKS} masks in {best:.3f}s -> {rate:.0f} evals/s")
 
     # --- p50 per-image saliency latency --------------------------------
-    # Full per-image pipeline: SLIC segmentation (device) + 100 masked
-    # forwards + heatmap + bbox/IOU. New random image each run.
-    def one_image(seed):
+    # Full per-image pipeline exactly as a user runs it: host Felzenszwalb
+    # segmentation + 100 masked forwards + host heatmap aggregation +
+    # bbox/IOU (the library path, pipeline.random_window_saliency).
+    from network_interpretation_imagenet_tpu.saliency import pipeline
+    from network_interpretation_imagenet_tpu.segment import felzenszwalb
+
+    def collage(seed):
         r = np.random.RandomState(seed)
-        img = r.rand(224, 224, 3).astype(np.float32)
-        seg = np.asarray(slic_fn((img * 255).astype(np.uint8), n_segments=48, num_iters=10))
-        s_ = int(seg.max()) + 1
-        w_ = max(1, int(0.4 * s_))
-        f_ = r.randint(1, max(2, s_ - w_), size=SALIENCY_MASKS).astype(np.int32)
-        res = engine.eval_window_masks(img, seg, f_, w_, target=1)
-        heat = np.asarray(
-            aggregate.summed_superpixel_labels(
-                jnp.asarray(seg), jnp.asarray(f_), jnp.int32(w_),
-                jnp.asarray(res.survived),
-            )
+        img = np.ones((224, 224, 3), np.float32) * r.rand(3)
+        for _ in range(40):
+            y, x = r.randint(0, 224, 2)
+            h, w = r.randint(18, 75, 2)
+            img[y:y+h, x:x+w] = r.rand(3)
+        img += 0.03 * r.randn(224, 224, 3)
+        return np.clip(img, 0, 1).astype(np.float32)
+
+    def one_image(seed):
+        img = collage(seed)
+        seg = felzenszwalb((img * 255).astype(np.uint8), scale=100.0,
+                           sigma=0.5, min_size=50)
+        out = pipeline.random_window_saliency(
+            engine, img, seg, num_samples=SALIENCY_MASKS, seed=seed, target=1
         )
-        gray = np.asarray(aggregate.normalize_to_uint8(jnp.asarray(heat)))
-        metrics.generate_boundingbox(gray, 180)
-        return heat
+        pipeline.localization_score(out.heatmap, [60, 50, 120, 130])
+        return out.heatmap
 
     one_image(100)  # warm the 100-mask shape
     lats = []
@@ -187,13 +193,8 @@ def tpu_rate_and_latency():
     from network_interpretation_imagenet_tpu.saliency.sweep import saliency_sweep
 
     def sweep_dataset(n, seed0):
-        r = np.random.RandomState(seed0)
-        yy, xx = np.meshgrid(np.arange(224), np.arange(224), indexing="ij")
         for i in range(n):
-            img = (0.3 + 0.4 * np.sin(yy / 9.0 + i)[..., None]
-                   * np.cos(xx / 13.0)[..., None]
-                   + 0.15 * r.rand(224, 224, 3)).astype(np.float32)
-            yield np.clip(img, 0, 1), None, None
+            yield collage(seed0 * 1000 + i), None, None
 
     seg_cfg = SegmentConfig(method="felzenszwalb", scale=100.0, sigma=0.5,
                             min_size=50)

@@ -94,6 +94,17 @@ def normalize_to_uint8(x: Array) -> Array:
     return (x / denom * 255.0).astype(jnp.uint8)
 
 
+def normalize_to_uint8_np(x) -> "np.ndarray":
+    """Host twin of :func:`normalize_to_uint8` — used on latency-critical
+    paths where a device dispatch+fetch would cost a tunnel round-trip."""
+    import numpy as np
+
+    x = np.asarray(x, np.float32)
+    x = x - x.min()
+    denom = max(float(x.max()), float(np.finfo(np.float32).tiny))
+    return (x / denom * 255.0).astype(np.uint8)
+
+
 def distinct_sorted_levels(heat: Array, k_max: int) -> tuple[Array, Array]:
     """Sorted distinct heatmap values, padded to a static length.
 

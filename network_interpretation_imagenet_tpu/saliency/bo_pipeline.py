@@ -135,14 +135,10 @@ def bo_window_saliency(
 
     # Aggregate every evaluated mask's survive label into the heatmap
     # (reference plot_summed_heatmap reads all BO-written mask PNGs,
-    # bayesian_active_learning_imagenet.py:312-344).
-    heat = np.asarray(
-        aggregate.summed_superpixel_labels(
-            jnp.asarray(segments),
-            jnp.asarray(bo_res.xp.astype(np.int32)),
-            jnp.int32(width),
-            jnp.asarray(bo_res.survived),
-        )
+    # bayesian_active_learning_imagenet.py:312-344). Host twin — a device
+    # dispatch+fetch here costs a tunnel round-trip.
+    heat = aggregate.summed_superpixel_labels_np(
+        segments, bo_res.xp.astype(np.int32), width, bo_res.survived
     )
     from network_interpretation_imagenet_tpu.saliency.engine import MaskEvalResult
 

@@ -68,13 +68,11 @@ def random_window_saliency(
         masking.sample_window_starts(key, num_samples, jnp.int32(s), jnp.int32(width))
     )
     result = engine.eval_window_masks(image, segments, firsts, width, target)
-    heat = np.asarray(
-        aggregate.summed_superpixel_labels(
-            jnp.asarray(segments),
-            jnp.asarray(firsts),
-            jnp.int32(width),
-            jnp.asarray(result.survived),
-        )
+    # Host aggregation (parity-tested twin of the device einsum): an extra
+    # device dispatch+fetch here costs ~90 ms of tunnel round-trips per image
+    # against ~1 ms of numpy.
+    heat = aggregate.summed_superpixel_labels_np(
+        segments, firsts, width, result.survived
     )
     return SaliencyOutput(
         segments=segments, num_segments=s, eval=result, heatmap=heat,
@@ -167,7 +165,7 @@ def localization_score(
     ``[x,y,x,y]`` bbox bug fixed by default (``ref_compat=True`` reproduces
     reference arithmetic end-to-end for parity studies).
     """
-    gray = np.asarray(aggregate.normalize_to_uint8(jnp.asarray(heatmap)))
+    gray = aggregate.normalize_to_uint8_np(heatmap)
     pred_xywh = metrics.generate_boundingbox(gray, bbox_threshold, ref_compat=ref_compat)
     if ref_compat:
         pred = np.array(
@@ -179,6 +177,15 @@ def localization_score(
              gt_bbox_xywh[3] + gt_bbox_xywh[1]]
         )
         return metrics.iou_ref_compat(pred, gt), pred_xywh
-    pred = np.asarray(metrics.xywh_to_corners(jnp.asarray(pred_xywh, jnp.float32)))
-    gt = np.asarray(metrics.xywh_to_corners(jnp.asarray(gt_bbox_xywh, jnp.float32)))
-    return float(metrics.iou(jnp.asarray(pred), jnp.asarray(gt))), pred_xywh
+    # 4-float box math on host — jnp here costs a tunnel round-trip per call.
+    def corners(b):
+        b = np.asarray(b, np.float64)
+        return np.array([b[0], b[1], b[0] + b[2], b[1] + b[3]])
+
+    pred, gt = corners(pred_xywh), corners(gt_bbox_xywh)
+    xa, ya = max(pred[0], gt[0]), max(pred[1], gt[1])
+    xb, yb = min(pred[2], gt[2]), min(pred[3], gt[3])
+    inter = max(0.0, xb - xa + 1) * max(0.0, yb - ya + 1)
+    area_p = (pred[2] - pred[0] + 1) * (pred[3] - pred[1] + 1)
+    area_g = (gt[2] - gt[0] + 1) * (gt[3] - gt[1] + 1)
+    return float(inter / (area_p + area_g - inter)), pred_xywh
