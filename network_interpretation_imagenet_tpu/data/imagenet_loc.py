@@ -98,18 +98,32 @@ class ImagenetLocalizationDataset:
     def __getitem__(self, index: int):
         from PIL import Image
 
-        import jax.numpy as jnp
-        from network_interpretation_imagenet_tpu.ops import preprocess
-
         path, label, boxes = self.items[index]
         img = Image.open(path).convert("RGB")
         img_w, img_h = img.size
-        arr = np.asarray(img, np.uint8)
-        out = preprocess.standard_eval_pipeline(
-            jnp.asarray(arr), self.crop, IMAGENET_MEAN, IMAGENET_STD
-        )
+        # Resize + center-crop via PIL — the exact arithmetic torchvision's
+        # transforms perform (they call PIL underneath), so classifier inputs
+        # are bit-parity with the reference eval pipeline
+        # (``bayesian_active_learning_imagenet.py:402-415``). Host-side by
+        # design: decode already lives here, and host preprocessing overlaps
+        # the device's masked forwards in the pipelined sweep. The jittable
+        # device pipeline (``ops.preprocess.standard_eval_pipeline``) remains
+        # for fused on-device serving.
+        crop = self.crop
+        if img_w < img_h:
+            new_w, new_h = crop, int(round(img_h * crop / img_w))
+        else:
+            new_w, new_h = int(round(img_w * crop / img_h)), crop
+        img = img.resize((new_w, new_h), Image.BILINEAR)
+        left = int(round((new_w - crop) / 2.0))
+        top = int(round((new_h - crop) / 2.0))
+        img = img.crop((left, top, left + crop, top + crop))
+        arr = np.asarray(img, np.float32) / 255.0
+        mean = np.asarray(IMAGENET_MEAN, np.float32)
+        std = np.asarray(IMAGENET_STD, np.float32)
+        out = (arr - mean) / std
         gt = transform_gt_bbox(boxes[0], img_w, img_h, self.crop)
-        return np.asarray(out), label, gt
+        return out, label, gt
 
     def __iter__(self):
         for i in range(len(self)):

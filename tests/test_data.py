@@ -214,12 +214,9 @@ def test_imagenet_loc_fixture_full_chain_matches_golden():
     for i, (img, label, gt) in enumerate(ds):
         ref_img = golden[f"img{i}"]
         assert img.shape == ref_img.shape == (224, 224, 3)
-        # jax.image bilinear vs PIL bilinear: same arithmetic family, small
-        # antialias kernel differences at edges — bound the deviation tightly
-        # in normalized units.
-        diff = np.abs(img - ref_img)
-        assert diff.mean() < 0.03, diff.mean()
-        assert np.quantile(diff, 0.99) < 0.25, np.quantile(diff, 0.99)
+        # The loader resizes/crops via PIL (torchvision's own backend) —
+        # bit-exact parity with the golden.
+        np.testing.assert_allclose(img, ref_img, atol=1e-6)
         # bbox transform must be EXACT (pure geometry).
         np.testing.assert_allclose(gt, golden[f"bbox{i}"], atol=1e-4)
         # IOU vs the fixed predicted box, reference corner arithmetic.
