@@ -261,23 +261,20 @@ class SaliencyEngine:
         )
         return self._wrap(outs)
 
-    def eval_window_masks_multi(
+    def eval_window_masks_multi_async(
         self, images, segments, firsts, widths, targets
     ):
-        """Evaluate K window masks for each of N images, `mask_batch` at a
-        time (the N·K grid flattens into the same pow-2-bucketed chunks as
-        the single-image path, so memory stays bounded and the compile cache
-        sees a handful of shapes regardless of (N, K)).
+        """Enqueue the N·K multi-image grid; returns (handle, n, k) for
+        :meth:`collect_multi`.
 
-        Args: images [N,H,W,C] f32, segments [N,H,W] int32, firsts [N,K]
-        int32, widths [N] int32, targets [N] int32.
-        Returns a list of N MaskEvalResult.
+        ``targets`` may be a DEVICE int32[N] array (e.g. the argmax of a
+        just-dispatched batched predict) — the batched sweep path uses that
+        so dispatch never blocks on a prediction fetch.
         """
         images = np.asarray(images, np.float32)
         segments = np.asarray(segments, np.int32)
         firsts = np.asarray(firsts, np.int32)
         widths = np.asarray(widths, np.int32)
-        targets = np.asarray(targets, np.int32)
         n, k = firsts.shape
 
         # Bucket the image axis to powers of two (zero-padded) so sweep tail
@@ -290,19 +287,37 @@ class SaliencyEngine:
                 [a, np.zeros((n_pad - n,) + a.shape[1:], a.dtype)]
             )
             images, segments = zpad(images), zpad(segments)
-            widths, targets = zpad(widths), zpad(targets)
+            widths = zpad(widths)
+        if isinstance(targets, jax.Array):
+            if n_pad > n:
+                targets = jnp.concatenate(
+                    [targets, jnp.zeros(n_pad - n, targets.dtype)]
+                )
+        else:
+            targets = np.asarray(targets, np.int32)
+            if n_pad > n:
+                targets = np.concatenate(
+                    [targets, np.zeros(n_pad - n, np.int32)]
+                )
+            targets = jnp.asarray(targets)
 
         pairs = np.stack(
             [np.repeat(np.arange(n, dtype=np.int32), k), firsts.reshape(-1)],
             axis=1,
         )
-        survived, preds, p_t, p_m = self._run_chunked(
+        handle = self._dispatch_chunked(
             self._eval_window_flat,
             pairs,
             0,
             (self.variables, jnp.asarray(images), jnp.asarray(segments)),
-            (jnp.asarray(widths), jnp.asarray(targets)),
+            (jnp.asarray(widths), targets),
         )
+        return handle, n, k
+
+    def collect_multi(self, handle, n: int, k: int):
+        """Block on an :meth:`eval_window_masks_multi_async` handle; returns
+        a list of N MaskEvalResult."""
+        survived, preds, p_t, p_m = self._collect_chunked(handle)
         return [
             MaskEvalResult(
                 survived=survived[i * k : (i + 1) * k].astype(bool),
@@ -312,6 +327,23 @@ class SaliencyEngine:
             )
             for i in range(n)
         ]
+
+    def eval_window_masks_multi(
+        self, images, segments, firsts, widths, targets
+    ):
+        """Evaluate K window masks for each of N images, `mask_batch` at a
+        time (the N·K grid flattens into the same pow-2-bucketed chunks as
+        the single-image path, so memory stays bounded and the compile cache
+        sees a handful of shapes regardless of (N, K)).
+
+        Args: images [N,H,W,C] f32, segments [N,H,W] int32, firsts [N,K]
+        int32, widths [N] int32, targets [N] int32.
+        Returns a list of N MaskEvalResult.
+        """
+        handle, n, k = self.eval_window_masks_multi_async(
+            images, segments, firsts, widths, targets
+        )
+        return self.collect_multi(handle, n, k)
 
     def eval_mask_bank(
         self, image: Array, masks: np.ndarray, target: int

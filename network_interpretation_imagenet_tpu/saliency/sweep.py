@@ -144,8 +144,9 @@ def saliency_sweep(
         log.emit({"event": "image_done", **row})
 
     gt_by_index = {}
-    pending = []  # (i, image, seg, s, width, firsts, target, t0)
+    pending = []  # batched path: (i, image, seg, s, width, firsts, label, t0)
     inflight = collections.deque()  # streaming path: dispatched, unfetched
+    inflight_batch = None  # batched path: one dispatched, unfetched flush
 
     def collect_one():
         """Fetch the oldest in-flight image's outcomes and finalize it.
@@ -176,42 +177,87 @@ def saliency_sweep(
             log.emit({"event": "image_failed", "index": fl["i"],
                       "error": repr(e)})
 
+    def collect_batch():
+        """Finalize the in-flight flush: fetch outcomes, decide per-image
+        skip from the batched prediction (deferred, like the streaming
+        path), aggregate heatmaps on host. A failure marks only that
+        flush's images failed; the sweep goes on."""
+        nonlocal inflight_batch
+        if inflight_batch is None:
+            return
+        fb, inflight_batch = inflight_batch, None
+        try:
+            preds = np.asarray(fb["logits"]).argmax(axis=1)
+            if fb["handle"] is not None:
+                results = engine.collect_multi(fb["handle"], fb["n"], fb["k"])
+                survived_per_image = [r.survived for r in results]
+            else:
+                survived_per_image = fb["survived_per_image"]
+            for j, meta in enumerate(fb["metas"]):
+                i, seg, s, width, firsts, label, t0 = meta
+                pred = int(preds[j])
+                if label is not None and pred != int(label):
+                    res.images_skipped_misclassified += 1
+                    log.emit({"event": "skip_misclassified", "index": i,
+                              "pred": pred, "label": int(label)})
+                    continue
+                surv = survived_per_image[j]
+                heat = aggregate.summed_superpixel_labels_np(
+                    seg, firsts, width, surv
+                )
+                finish_image(i, pred, seg, s, heat, surv, t0)
+        except Exception as e:
+            res.images_failed += len(fb["metas"])
+            log.emit({"event": "batch_failed",
+                      "indices": [m[0] for m in fb["metas"]],
+                      "error": repr(e)})
+
     def flush_pending():
-        """Evaluate the pending image batch; a failure marks ALL pending
-        images failed (never lost, never re-enqueued) and the sweep goes on."""
+        """Dispatch the pending image batch (one batched predict + one
+        flat-grid mask eval, targets left as device scalars) and collect the
+        PREVIOUS flush while this one runs — the batched path's equivalent
+        of the streaming pipeline."""
+        nonlocal inflight_batch
         if not pending:
+            collect_batch()
             return
         batch = list(pending)
         pending.clear()
         try:
-            idxs, imgs, segs, ss, widths, firsts, targets, t0s = zip(*batch)
+            idxs, imgs, segs, ss, widths, firsts, labels, t0s = zip(*batch)
+            images_np = np.stack(imgs)
+            logits_dev = engine._predict(
+                engine.variables, jnp.asarray(images_np)
+            )
+            targets_dev = jnp.argmax(logits_dev, axis=1).astype(jnp.int32)
+            metas = list(zip(idxs, segs, ss, widths, firsts, labels, t0s))
             if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
                 # Image-batching AND mask-sharding compose: the flat N·K grid
-                # shards over the mesh's data axis.
+                # shards over the mesh's data axis (synchronous — the mesh
+                # path's collectives already keep every chip busy).
                 from network_interpretation_imagenet_tpu.parallel import (
                     sharded_window_eval_multi,
                 )
 
                 survived_nk, _ = sharded_window_eval_multi(
                     mesh, engine.bundle.logits, engine.variables,
-                    np.stack(imgs), np.stack(segs), np.stack(firsts),
+                    images_np, np.stack(segs), np.stack(firsts),
                     np.asarray(widths, np.int32),
-                    np.asarray(targets, np.int32),
+                    np.asarray(targets_dev, np.int32),
                     compute_dtype=engine.compute_dtype,
                 )
-                survived_per_image = list(survived_nk)
+                fb = {"handle": None, "n": len(batch), "k": len(firsts[0]),
+                      "logits": logits_dev, "metas": metas,
+                      "survived_per_image": list(survived_nk)}
             else:
-                results = engine.eval_window_masks_multi(
-                    np.stack(imgs), np.stack(segs), np.stack(firsts),
-                    np.asarray(widths, np.int32), np.asarray(targets, np.int32),
+                handle, n, k = engine.eval_window_masks_multi_async(
+                    images_np, np.stack(segs), np.stack(firsts),
+                    np.asarray(widths, np.int32), targets_dev,
                 )
-                survived_per_image = [r.survived for r in results]
-            for j, surv in enumerate(survived_per_image):
-                heat = aggregate.summed_superpixel_labels_np(
-                    segs[j], firsts[j], widths[j], surv
-                )
-                finish_image(idxs[j], targets[j], segs[j], ss[j], heat,
-                             surv, t0s[j])
+                fb = {"handle": handle, "n": n, "k": k,
+                      "logits": logits_dev, "metas": metas}
+            collect_batch()  # previous flush drains while this one computes
+            inflight_batch = fb
         except Exception as e:
             res.images_failed += len(batch)
             log.emit({"event": "batch_failed", "indices": [b[0] for b in batch],
@@ -267,6 +313,14 @@ def saliency_sweep(
                 while len(inflight) > 1:
                     collect_one()
                 continue
+            if image_batch > 1:
+                # No per-image predict here — flush_pending runs ONE batched
+                # predict per flush and defers the skip decision to collect.
+                pending.append((i, np.asarray(image), seg, s, width, firsts,
+                                label, t0))
+                if len(pending) >= image_batch:
+                    flush_pending()
+                continue
             pred, _ = engine.predict_one(image)
             if label is not None and pred != int(label):
                 res.images_skipped_misclassified += 1
@@ -274,26 +328,21 @@ def saliency_sweep(
                           "pred": int(pred), "label": int(label)})
                 continue
             target = int(label) if label is not None else pred
-            if image_batch > 1:
-                pending.append((i, np.asarray(image), seg, s, width, firsts,
-                                target, t0))
-                if len(pending) >= image_batch:
-                    flush_pending()
-            else:
-                with log.phase("masked_forwards", index=i, k=num_mask_samples):
-                    out = _sharded_window_saliency(
-                        engine, mesh, image, seg, num_mask_samples,
-                        window_fraction, seed + i, target, firsts,
-                    )
-                finish_image(i, target, seg, out.num_segments, out.heatmap,
-                             out.eval.survived, t0)
+            with log.phase("masked_forwards", index=i, k=num_mask_samples):
+                out = _sharded_window_saliency(
+                    engine, mesh, image, seg, num_mask_samples,
+                    window_fraction, seed + i, target, firsts,
+                )
+            finish_image(i, target, seg, out.num_segments, out.heatmap,
+                         out.eval.survived, t0)
         except Exception as e:  # per-image failure isolation
             res.images_failed += 1
             log.emit({"event": "image_failed", "index": i, "error": repr(e)})
 
     while inflight:
         collect_one()
-    flush_pending()
+    flush_pending()  # dispatch the tail flush (and drain the previous one)
+    collect_batch()
     wall = time.perf_counter() - t_start
     res.mean_iou = iou_m.avg
     res.mean_survival = surv_m.avg
