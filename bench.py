@@ -23,8 +23,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
 
-MASK_BATCH = 2048  # measured optimum (docs/PERFORMANCE.md ladder: 7.05k
-MEASURE_MASKS = 2048  # evals/s at 2048 vs 6.46k at 1024 on v5e)
+MASK_BATCH = 4096  # measured optimum (docs/PERFORMANCE.md ladder: 7.42k
+MEASURE_MASKS = 4096  # evals/s at 4096 vs 7.0k at 2048 on v5e)
 SALIENCY_MASKS = 100  # reference --num_mask_samples for ImageNet
 SWEEP_IMAGES = 20
 
@@ -199,7 +199,8 @@ def tpu_rate_and_latency():
     seg_cfg = SegmentConfig(method="felzenszwalb", scale=100.0, sigma=0.5,
                             min_size=50)
     saliency_sweep(engine, sweep_dataset(2, 7), seg_cfg,
-                   num_mask_samples=MASK_BATCH, seed=0)  # warm
+                   num_mask_samples=MASK_BATCH, seed=0)  # warm (reuses the
+    # B=4096 executable — no extra compile)
     sweep_res = saliency_sweep(engine, sweep_dataset(SWEEP_IMAGES, 11),
                                seg_cfg, num_mask_samples=MASK_BATCH, seed=1)
     log(f"sweep: {SWEEP_IMAGES} images -> {sweep_res.evals_per_sec:.0f} evals/s")
