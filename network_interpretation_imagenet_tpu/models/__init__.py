@@ -101,6 +101,15 @@ def create_model(
         module: nn.Module = create_resnet(arch, num_classes=nc, **kw)
     elif arch.startswith("vgg"):
         module = create_vgg(arch, num_classes=nc, **kw)
+    elif arch == "alexnet":
+        from network_interpretation_imagenet_tpu.models.alexnet import AlexNet
+
+        module = AlexNet(num_classes=nc, **kw)
+    elif arch in ("squeezenet1_0", "squeezenet1_1"):
+        from network_interpretation_imagenet_tpu.models.squeezenet import SqueezeNet
+
+        module = SqueezeNet(version=arch.split("squeezenet")[1],
+                            num_classes=nc, **kw)
     elif arch == "mnist_cnn":
         module = MnistCNN(num_classes=nc, **kw)
     elif arch == "resnet":  # CIFAR ResNet-6N+2 (reference models/resnet.py)

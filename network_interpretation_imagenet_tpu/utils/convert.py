@@ -215,6 +215,37 @@ def convert_vgg(sd: Mapping[str, np.ndarray], arch: str) -> Dict[str, Any]:
     return tb.variables()
 
 
+def convert_alexnet(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """torchvision AlexNet state dict → :class:`models.alexnet.AlexNet`.
+
+    torch layout: ``features.{0,3,6,8,10}`` convs,
+    ``classifier.{1,4,6}`` linears (0/3 are Dropout)."""
+    tb = _TreeBuilder()
+    for out_i, feat_i in enumerate((0, 3, 6, 8, 10)):
+        tb.conv(sd, f"features.{feat_i}", f"conv{out_i}")
+    for out_i, cls_i in enumerate((1, 4, 6)):
+        tb.dense(sd, f"classifier.{cls_i}", f"fc{out_i}")
+    return tb.variables()
+
+
+def convert_squeezenet(sd: Mapping[str, np.ndarray], arch: str) -> Dict[str, Any]:
+    """torchvision SqueezeNet state dict →
+    :class:`models.squeezenet.SqueezeNet`.
+
+    torch layout: ``features.0`` stem conv; Fire modules at features indices
+    (3,4,5,7,8,9,10,12) for 1_0 and (3,4,6,7,9,10,11,12) for 1_1, each with
+    ``.squeeze/.expand1x1/.expand3x3``; ``classifier.1`` final 1×1 conv."""
+    fire_idx = (3, 4, 5, 7, 8, 9, 10, 12) if arch.endswith("1_0") else (
+        3, 4, 6, 7, 9, 10, 11, 12)
+    tb = _TreeBuilder()
+    tb.conv(sd, "features.0", "conv0")
+    for out_i, feat_i in enumerate(fire_idx):
+        for part in ("squeeze", "expand1x1", "expand3x3"):
+            tb.conv(sd, f"features.{feat_i}.{part}", f"fire{out_i}", part)
+    tb.conv(sd, "classifier.1", "classifier")
+    return tb.variables()
+
+
 def convert_checkpoint(path: str, arch: str, depth: int = 56, bn_size: int = 4):
     """One-call ingest: load + convert by architecture family."""
     sd = load_state_dict(path)
@@ -228,4 +259,8 @@ def convert_checkpoint(path: str, arch: str, depth: int = 56, bn_size: int = 4):
         return convert_densenet(sd, depth, bn_size)
     if arch.startswith("vgg"):
         return convert_vgg(sd, arch)
+    if arch == "alexnet":
+        return convert_alexnet(sd)
+    if arch.startswith("squeezenet"):
+        return convert_squeezenet(sd, arch)
     raise ValueError(f"no converter for arch {arch}")

@@ -304,3 +304,101 @@ def test_densenet_roundtrip_random_weights(rng):
         t_logits = tmodel(torch.from_numpy(x)).numpy()
     j_logits = np.asarray(bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(j_logits, t_logits, atol=1e-3, rtol=1e-3)
+
+
+def test_alexnet_roundtrip_random_weights(rng):
+    """torchvision-layout AlexNet replica → convert → flax logits match.
+    Input must be 224² (AdaptiveAvgPool2d((6,6)) is the identity there)."""
+    tmodel = tnn.Sequential()
+    tmodel.features = tnn.Sequential(
+        tnn.Conv2d(3, 64, 11, stride=4, padding=2), tnn.ReLU(),
+        tnn.MaxPool2d(3, 2),
+        tnn.Conv2d(64, 192, 5, padding=2), tnn.ReLU(),
+        tnn.MaxPool2d(3, 2),
+        tnn.Conv2d(192, 384, 3, padding=1), tnn.ReLU(),
+        tnn.Conv2d(384, 256, 3, padding=1), tnn.ReLU(),
+        tnn.Conv2d(256, 256, 3, padding=1), tnn.ReLU(),
+        tnn.MaxPool2d(3, 2),
+    )
+    tmodel.classifier = tnn.Sequential(
+        tnn.Dropout(), tnn.Linear(256 * 6 * 6, 4096), tnn.ReLU(),
+        tnn.Dropout(), tnn.Linear(4096, 4096), tnn.ReLU(),
+        tnn.Linear(4096, 1000),
+    )
+
+    def t_forward(x):
+        x = tmodel.features(x)
+        return tmodel.classifier(torch.flatten(x, 1))
+
+    tmodel.eval()
+    sd_np = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert.convert_alexnet(sd_np)
+    bundle = create_model("alexnet", "imagenet")
+
+    x = rng.rand(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        t_logits = t_forward(torch.from_numpy(x)).numpy()
+    j_logits = np.asarray(
+        bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(j_logits, t_logits, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("version", ["1_0", "1_1"])
+def test_squeezenet_roundtrip_random_weights(rng, version):
+    """torchvision-layout SqueezeNet replica (incl. ceil-mode pools) →
+    convert → flax logits match."""
+
+    class TorchFire(tnn.Module):
+        def __init__(self, inp, s, e1, e3):
+            super().__init__()
+            self.squeeze = tnn.Conv2d(inp, s, 1)
+            self.expand1x1 = tnn.Conv2d(s, e1, 1)
+            self.expand3x3 = tnn.Conv2d(s, e3, 3, padding=1)
+
+        def forward(self, x):
+            x = tF.relu(self.squeeze(x))
+            return torch.cat(
+                [tF.relu(self.expand1x1(x)), tF.relu(self.expand3x3(x))], 1
+            )
+
+    pool = lambda: tnn.MaxPool2d(3, 2, ceil_mode=True)
+    if version == "1_0":
+        feats = [
+            tnn.Conv2d(3, 96, 7, stride=2), tnn.ReLU(), pool(),
+            TorchFire(96, 16, 64, 64), TorchFire(128, 16, 64, 64),
+            TorchFire(128, 32, 128, 128), pool(),
+            TorchFire(256, 32, 128, 128), TorchFire(256, 48, 192, 192),
+            TorchFire(384, 48, 192, 192), TorchFire(384, 64, 256, 256),
+            pool(), TorchFire(512, 64, 256, 256),
+        ]
+    else:
+        feats = [
+            tnn.Conv2d(3, 64, 3, stride=2), tnn.ReLU(), pool(),
+            TorchFire(64, 16, 64, 64), TorchFire(128, 16, 64, 64), pool(),
+            TorchFire(128, 32, 128, 128), TorchFire(256, 32, 128, 128), pool(),
+            TorchFire(256, 48, 192, 192), TorchFire(384, 48, 192, 192),
+            TorchFire(384, 64, 256, 256), TorchFire(512, 64, 256, 256),
+        ]
+    tmodel = tnn.Sequential()
+    tmodel.features = tnn.Sequential(*feats)
+    tmodel.classifier = tnn.Sequential(
+        tnn.Dropout(), tnn.Conv2d(512, 1000, 1), tnn.ReLU(),
+        tnn.AdaptiveAvgPool2d((1, 1)),
+    )
+
+    def t_forward(x):
+        return torch.flatten(tmodel.classifier(tmodel.features(x)), 1)
+
+    tmodel.eval()
+    sd_np = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert.convert_squeezenet(sd_np, f"squeezenet{version}")
+    bundle = create_model(f"squeezenet{version}", "imagenet")
+
+    x = rng.rand(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        t_logits = t_forward(torch.from_numpy(x)).numpy()
+    j_logits = np.asarray(
+        bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(j_logits, t_logits, atol=1e-3, rtol=1e-3)
