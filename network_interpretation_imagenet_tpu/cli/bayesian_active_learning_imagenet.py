@@ -28,6 +28,7 @@ def main(argv=None):
                    help="q-batched BO: evaluate top-q EI proposals per "
                         "iteration in one forward (1 = reference behavior)")
     args = p.parse_args(argv)
+    common.apply_debug_flags(args)
 
     start = time.time()
     image, disp, label, gt_bbox = common.resolve_image(args)

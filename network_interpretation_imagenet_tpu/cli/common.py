@@ -87,7 +87,21 @@ def build_parser(description: str, dataset_default: str = "imagenet") -> argpars
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--save-pngs", action="store_true",
                    help="also write per-mask PNGs like the reference ./masks dir")
+
+    g = p.add_argument_group("debug")
+    g.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans: every jitted computation "
+                        "re-checks outputs for NaN and errors at the "
+                        "producing op (SURVEY §5 sanity-checking plan)")
     return p
+
+
+def apply_debug_flags(args) -> None:
+    """Apply debug toggles that must run before any jit executes."""
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
 
 def add_bo_flags(p: argparse.ArgumentParser) -> None:

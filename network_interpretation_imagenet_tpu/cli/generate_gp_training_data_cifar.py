@@ -28,6 +28,7 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.set_defaults(arch="resnet", num_mask_samples=1000, num_masked_superpixels=5)
     args = p.parse_args(argv)
+    common.apply_debug_flags(args)
 
     if args.mode == "train":
         from network_interpretation_imagenet_tpu.data import (

@@ -26,6 +26,7 @@ def main(argv=None):
     p.add_argument("--bbox_threshold", type=int, default=180)
     p.add_argument("--skip-threshold-search", action="store_true")
     args = p.parse_args(argv)
+    common.apply_debug_flags(args)
 
     image, disp, label, gt_bbox = common.resolve_image(args)
     engine = common.build_engine(args)

@@ -24,6 +24,7 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=64)
     p.set_defaults(arch="mnist_cnn", num_mask_samples=1000)
     args = p.parse_args(argv)
+    common.apply_debug_flags(args)
 
     if args.mode == "train-nn":
         from network_interpretation_imagenet_tpu.data import (

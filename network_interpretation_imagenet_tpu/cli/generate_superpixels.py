@@ -16,6 +16,7 @@ def main(argv=None):
     p = common.build_parser(__doc__)
     p.add_argument("--images", nargs="*", default=[], help="image file paths")
     args = p.parse_args(argv)
+    common.apply_debug_flags(args)
     cfg = common.segment_config(args)
 
     displays = []

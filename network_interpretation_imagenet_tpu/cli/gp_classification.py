@@ -33,6 +33,7 @@ def main(argv=None):
     p.add_argument("--train_subsample", type=int, default=4096,
                    help="max training pixels (covered pixels are subsampled)")
     args = p.parse_args(argv)
+    common.apply_debug_flags(args)
 
     heat, coverage = load_mask_source(args)
     n = heat.shape[0]

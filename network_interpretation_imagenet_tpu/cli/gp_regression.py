@@ -77,6 +77,7 @@ def main(argv=None):
     p.add_argument("--masks", required=True,
                    help="masks.npz from generate_gp_training_data_* or a ./masks PNG dir")
     args = p.parse_args(argv)
+    common.apply_debug_flags(args)
 
     heat, coverage = load_mask_source(args)
     ckpt_dir = args.gp_ckpt

@@ -22,6 +22,7 @@ def main(argv=None):
     p = common.build_parser(__doc__)
     common.add_gp_flags(p)
     args = p.parse_args(argv)
+    common.apply_debug_flags(args)
 
     image, disp, label, _ = common.resolve_image(args)
     engine = common.build_engine(args)

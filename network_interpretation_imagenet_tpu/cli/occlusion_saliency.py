@@ -28,6 +28,7 @@ def main(argv=None):
     p.add_argument("--ig-steps", type=int, default=16)
     p.add_argument("--bbox_threshold", type=int, default=180)
     args = p.parse_args(argv)
+    common.apply_debug_flags(args)
 
     image, disp, label, gt_bbox = common.resolve_image(args)
     engine = common.build_engine(args)

@@ -40,6 +40,7 @@ def main(argv=None):
     p.add_argument("--image-batch", type=int, default=1,
                    help="fuse this many images' mask banks into one forward")
     args = p.parse_args(argv)
+    common.apply_debug_flags(args)
 
     from network_interpretation_imagenet_tpu.config import DATASETS
 
