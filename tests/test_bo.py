@@ -236,3 +236,29 @@ def test_fused_bo_no_recompile_across_images():
     # apply_fn is traced a bounded number of times per compiled runner
     # (abstract eval passes), never per image: 5 images but ≤3 traces/runner.
     assert traces["n"] <= 2 * 3, traces["n"]
+
+
+def test_bo_window_saliency_single_segment_image():
+    """Degenerate 1-segment image (upper=0, width=0): the loop must not
+    crash — all proposals collapse to start 0 with empty windows (the
+    reference would divide its search space to [0, 0] too)."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.models import create_model
+    from network_interpretation_imagenet_tpu.saliency import SaliencyEngine
+    from network_interpretation_imagenet_tpu.saliency.bo_pipeline import (
+        bo_window_saliency,
+    )
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=8,
+                            compute_dtype=jnp.float32)
+    img = np.random.RandomState(0).rand(28, 28, 1).astype(np.float32)
+    seg = np.zeros((28, 28), np.int32)  # S = 1
+    cfg = BOConfig(n_iters=2, n_pre_samples=2)
+    for fused in (True, False):
+        out, trace = bo_window_saliency(
+            engine, img, seg, cfg, seed=0, target=0, fused=fused
+        )
+        assert out.heatmap.shape == (28, 28)
+        assert len(trace.xp) == 4
