@@ -157,9 +157,21 @@ def resolve_image(args) -> Tuple[np.ndarray, np.ndarray, Optional[int], Optional
         return img, disp, None, None
 
     if args.dataset == "imagenet":
-        from network_interpretation_imagenet_tpu.data import ImagenetLocalizationDataset
+        if os.path.exists(os.path.join(args.data, "LOC_val_solution.csv")):
+            from network_interpretation_imagenet_tpu.data import (
+                ImagenetLocalizationDataset,
+            )
 
-        ds = ImagenetLocalizationDataset(args.data)
+            ds = ImagenetLocalizationDataset(args.data)
+        else:
+            # Plain class-subdirectory layout — the reference's ImageFolder
+            # path (generate_gp_training_data_imagenet.py:594-602); no gt
+            # boxes.
+            from network_interpretation_imagenet_tpu.data.image_folder import (
+                ImageFolderDataset,
+            )
+
+            ds = ImageFolderDataset(args.data)
         # Reference counts images 1-based (count == eval_img_index).
         img, label, gt = ds[max(args.eval_img_index - 1, 0)]
         disp = np.asarray(preprocess.to_display_uint8(jnp.asarray(img)))

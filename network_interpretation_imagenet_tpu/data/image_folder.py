@@ -1,0 +1,71 @@
+"""torchvision-``ImageFolder``-style dataset (class subdirectories).
+
+The reference's random-mask generator loads its val split with plain
+``datasets.ImageFolder(valdir, transform)``
+(``generate_gp_training_data_imagenet.py:594-602``) — class = sorted
+subdirectory index, no bbox CSV. This covers that layout; directories with
+``LOC_val_solution.csv`` should use :class:`ImagenetLocalizationDataset`
+(which also yields gt boxes).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from network_interpretation_imagenet_tpu.config import IMAGENET_MEAN, IMAGENET_STD
+
+_EXTS = (".jpeg", ".jpg", ".png", ".bmp", ".webp")
+
+
+class ImageFolderDataset:
+    """Iterates (normalized f32 HWC image, label, None) over class subdirs.
+
+    Labels follow torchvision semantics: sorted(subdir names) → 0..C-1;
+    files sort within each class, classes concatenate in label order.
+    """
+
+    def __init__(self, data_dir: str, crop: int = 224):
+        self.crop = crop
+        classes = sorted(
+            d for d in os.listdir(data_dir)
+            if os.path.isdir(os.path.join(data_dir, d))
+        )
+        self.class_to_label = {c: i for i, c in enumerate(classes)}
+        self.items = []
+        for c in classes:
+            cdir = os.path.join(data_dir, c)
+            for fname in sorted(os.listdir(cdir)):
+                if fname.lower().endswith(_EXTS):
+                    self.items.append((os.path.join(cdir, fname),
+                                       self.class_to_label[c]))
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, index: int):
+        from PIL import Image
+
+        path, label = self.items[index]
+        img = Image.open(path).convert("RGB")
+        # Same PIL-exact eval transform as ImagenetLocalizationDataset
+        # (torchvision Resize(crop) + CenterCrop(crop) + ToTensor + Normalize).
+        crop = self.crop
+        w, h = img.size
+        if w < h:
+            new_w, new_h = crop, int(round(h * crop / w))
+        else:
+            new_w, new_h = int(round(w * crop / h)), crop
+        img = img.resize((new_w, new_h), Image.BILINEAR)
+        left = int(round((new_w - crop) / 2.0))
+        top = int(round((new_h - crop) / 2.0))
+        img = img.crop((left, top, left + crop, top + crop))
+        arr = np.asarray(img, np.float32) / 255.0
+        mean = np.asarray(IMAGENET_MEAN, np.float32)
+        std = np.asarray(IMAGENET_STD, np.float32)
+        return (arr - mean) / std, label, None
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]

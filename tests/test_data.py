@@ -229,3 +229,28 @@ def test_imagenet_loc_fixture_full_chain_matches_golden():
 
     # Labels follow the reference's sorted-synset indexing (dataset.py:45-50).
     assert [ds[i][1] for i in range(3)] == [0, 1, 2]
+
+
+def test_image_folder_dataset_matches_loc_loader():
+    """ImageFolder layout (no CSV — the reference's
+    generate_gp_training_data_imagenet.py:594-602 path) over the committed
+    fixture's synset dirs: same transformed pixels as the LOC loader, labels
+    by sorted-subdir order."""
+    if not os.path.isdir(FIXTURE):
+        pytest.skip("fixture absent")
+    from network_interpretation_imagenet_tpu.data.image_folder import (
+        ImageFolderDataset,
+    )
+    from network_interpretation_imagenet_tpu.data.imagenet_loc import (
+        ImagenetLocalizationDataset,
+    )
+
+    folder = ImageFolderDataset(FIXTURE)
+    loc = ImagenetLocalizationDataset(FIXTURE)
+    assert len(folder) == len(loc) == 3
+    for i in range(3):
+        f_img, f_label, f_gt = folder[i]
+        l_img, l_label, _ = loc[i]
+        np.testing.assert_allclose(f_img, l_img, atol=1e-6)
+        assert f_label == l_label
+        assert f_gt is None
