@@ -118,6 +118,12 @@ def create_model(
             depth=d, num_classes=nc,
             death_rates=death_rates_for(d, death_mode, death_rate), **kw,
         )
+    elif arch in ("densenet121", "densenet169", "densenet201"):
+        from network_interpretation_imagenet_tpu.models.densenet import (
+            create_densenet_torchvision,
+        )
+
+        module = create_densenet_torchvision(arch, num_classes=nc, **kw)
     elif arch == "densenet":  # DenseNet-BC (reference models/densenet.py)
         module = create_densenet(
             data=dataset, depth=depth or 100, growth_rate=growth_rate,

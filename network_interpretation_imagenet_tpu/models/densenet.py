@@ -77,18 +77,30 @@ class DenseNet(nn.Module):
     drop_rate: float = 0.0
     avgpool_size: int = 8
     num_classes: int = 10
+    # torchvision ImageNet stem (7×7/2 conv + 3×3/2 maxpool) instead of the
+    # reference's CIFAR-style 3×3 stem — used by densenet121/169/201.
+    imagenet_stem: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = nn.Conv(
-            self.num_init_features, (3, 3), padding=[(1, 1), (1, 1)],
-            use_bias=False, name="conv0", **kw,
-        )(x)
-        x = BatchNorm(use_running_average=not train, name="norm0", **kw)(x)
-        x = nn.relu(x)
+        if self.imagenet_stem:
+            x = nn.Conv(
+                self.num_init_features, (7, 7), strides=(2, 2),
+                padding=[(3, 3), (3, 3)], use_bias=False, name="conv0", **kw,
+            )(x)
+            x = BatchNorm(use_running_average=not train, name="norm0", **kw)(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        else:
+            x = nn.Conv(
+                self.num_init_features, (3, 3), padding=[(1, 1), (1, 1)],
+                use_bias=False, name="conv0", **kw,
+            )(x)
+            x = BatchNorm(use_running_average=not train, name="norm0", **kw)(x)
+            x = nn.relu(x)
 
         num_features = self.num_init_features
         for i, num_layers in enumerate(self.block_config):
@@ -110,6 +122,24 @@ class DenseNet(nn.Module):
         )
         x = x.reshape((x.shape[0], -1))
         return nn.Dense(self.num_classes, name="classifier", **kw)(x)
+
+
+_TV_CONFIGS = {
+    "densenet121": (6, 12, 24, 16),
+    "densenet169": (6, 12, 32, 32),
+    "densenet201": (6, 12, 48, 32),
+}
+
+
+def create_densenet_torchvision(arch: str, num_classes: int = 1000, **kw) -> DenseNet:
+    """torchvision DenseNet-121/169/201 (growth 32, 64 init features, 7×7
+    stem) — the zoo members the reference drives by name
+    (``bayesian_active_learning_imagenet.py:44-46``)."""
+    return DenseNet(
+        growth_rate=32, block_config=_TV_CONFIGS[arch], compression=0.5,
+        num_init_features=64, bn_size=4, avgpool_size=7,
+        num_classes=num_classes, imagenet_stem=True, **kw,
+    )
 
 
 def create_densenet(

@@ -215,6 +215,43 @@ def convert_vgg(sd: Mapping[str, np.ndarray], arch: str) -> Dict[str, Any]:
     return tb.variables()
 
 
+def convert_densenet_torchvision(
+    sd: Mapping[str, np.ndarray], arch: str
+) -> Dict[str, Any]:
+    """torchvision DenseNet-121/169/201 state dict →
+    :class:`models.densenet.DenseNet` (imagenet_stem variant).
+
+    Same feature-tree naming as the reference DenseNet-BC but with 4 blocks
+    of torchvision's block configs; final norm is ``features.norm5`` in every
+    variant."""
+    from network_interpretation_imagenet_tpu.models.densenet import _TV_CONFIGS
+
+    def pick(*candidates):
+        for c in candidates:
+            if c + ".weight" in sd:
+                return c
+        raise KeyError(candidates)
+
+    tb = _TreeBuilder()
+    tb.conv(sd, "features.conv0", "conv0")
+    tb.bn(sd, "features.norm0", "norm0")
+    cfg = _TV_CONFIGS[arch]
+    for i, n_layers in enumerate(cfg, start=1):
+        for j in range(1, n_layers + 1):
+            t = f"features.denseblock{i}.denselayer{j}"
+            f = f"denseblock{i}_layer{j}"
+            tb.bn(sd, pick(f"{t}.norm.1", f"{t}.norm1"), f, "norm1")
+            tb.conv(sd, pick(f"{t}.conv.1", f"{t}.conv1"), f, "conv1")
+            tb.bn(sd, pick(f"{t}.norm.2", f"{t}.norm2"), f, "norm2")
+            tb.conv(sd, pick(f"{t}.conv.2", f"{t}.conv2"), f, "conv2")
+        if i != len(cfg):
+            tb.bn(sd, f"features.transition{i}.norm", f"transition{i}", "norm")
+            tb.conv(sd, f"features.transition{i}.conv", f"transition{i}", "conv")
+    tb.bn(sd, "features.norm5", "norm5")
+    tb.dense(sd, "classifier", "classifier")
+    return tb.variables()
+
+
 def convert_alexnet(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     """torchvision AlexNet state dict → :class:`models.alexnet.AlexNet`.
 
@@ -257,6 +294,8 @@ def convert_checkpoint(path: str, arch: str, depth: int = 56, bn_size: int = 4):
         return convert_resnet_imagenet(sd, arch)
     if arch == "densenet":
         return convert_densenet(sd, depth, bn_size)
+    if arch.startswith("densenet"):
+        return convert_densenet_torchvision(sd, arch)
     if arch.startswith("vgg"):
         return convert_vgg(sd, arch)
     if arch == "alexnet":

@@ -402,3 +402,82 @@ def test_squeezenet_roundtrip_random_weights(rng, version):
         bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
     )
     np.testing.assert_allclose(j_logits, t_logits, atol=1e-3, rtol=1e-3)
+
+
+def test_densenet121_torchvision_roundtrip_random_weights(rng):
+    """torchvision-layout DenseNet-121 replica (7×7 stem, 4 blocks) →
+    convert → flax logits match."""
+
+    class TVDenseLayer(tnn.Module):
+        def __init__(self, inp, growth, bn_size=4):
+            super().__init__()
+            self.norm1 = tnn.BatchNorm2d(inp)
+            self.conv1 = tnn.Conv2d(inp, bn_size * growth, 1, bias=False)
+            self.norm2 = tnn.BatchNorm2d(bn_size * growth)
+            self.conv2 = tnn.Conv2d(bn_size * growth, growth, 3, padding=1,
+                                    bias=False)
+
+        def forward(self, x):
+            y = self.conv1(tF.relu(self.norm1(x)))
+            y = self.conv2(tF.relu(self.norm2(y)))
+            return torch.cat([x, y], 1)
+
+    class TVTransition(tnn.Module):
+        def __init__(self, inp, out):
+            super().__init__()
+            self.norm = tnn.BatchNorm2d(inp)
+            self.conv = tnn.Conv2d(inp, out, 1, bias=False)
+
+        def forward(self, x):
+            return tF.avg_pool2d(self.conv(tF.relu(self.norm(x))), 2)
+
+    class TVDenseNet121(tnn.Module):
+        def __init__(self, growth=32, cfg=(6, 12, 24, 16)):
+            super().__init__()
+            feats = tnn.Module()
+            feats.conv0 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            feats.norm0 = tnn.BatchNorm2d(64)
+            nf = 64
+            for i, n_layers in enumerate(cfg, start=1):
+                block = tnn.Module()
+                for j in range(1, n_layers + 1):
+                    setattr(block, f"denselayer{j}", TVDenseLayer(nf, growth))
+                    nf += growth
+                setattr(feats, f"denseblock{i}", block)
+                if i != len(cfg):
+                    setattr(feats, f"transition{i}", TVTransition(nf, nf // 2))
+                    nf //= 2
+            feats.norm5 = tnn.BatchNorm2d(nf)
+            self.features = feats
+            self.classifier = tnn.Linear(nf, 1000)
+            self.cfg = cfg
+
+        def forward(self, x):
+            f = self.features
+            x = tF.max_pool2d(tF.relu(f.norm0(f.conv0(x))), 3, 2, padding=1)
+            for i in range(1, len(self.cfg) + 1):
+                block = getattr(f, f"denseblock{i}")
+                j = 1
+                while hasattr(block, f"denselayer{j}"):
+                    x = getattr(block, f"denselayer{j}")(x)
+                    j += 1
+                if hasattr(f, f"transition{i}"):
+                    x = getattr(f, f"transition{i}")(x)
+            x = tF.relu(f.norm5(x))
+            x = tF.adaptive_avg_pool2d(x, (1, 1)).flatten(1)
+            return self.classifier(x)
+
+    tmodel = TVDenseNet121()
+    tmodel.eval()
+    sd_np = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()
+             if "num_batches_tracked" not in k}
+    variables = convert.convert_densenet_torchvision(sd_np, "densenet121")
+    bundle = create_model("densenet121", "imagenet")
+
+    x = rng.rand(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x)).numpy()
+    j_logits = np.asarray(
+        bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(j_logits, t_logits, atol=2e-3, rtol=2e-3)
