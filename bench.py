@@ -205,6 +205,17 @@ def tpu_rate_and_latency():
                                seg_cfg, num_mask_samples=MASK_BATCH, seed=1)
     log(f"sweep: {SWEEP_IMAGES} images -> {sweep_res.evals_per_sec:.0f} evals/s")
 
+    # --- DenseNet ImageNet sweep (BASELINE config 5's model family) ------
+    dn_bundle = create_model("densenet121", "imagenet", dtype=jnp.bfloat16)
+    dn_engine = SaliencyEngine(
+        dn_bundle, dn_bundle.init(jax.random.PRNGKey(1)), mask_batch=1024
+    )
+    saliency_sweep(dn_engine, sweep_dataset(2, 23), seg_cfg,
+                   num_mask_samples=1024, seed=0)  # warm
+    dn_res = saliency_sweep(dn_engine, sweep_dataset(10, 29), seg_cfg,
+                            num_mask_samples=1024, seed=1)
+    log(f"densenet121 sweep: {dn_res.evals_per_sec:.0f} evals/s")
+
     # --- fused-BO p50 latency (flagship reference path) ------------------
     # 10 images with varying segment counts; pow-2 candidate buckets mean
     # ONE compile, then sub-second active-learning loops.
@@ -226,12 +237,12 @@ def tpu_rate_and_latency():
     bo_p50 = float(np.median(bo_lats[1:]))  # drop the compile run
     log(f"fused-BO p50 latency: {bo_p50*1000:.0f} ms "
         f"(first/compile: {bo_lats[0]:.1f}s)")
-    return rate, p50, sweep_res.evals_per_sec, bo_p50
+    return rate, p50, sweep_res.evals_per_sec, bo_p50, dn_res.evals_per_sec
 
 
 def main():
     cpu_rate = cpu_reference_rate()
-    rate, p50, sweep_rate, bo_p50 = tpu_rate_and_latency()
+    rate, p50, sweep_rate, bo_p50, dn_rate = tpu_rate_and_latency()
     print(
         json.dumps(
             {
@@ -244,6 +255,7 @@ def main():
                     "p50_saliency_latency_ms": round(p50 * 1000, 1),
                     "sweep_evals_per_sec": round(sweep_rate, 1),
                     "bo_p50_latency_ms": round(bo_p50 * 1000, 1),
+                    "densenet121_sweep_evals_per_sec": round(dn_rate, 1),
                     "mfu_pct": round(rate * RESNET101_FLOPS / V5E_PEAK_FLOPS * 100, 1),
                     "mask_batch": MASK_BATCH,
                     "dtype": "bfloat16",
