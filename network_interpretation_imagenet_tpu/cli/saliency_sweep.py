@@ -48,9 +48,20 @@ def main(argv=None):
     engine = common.build_engine(args)
 
     if args.data and args.dataset == "imagenet":
-        from network_interpretation_imagenet_tpu.data import ImagenetLocalizationDataset
+        import os
 
-        dataset = iter(ImagenetLocalizationDataset(args.data))
+        if os.path.exists(os.path.join(args.data, "LOC_val_solution.csv")):
+            from network_interpretation_imagenet_tpu.data import (
+                ImagenetLocalizationDataset,
+            )
+
+            dataset = iter(ImagenetLocalizationDataset(args.data))
+        else:  # plain ImageFolder layout (no gt boxes → no IOU column)
+            from network_interpretation_imagenet_tpu.data.image_folder import (
+                ImageFolderDataset,
+            )
+
+            dataset = iter(ImageFolderDataset(args.data))
     else:
         dataset = _synthetic_dataset(args, spec, args.num_images)
 
