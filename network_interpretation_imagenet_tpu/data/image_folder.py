@@ -12,10 +12,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-
-from network_interpretation_imagenet_tpu.config import IMAGENET_MEAN, IMAGENET_STD
-
 _EXTS = (".jpeg", ".jpg", ".png", ".bmp", ".webp")
 
 
@@ -47,24 +43,13 @@ class ImageFolderDataset:
     def __getitem__(self, index: int):
         from PIL import Image
 
+        from network_interpretation_imagenet_tpu.data.transform import (
+            pil_eval_transform,
+        )
+
         path, label = self.items[index]
         img = Image.open(path).convert("RGB")
-        # Same PIL-exact eval transform as ImagenetLocalizationDataset
-        # (torchvision Resize(crop) + CenterCrop(crop) + ToTensor + Normalize).
-        crop = self.crop
-        w, h = img.size
-        if w < h:
-            new_w, new_h = crop, int(round(h * crop / w))
-        else:
-            new_w, new_h = int(round(w * crop / h)), crop
-        img = img.resize((new_w, new_h), Image.BILINEAR)
-        left = int(round((new_w - crop) / 2.0))
-        top = int(round((new_h - crop) / 2.0))
-        img = img.crop((left, top, left + crop, top + crop))
-        arr = np.asarray(img, np.float32) / 255.0
-        mean = np.asarray(IMAGENET_MEAN, np.float32)
-        std = np.asarray(IMAGENET_STD, np.float32)
-        return (arr - mean) / std, label, None
+        return pil_eval_transform(img, self.crop), label, None
 
     def __iter__(self):
         for i in range(len(self)):

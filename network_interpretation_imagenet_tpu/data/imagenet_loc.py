@@ -5,10 +5,12 @@ Reference: ``dataset.py:22-120`` — parses ``LOC_val_solution.csv`` rows
 class synsets to indices by sorted order, and rescales the FIRST gt bbox
 through the Resize→CenterCrop coordinate transform.
 
-Differences by design: decode on host (PIL), resize/crop/normalize on device
-(`ops.preprocess`), bbox math vectorized and tested against the reference's
-geometry (the reference's loop applies the transform only to the first bbox
-then breaks — ``dataset.py:69-106`` — reproduced here).
+Decode AND resize/crop/normalize run on host via PIL (torchvision's exact
+arithmetic — ``data/transform.py``), which is bit-parity with the reference
+eval pipeline and overlaps device compute in the pipelined sweep; the bbox
+math is vectorized and tested against the reference's geometry (the
+reference's loop applies the transform only to the first bbox then breaks —
+``dataset.py:69-106`` — reproduced here).
 """
 
 from __future__ import annotations
@@ -17,8 +19,6 @@ import os
 from typing import Sequence
 
 import numpy as np
-
-from network_interpretation_imagenet_tpu.config import IMAGENET_MEAN, IMAGENET_STD
 
 
 def parse_loc_csv(path: str):
@@ -101,27 +101,18 @@ class ImagenetLocalizationDataset:
         path, label, boxes = self.items[index]
         img = Image.open(path).convert("RGB")
         img_w, img_h = img.size
-        # Resize + center-crop via PIL — the exact arithmetic torchvision's
-        # transforms perform (they call PIL underneath), so classifier inputs
-        # are bit-parity with the reference eval pipeline
-        # (``bayesian_active_learning_imagenet.py:402-415``). Host-side by
-        # design: decode already lives here, and host preprocessing overlaps
-        # the device's masked forwards in the pipelined sweep. The jittable
-        # device pipeline (``ops.preprocess.standard_eval_pipeline``) remains
-        # for fused on-device serving.
-        crop = self.crop
-        if img_w < img_h:
-            new_w, new_h = crop, int(round(img_h * crop / img_w))
-        else:
-            new_w, new_h = int(round(img_w * crop / img_h)), crop
-        img = img.resize((new_w, new_h), Image.BILINEAR)
-        left = int(round((new_w - crop) / 2.0))
-        top = int(round((new_h - crop) / 2.0))
-        img = img.crop((left, top, left + crop, top + crop))
-        arr = np.asarray(img, np.float32) / 255.0
-        mean = np.asarray(IMAGENET_MEAN, np.float32)
-        std = np.asarray(IMAGENET_STD, np.float32)
-        out = (arr - mean) / std
+        # PIL resize/crop — torchvision's exact arithmetic (shared helper,
+        # see data/transform.py), so classifier inputs are bit-parity with
+        # the reference eval pipeline. Host-side by design: decode already
+        # lives here, and host preprocessing overlaps the device's masked
+        # forwards in the pipelined sweep. The jittable device pipeline
+        # (``ops.preprocess.standard_eval_pipeline``) remains for fused
+        # on-device serving.
+        from network_interpretation_imagenet_tpu.data.transform import (
+            pil_eval_transform,
+        )
+
+        out = pil_eval_transform(img, self.crop)
         gt = transform_gt_bbox(boxes[0], img_w, img_h, self.crop)
         return out, label, gt
 

@@ -55,11 +55,16 @@ class SqueezeNet(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        # torchvision stems use NO padding (Conv2d default) — flax defaults
+        # to SAME, which would shift every downstream feature map
+        # (224→112 instead of 224→109 for 1_0).
         if self.version == "1_0":
-            x = nn.Conv(96, (7, 7), strides=(2, 2), name="conv0", **kw)(x)
+            x = nn.Conv(96, (7, 7), strides=(2, 2), padding="VALID",
+                        name="conv0", **kw)(x)
             plan = _V10
         else:
-            x = nn.Conv(64, (3, 3), strides=(2, 2), name="conv0", **kw)(x)
+            x = nn.Conv(64, (3, 3), strides=(2, 2), padding="VALID",
+                        name="conv0", **kw)(x)
             plan = _V11
         x = nn.relu(x)
         fire_i = 0

@@ -18,16 +18,18 @@ Array = jax.Array
 
 def resize_shorter_side(img: Array, size: int) -> Array:
     """torchvision ``Resize(size)`` semantics: scale so the *shorter* side
-    equals ``size``, preserving aspect ratio (bilinear).
+    equals ``size``, preserving aspect ratio (bilinear). The long side is
+    ``int(size * long / short)`` — truncation, exactly as torchvision's
+    ``_compute_resized_output_size`` (500×375 → 298×224, not 299).
 
     Note: output shape depends on input shape — run un-jitted or pad; the
     standard pipeline immediately center-crops to a static size.
     """
     h, w = img.shape[0], img.shape[1]
     if h <= w:
-        new_h, new_w = size, max(1, round(w * size / h))
+        new_h, new_w = size, max(1, int(size * w / h))
     else:
-        new_h, new_w = max(1, round(h * size / w)), size
+        new_h, new_w = max(1, int(size * h / w)), size
     return jax.image.resize(img, (new_h, new_w) + img.shape[2:], method="bilinear")
 
 

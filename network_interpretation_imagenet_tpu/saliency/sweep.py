@@ -45,6 +45,11 @@ class SweepResult:
     images_failed: int = 0
     mean_iou: float = 0.0
     mean_survival: float = 0.0
+    # Per-image "seconds" rows (and this pooled p50) measure the
+    # enqueue→finalize SPAN through the async pipeline — they include
+    # overlap with other images' host work, so they are an upper bound on
+    # isolated per-image latency (bench.py's one_image measures that);
+    # throughput (`evals_per_sec`) is the sweep's primary metric.
     p50_latency_s: float = 0.0
     evals_per_sec: float = 0.0
     per_image: list = dataclasses.field(default_factory=list)
@@ -193,8 +198,16 @@ def saliency_sweep(
                 survived_per_image = [r.survived for r in results]
             else:
                 survived_per_image = fb["survived_per_image"]
-            for j, meta in enumerate(fb["metas"]):
-                i, seg, s, width, firsts, label, t0 = meta
+        except Exception as e:
+            # Whole-flush failure (nothing finalized yet): all images failed.
+            res.images_failed += len(fb["metas"])
+            log.emit({"event": "batch_failed",
+                      "indices": [m[0] for m in fb["metas"]],
+                      "error": repr(e)})
+            return
+        for j, meta in enumerate(fb["metas"]):
+            i, seg, s, width, firsts, label, t0 = meta
+            try:
                 pred = int(preds[j])
                 if label is not None and pred != int(label):
                     res.images_skipped_misclassified += 1
@@ -206,11 +219,10 @@ def saliency_sweep(
                     seg, firsts, width, surv
                 )
                 finish_image(i, pred, seg, s, heat, surv, t0)
-        except Exception as e:
-            res.images_failed += len(fb["metas"])
-            log.emit({"event": "batch_failed",
-                      "indices": [m[0] for m in fb["metas"]],
-                      "error": repr(e)})
+            except Exception as e:  # per-image: never double-count the rest
+                res.images_failed += 1
+                log.emit({"event": "image_failed", "index": i,
+                          "error": repr(e)})
 
     def flush_pending():
         """Dispatch the pending image batch (one batched predict + one
@@ -277,12 +289,9 @@ def saliency_sweep(
         try:
             # Host segmentation runs FIRST so it overlaps the device
             # evaluating the in-flight image's masks (streaming path). The
-            # display conversion is pure numpy for the same reason — a device
-            # round-trip here would serialize the pipeline.
-            disp = np.asarray(image, np.float32)
-            disp = disp - disp.min()
-            disp = disp / max(float(disp.max()), np.finfo(np.float32).tiny)
-            disp = (disp * 255.0).astype(np.uint8)
+            # display conversion is the numpy twin for the same reason — a
+            # device round-trip here would serialize the pipeline.
+            disp = aggregate.normalize_to_uint8_np(image)
             if disp.ndim == 3 and disp.shape[2] == 1:
                 disp = disp[:, :, 0]
             with log.phase("segment", index=i):

@@ -70,14 +70,19 @@ def reference_iou(box_a_xywh, box_b_xywh):
 
 def torchvision_eval_transform(img, crop=224):
     """torchvision Resize(crop)+CenterCrop(crop)+ToTensor+Normalize oracle
-    via PIL (what torchvision itself calls). Returns f32 [H, W, 3] HWC."""
+    via PIL (what torchvision itself calls). Returns f32 [H, W, 3] HWC.
+
+    NOTE: torchvision computes the long side as ``int(size * long / short)``
+    — TRUNCATION (``_compute_resized_output_size``), not round(). E.g.
+    500×375 → 298×224, not 299×224.
+    """
     from PIL import Image
 
     w, h = img.size
     if w < h:
-        new_w, new_h = crop, int(round(h * crop / w))
+        new_w, new_h = crop, int(crop * h / w)
     else:
-        new_w, new_h = int(round(w * crop / h)), crop
+        new_w, new_h = int(crop * w / h), crop
     img = img.resize((new_w, new_h), Image.BILINEAR)
     left = int(round((new_w - crop) / 2.0))
     top = int(round((new_h - crop) / 2.0))

@@ -306,6 +306,28 @@ def test_densenet_roundtrip_random_weights(rng):
     np.testing.assert_allclose(j_logits, t_logits, atol=1e-3, rtol=1e-3)
 
 
+
+def _structured_batch(rng, size=224):
+    """Collage image — spatially structured so geometry bugs (stride/padding/
+    pool) produce gross logit differences instead of near-constant outputs
+    that sneak under tolerance."""
+    img = np.ones((size, size, 3), np.float32) * rng.rand(3)
+    for _ in range(30):
+        y, x = rng.randint(0, size, 2)
+        h, w = rng.randint(size // 10, size // 3, 2)
+        img[y:y+h, x:x+w] = rng.rand(3)
+    img += 0.05 * rng.randn(size, size, 3).astype(np.float32)
+    return np.clip(img, 0, 1).transpose(2, 0, 1)[None].astype(np.float32)
+
+
+def _assert_logit_parity(t_logits, j_logits, atol=2e-3):
+    # Guard against the degenerate near-constant-output case that would let
+    # geometry bugs pass tolerance.
+    assert t_logits.std() > 1e-3, "oracle logits are near-constant"
+    np.testing.assert_allclose(j_logits, t_logits, atol=atol, rtol=2e-3)
+    np.testing.assert_array_equal(j_logits.argmax(-1), t_logits.argmax(-1))
+
+
 def test_alexnet_roundtrip_random_weights(rng):
     """torchvision-layout AlexNet replica → convert → flax logits match.
     Input must be 224² (AdaptiveAvgPool2d((6,6)) is the identity there)."""
@@ -335,13 +357,13 @@ def test_alexnet_roundtrip_random_weights(rng):
     variables = convert.convert_alexnet(sd_np)
     bundle = create_model("alexnet", "imagenet")
 
-    x = rng.rand(1, 3, 224, 224).astype(np.float32)
+    x = _structured_batch(rng)
     with torch.no_grad():
         t_logits = t_forward(torch.from_numpy(x)).numpy()
     j_logits = np.asarray(
         bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
     )
-    np.testing.assert_allclose(j_logits, t_logits, atol=1e-3, rtol=1e-3)
+    _assert_logit_parity(t_logits, j_logits)
 
 
 @pytest.mark.parametrize("version", ["1_0", "1_1"])
@@ -395,13 +417,13 @@ def test_squeezenet_roundtrip_random_weights(rng, version):
     variables = convert.convert_squeezenet(sd_np, f"squeezenet{version}")
     bundle = create_model(f"squeezenet{version}", "imagenet")
 
-    x = rng.rand(1, 3, 224, 224).astype(np.float32)
+    x = _structured_batch(rng)
     with torch.no_grad():
         t_logits = t_forward(torch.from_numpy(x)).numpy()
     j_logits = np.asarray(
         bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
     )
-    np.testing.assert_allclose(j_logits, t_logits, atol=1e-3, rtol=1e-3)
+    _assert_logit_parity(t_logits, j_logits)
 
 
 def test_densenet121_torchvision_roundtrip_random_weights(rng):
@@ -474,10 +496,10 @@ def test_densenet121_torchvision_roundtrip_random_weights(rng):
     variables = convert.convert_densenet_torchvision(sd_np, "densenet121")
     bundle = create_model("densenet121", "imagenet")
 
-    x = rng.rand(1, 3, 224, 224).astype(np.float32)
+    x = _structured_batch(rng)
     with torch.no_grad():
         t_logits = tmodel(torch.from_numpy(x)).numpy()
     j_logits = np.asarray(
         bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
     )
-    np.testing.assert_allclose(j_logits, t_logits, atol=2e-3, rtol=2e-3)
+    _assert_logit_parity(t_logits, j_logits, atol=3e-3)
