@@ -192,3 +192,43 @@ def test_multi_image_eval_chunks_and_pads(mnist_engine, digit_setup):
             multi[i].prob_target, single.prob_target, atol=1e-5
         )
         np.testing.assert_allclose(multi[i].prob_max, single.prob_max, atol=1e-5)
+
+
+def test_sweep_over_real_jpeg_fixture(mnist_engine):
+    """Integration: the committed real-JPEG fixture (decode → PIL transform
+    → FH segmentation → masked forwards → heatmap → IOU vs real gt boxes)
+    through the full sweep driver. Uses an untrained 224²-capable engine?
+    No — builds a tiny ImageNet-shaped CNN stand-in via labels=None (no skip)
+    so the flow, not the classifier, is under test."""
+    import jax
+    import jax.numpy as jnp
+
+    from network_interpretation_imagenet_tpu.config import SegmentConfig
+    from network_interpretation_imagenet_tpu.data.imagenet_loc import (
+        ImagenetLocalizationDataset,
+    )
+    from network_interpretation_imagenet_tpu.models import create_model
+    from network_interpretation_imagenet_tpu.saliency.sweep import saliency_sweep
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "imagenet_loc")
+    if not os.path.isdir(fixture):
+        pytest.skip("fixture absent")
+    ds = ImagenetLocalizationDataset(fixture)
+
+    bundle = create_model("squeezenet1_1", "imagenet")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=32,
+                            compute_dtype=jnp.float32)
+
+    def dataset():
+        for img, _label, gt in ds:
+            yield img, None, gt  # label None: untrained net never skips
+
+    res = saliency_sweep(
+        engine, dataset(), SegmentConfig(), num_mask_samples=16, seed=0
+    )
+    assert res.images_total == 3
+    assert res.images_explained == 3
+    assert res.images_failed == 0
+    # Every image has a gt box → an IOU column exists and is finite.
+    assert all("iou" in row and np.isfinite(row["iou"]) for row in res.per_image)
