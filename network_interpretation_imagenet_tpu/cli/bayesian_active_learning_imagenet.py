@@ -46,7 +46,7 @@ def main(argv=None):
     cfg = BOConfig(n_iters=args.n_iters, n_pre_samples=args.n_pre_samples)
     out, trace = bo_window_saliency(
         engine, image, seg, cfg, window_fraction=args.window_fraction,
-        seed=args.seed, target=target, fused=not args.no_fused,
+        seed=args.seed, target=target, fused=args.fused,
         proposals_per_iter=args.proposals_per_iter,
     )
     duration = time.time() - start

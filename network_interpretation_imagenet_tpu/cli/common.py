@@ -108,8 +108,16 @@ def add_bo_flags(p: argparse.ArgumentParser) -> None:
     g = p.add_argument_group("bayesian optimization")
     g.add_argument("--n_iters", type=int, default=10)
     g.add_argument("--n_pre_samples", type=int, default=3)
-    g.add_argument("--no-fused", action="store_true",
-                   help="use the host-driven BO loop instead of the one-jit loop")
+    # The one-jit fused loop amortizes its (minutes-long) compile across many
+    # images — sweeps and the library default use it. A one-image CLI run is
+    # ~5× faster end-to-end on the host-driven loop (same math), so that is
+    # the CLI default; --fused opts in.
+    g.add_argument("--fused", dest="fused", action="store_true", default=False,
+                   help="run the one-jit fused BO loop (best when explaining "
+                        "many images; long first compile)")
+    g.add_argument("--no-fused", dest="fused", action="store_false",
+                   help="use the host-driven BO loop (default; fastest for "
+                        "a single image)")
 
 
 def add_gp_flags(p: argparse.ArgumentParser) -> None:
