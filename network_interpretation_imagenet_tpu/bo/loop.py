@@ -131,6 +131,7 @@ def make_fused_window_bo(
     proposals_per_iter: int = 1,
     mesh=None,
     data_axis: str = "data",
+    batch_images: bool = False,
 ):
     """Build the one-jit fused BO runner; reuse it across images so the
     (expensive, ~minutes) compile happens once per static config.
@@ -149,6 +150,13 @@ def make_fused_window_bo(
     mesh's ``data_axis`` via `shard_map` *inside* the fused jit — each chip
     evaluates q/n_data proposals; the tiny GP refit replicates.
 
+    ``batch_images=True`` vmaps the ENTIRE loop over a leading image axis:
+    ``run(variables, images[N,...], segments[N,...], widths[N], targets[N],
+    uppers[N], keys[N,2])`` runs N independent BO loops as one program —
+    every iteration's forwards batch N·q masked images on the MXU. With a
+    mesh, the image axis shards over ``data_axis`` (each chip runs N/d
+    loops; no collectives).
+
     ``run`` returns (xs, ys, survived, count): fixed-size arrays with
     ``count`` valid leading entries, in evaluation order.
     """
@@ -156,12 +164,15 @@ def make_fused_window_bo(
     max_obs = n_pre_samples + n_iters * q
     ls_grid = jnp.asarray(lengthscale_grid, jnp.float32)
     cand = jnp.arange(max_candidates, dtype=jnp.float32)
+    # In batch_images mode the mesh shards the image axis (outside the
+    # vmap); the inner per-proposal shard_map cannot nest under that.
+    proposal_mesh = None if batch_images else mesh
 
-    if mesh is not None:
+    if proposal_mesh is not None:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        n_data = mesh.shape[data_axis]
+        n_data = proposal_mesh.shape[data_axis]
 
         def _local_forward(variables, image, segments, width, target, f_local):
             masks = masking.window_masks(
@@ -174,19 +185,18 @@ def make_fused_window_bo(
 
         _sharded_forward = shard_map(
             _local_forward,
-            mesh=mesh,
+            mesh=proposal_mesh,
             in_specs=(P(), P(), P(), P(), P(), P(data_axis)),
             out_specs=(P(data_axis), P(data_axis)),
             check_vma=False,
         )
 
-    @jax.jit
-    def run(variables, image, segments, width, target, upper, key):
+    def run_core(variables, image, segments, width, target, upper, key):
         cand_ok = cand <= upper
 
         def eval_starts(firsts: Array) -> Tuple[Array, Array]:
             """Evaluate a batch of window starts in ONE (sharded) forward."""
-            if mesh is None:
+            if proposal_mesh is None:
                 masks = masking.window_masks(
                     segments, firsts.astype(jnp.int32), width
                 )
@@ -292,7 +302,26 @@ def make_fused_window_bo(
         state = jax.lax.fori_loop(0, n_iters, bo_body, state)
         return state.xs, state.ys, state.survived, state.count
 
-    return run
+    if batch_images:
+        # N independent BO loops as ONE program: forwards batch N·q images
+        # on the MXU instead of q, GP refits vmap (trivially small). With a
+        # mesh, the IMAGE axis shards over ``data_axis`` — each chip runs
+        # its slice of loops, no cross-chip traffic at all.
+        vrun = jax.vmap(run_core, in_axes=(None, 0, 0, 0, 0, 0, 0))
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            vrun = shard_map(
+                vrun,
+                mesh=mesh,
+                in_specs=(P(), P(data_axis), P(data_axis), P(data_axis),
+                          P(data_axis), P(data_axis), P(data_axis)),
+                out_specs=(P(data_axis),) * 4,
+                check_vma=False,
+            )
+        return jax.jit(vrun)
+    return jax.jit(run_core)
 
 
 def fused_window_bo(

@@ -43,13 +43,13 @@ _FUSED_RUNNERS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 def fused_runner(
     engine: SaliencyEngine, max_candidates: int, cfg: BOConfig, q: int,
-    mesh=None,
+    mesh=None, batch_images: bool = False,
 ):
     """Compile-once fused-BO runner for this engine + static config."""
     per_engine = _FUSED_RUNNERS.setdefault(engine, {})
     key = (
         max_candidates, cfg.n_pre_samples, cfg.n_iters, cfg.alpha,
-        cfg.epsilon, tuple(cfg.lengthscale_grid), q, mesh,
+        cfg.epsilon, tuple(cfg.lengthscale_grid), q, mesh, batch_images,
     )
     if key not in per_engine:
         bundle, dtype = engine.bundle, engine.compute_dtype
@@ -67,6 +67,7 @@ def fused_runner(
             lengthscale_grid=cfg.lengthscale_grid,
             proposals_per_iter=q,
             mesh=mesh,
+            batch_images=batch_images,
         )
     return per_engine[key]
 
@@ -156,3 +157,104 @@ def bo_window_saliency(
         width=width,
     )
     return out, bo_res
+
+
+def bo_window_saliency_multi(
+    engine: SaliencyEngine,
+    images,
+    segments_list,
+    cfg: BOConfig = BOConfig(),
+    window_fraction: float = 0.4,
+    seed: int = 0,
+    targets=None,
+    mesh=None,
+    proposals_per_iter: int = 1,
+):
+    """Fused BO saliency over N same-shape images in ONE program.
+
+    TPU-first extension of the reference's one-image flagship path
+    (``bayesian_active_learning_imagenet.py:379-498``): the whole
+    active-learning loop vmaps over the image axis, so every BO iteration's
+    classifier forward batches N·q masked images on the MXU instead of q.
+    With ``mesh``, the image axis additionally shards over the mesh's data
+    axis (each chip runs its slice of loops — no collectives).
+
+    Returns a list of N (SaliencyOutput, BOResult) pairs, identical to N
+    independent :func:`bo_window_saliency` calls with seeds derived from
+    ``jax.random.split(PRNGKey(seed), N)``.
+    """
+    segs = [np.asarray(s, np.int32) for s in segments_list]
+    n = len(segs)
+    ss = [int(s.max()) + 1 for s in segs]
+    widths = np.asarray([int(window_fraction * s) for s in ss], np.int32)
+    uppers = np.asarray([int(0.6 * s) for s in ss], np.int32)
+    images = np.asarray(np.stack(images), np.float32)
+    if targets is None:
+        targets = np.asarray(engine.predict(images).argmax(axis=1), np.int32)
+    else:
+        targets = np.asarray(targets, np.int32)
+
+    # Pad the image axis to a power of two: one compiled program per
+    # (bucket, config), and pow-2 counts divide pow-2 mesh data axes.
+    n_pad = 1
+    while n_pad < n:
+        n_pad *= 2
+    if mesh is not None:
+        n_data = int(mesh.shape["data"])
+        while n_pad % n_data:  # small batch on a wide mesh: pad up to n_data
+            n_pad *= 2
+    if n_pad > n:
+        reps = n_pad - n
+        pad = lambda a: np.concatenate([a, np.repeat(a[:1], reps, axis=0)])
+        images, targets, widths, uppers = (
+            pad(images), pad(targets), pad(widths), pad(uppers)
+        )
+        segs_arr = pad(np.stack(segs))
+    else:
+        segs_arr = np.stack(segs)
+
+    run = fused_runner(
+        engine, next_pow2(int(uppers.max()) + 1), cfg, proposals_per_iter,
+        mesh=mesh, batch_images=True,
+    )
+    # Keys derive from the ORIGINAL image count so results are invariant to
+    # padding (and to whether a mesh widened the pad).
+    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+    if n_pad > n:
+        keys = jnp.concatenate(
+            [keys, jnp.repeat(keys[:1], n_pad - n, axis=0)]
+        )
+    xs, ys, survived, counts = run(
+        engine.variables, jnp.asarray(images), jnp.asarray(segs_arr),
+        jnp.asarray(widths), jnp.asarray(targets), jnp.asarray(uppers), keys,
+    )
+    xs, ys = np.asarray(xs), np.asarray(ys)
+    survived, counts = np.asarray(survived), np.asarray(counts)
+
+    from network_interpretation_imagenet_tpu.saliency.engine import MaskEvalResult
+
+    outs = []
+    for i in range(n):
+        c = int(counts[i])
+        bo_res = BOResult(
+            xp=xs[i, :c].astype(int), yp=ys[i, :c], survived=survived[i, :c]
+        )
+        heat = aggregate.summed_superpixel_labels_np(
+            segs[i], bo_res.xp.astype(np.int32), int(widths[i]),
+            bo_res.survived,
+        )
+        outs.append((
+            SaliencyOutput(
+                segments=segs[i], num_segments=ss[i],
+                eval=MaskEvalResult(
+                    survived=bo_res.survived,
+                    preds=np.where(bo_res.survived, targets[i], -1),
+                    prob_target=bo_res.yp.astype(np.float32),
+                    prob_max=np.full_like(bo_res.yp, np.nan, dtype=np.float32),
+                ),
+                heatmap=heat, firsts=bo_res.xp.astype(np.int32),
+                width=int(widths[i]),
+            ),
+            bo_res,
+        ))
+    return outs

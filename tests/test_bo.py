@@ -262,3 +262,62 @@ def test_bo_window_saliency_single_segment_image():
         )
         assert out.heatmap.shape == (28, 28)
         assert len(trace.xp) == 4
+
+
+def test_fused_bo_batched_matches_per_image():
+    """bo_window_saliency_multi (vmapped loops) must reproduce N independent
+    fused runs with the same split keys — including with the image axis
+    sharded over the 8-CPU mesh."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.models import create_model
+    from network_interpretation_imagenet_tpu.saliency import SaliencyEngine
+    from network_interpretation_imagenet_tpu.saliency import bo_pipeline
+    from network_interpretation_imagenet_tpu.parallel import make_mesh
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(4))
+    engine = SaliencyEngine(bundle, variables, mask_batch=16,
+                            compute_dtype=jnp.float32)
+    rng = np.random.RandomState(7)
+    n = 3  # pads to 4
+    images = [rng.rand(28, 28, 1).astype(np.float32) for _ in range(n)]
+    segs = [(np.arange(784).reshape(28, 28) % (8 + 2 * i)).astype(np.int32)
+            for i in range(n)]
+    cfg = BOConfig(n_iters=3, n_pre_samples=2)
+    targets = [1, 2, 3]
+
+    multi = bo_pipeline.bo_window_saliency_multi(
+        engine, images, segs, cfg, seed=0, targets=targets
+    )
+    assert len(multi) == n
+
+    # Per-image oracle with the SAME derived keys (split over the ORIGINAL
+    # image count — padding must not change results).
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    from network_interpretation_imagenet_tpu.bo import next_pow2
+    uppers = [int(0.6 * (int(s.max()) + 1)) for s in segs]
+    max_cand = next_pow2(max(uppers) + 1)
+    run1 = bo_pipeline.fused_runner(engine, max_cand, cfg, 1)
+    for i in range(n):
+        s = int(segs[i].max()) + 1
+        xs, ys, surv, count = run1(
+            engine.variables, jnp.asarray(images[i]), jnp.asarray(segs[i]),
+            jnp.int32(int(0.4 * s)), jnp.int32(targets[i]),
+            jnp.int32(uppers[i]), keys[i],
+        )
+        c = int(count)
+        out, tr = multi[i]
+        np.testing.assert_array_equal(tr.xp, np.asarray(xs)[:c].astype(int))
+        np.testing.assert_allclose(tr.yp, np.asarray(ys)[:c], atol=1e-5)
+        np.testing.assert_array_equal(tr.survived, np.asarray(surv)[:c])
+
+    # Mesh-sharded image axis: same results again.
+    multi_mesh = bo_pipeline.bo_window_saliency_multi(
+        engine, images, segs, cfg, seed=0, targets=targets, mesh=make_mesh()
+    )
+    for i in range(n):
+        np.testing.assert_array_equal(multi[i][1].xp, multi_mesh[i][1].xp)
+        np.testing.assert_allclose(multi[i][1].yp, multi_mesh[i][1].yp,
+                                   atol=1e-5)
+        np.testing.assert_allclose(multi[i][0].heatmap,
+                                   multi_mesh[i][0].heatmap, atol=1e-5)
