@@ -27,8 +27,15 @@ def main(argv=None):
     p.add_argument("--proposals-per-iter", type=int, default=1,
                    help="q-batched BO: evaluate top-q EI proposals per "
                         "iteration in one forward (1 = reference behavior)")
+    p.add_argument("--num-images", type=int, default=1,
+                   help=">1: explain N consecutive images with the vmapped "
+                        "image-batched fused loop (~6x per-image vs one at "
+                        "a time; docs/PERFORMANCE.md)")
     args = p.parse_args(argv)
     common.apply_debug_flags(args)
+
+    if args.num_images > 1:
+        return _run_batched(args)
 
     start = time.time()
     image, disp, label, gt_bbox = common.resolve_image(args)
@@ -80,6 +87,58 @@ def main(argv=None):
         payload["pred_box_xywh"] = [int(v) for v in pred_box]
         payload["gt_box_xywh"] = [float(v) for v in gt_bbox]
     common.emit_result(args.out, "bo_result.json", payload)
+
+
+def _run_batched(args):
+    """N-image batched fused BO (TPU-first extension of the one-image
+    reference flow): one vmapped program explains all N images."""
+    import copy
+
+    from network_interpretation_imagenet_tpu.saliency.bo_pipeline import (
+        bo_window_saliency_multi,
+    )
+
+    start = time.time()
+    engine = common.build_engine(args)
+    seg_cfg = common.segment_config(args)
+    images, segs, gts = [], [], []
+    for i in range(args.num_images):
+        a = copy.copy(args)  # argparse Namespace: vary only the index
+        a.eval_img_index = args.eval_img_index + i
+        image, disp, _label, gt_bbox = common.resolve_image(a)
+        images.append(np.asarray(image))
+        segs.append(common.segment_display(disp, seg_cfg))
+        gts.append(gt_bbox)
+
+    cfg = BOConfig(n_iters=args.n_iters, n_pre_samples=args.n_pre_samples)
+    results = bo_window_saliency_multi(
+        engine, images, segs, cfg, window_fraction=args.window_fraction,
+        seed=args.seed, proposals_per_iter=args.proposals_per_iter,
+    )
+    duration = time.time() - start
+
+    rows = []
+    for i, (out, trace) in enumerate(results):
+        row = {
+            "eval_img_index": args.eval_img_index + i,
+            "num_segments": out.num_segments,
+            "survived": int(out.eval.survived.sum()),
+            "best_start": int(trace.xp[np.argmax(trace.yp)]),
+        }
+        if gts[i] is not None:
+            iou, _ = localization_score(out.heatmap, gts[i], args.bbox_threshold)
+            row["IOU"] = round(float(iou), 4)
+        rows.append(row)
+        common.write_heatmap_png(
+            os.path.join(args.out, f"heatmap_{args.eval_img_index + i}.png"),
+            out.heatmap,
+        )
+    common.emit_result(args.out, "bo_result.json", {
+        "num_images": args.num_images,
+        "per_image": rows,
+        "time_duration_s": round(duration, 3),
+        "ms_per_image": round(duration / args.num_images * 1000, 1),
+    })
 
 
 if __name__ == "__main__":

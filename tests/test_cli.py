@@ -198,3 +198,27 @@ def test_cli_gp_classification_ckpt_roundtrip(tmp_path):
     r1 = _json(os.path.join(out1, "gp_classification_result.json"))
     r2 = _json(os.path.join(out2, "gp_classification_result.json"))
     np.testing.assert_allclose(r1["prob_range"], r2["prob_range"], atol=1e-5)
+
+
+def test_cli_bo_batched(tmp_path):
+    import json
+
+    from network_interpretation_imagenet_tpu.cli import (
+        bayesian_active_learning_imagenet as bo_cli,
+    )
+
+    out = str(tmp_path)
+    bo_cli.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--dtype", "float32", "--num-images", "3", "--n_iters", "2",
+        "--n_pre_samples", "2", "--out", out,
+    ])
+    with open(f"{out}/bo_result.json") as f:
+        res = json.load(f)
+    assert res["num_images"] == 3
+    assert len(res["per_image"]) == 3
+    for i, row in enumerate(res["per_image"]):
+        assert row["eval_img_index"] == 1 + i
+        assert 0 <= row["survived"] <= 6
+    import os as _os
+    assert _os.path.exists(f"{out}/heatmap_2.png")
