@@ -210,6 +210,7 @@ def tpu_rate_and_latency():
     dn_engine = SaliencyEngine(
         dn_bundle, dn_bundle.init(jax.random.PRNGKey(1)), mask_batch=1024
     )
+    log("densenet121: warm sweep (cold compile can take minutes)...")
     saliency_sweep(dn_engine, sweep_dataset(2, 23), seg_cfg,
                    num_mask_samples=1024, seed=0)  # warm
     dn_res = saliency_sweep(dn_engine, sweep_dataset(10, 29), seg_cfg,
@@ -253,6 +254,7 @@ def tpu_rate_and_latency():
         bo_segs.append(np.asarray(
             slic_fn((img * 255).astype(np.uint8), n_segments=48, num_iters=10)
         ))
+    log("batched fused-BO: warming (one vmapped compile)...")
     bo_pipeline.bo_window_saliency_multi(
         engine, bo_imgs, bo_segs, bo_cfg, seed=0, targets=[1] * 16)  # warm
     t0 = time.perf_counter()

@@ -358,3 +358,125 @@ def saliency_sweep(
     res.p50_latency_s = float(np.median(latencies)) if latencies else 0.0
     res.evals_per_sec = total_evals / wall if wall > 0 else 0.0
     return res
+
+
+def bo_saliency_sweep(
+    engine: SaliencyEngine,
+    dataset: Iterable,
+    seg_cfg: SegmentConfig,
+    bo_cfg=None,
+    window_fraction: float = 0.4,
+    bbox_threshold: int = 180,
+    image_batch: int = 16,
+    max_images: Optional[int] = None,
+    seed: int = 0,
+    logger: Optional[PhaseLogger] = None,
+    mesh=None,
+    proposals_per_iter: int = 1,
+) -> SweepResult:
+    """Val-set sweep driven by the FLAGSHIP path: GP-EI BO per image
+    (``bayesian_active_learning_imagenet.py:379-498``), batched — every
+    ``image_batch`` images run as ONE vmapped fused-BO program
+    (``bo_window_saliency_multi``, ~25 ms/image ResNet-101 vs ~135 ms one
+    at a time), optionally image-sharded over ``mesh``.
+
+    Misclassified images are skipped BEFORE dispatch (one batched predict
+    per flush), so no BO budget is wasted on them.
+    """
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.ops import aggregate
+    from network_interpretation_imagenet_tpu.saliency.bo_pipeline import (
+        bo_window_saliency_multi,
+    )
+
+    bo_cfg = bo_cfg or BOConfig()
+    log = logger or PhaseLogger(enabled=False)
+    res = SweepResult()
+    iou_m, surv_m = AverageMeter(), AverageMeter()
+    latencies = []
+    evals_per_image = bo_cfg.n_pre_samples + bo_cfg.n_iters * proposals_per_iter
+    total_evals = 0
+    t_start = time.perf_counter()
+    pending = []  # (i, image, seg, s, label, gt, t0)
+
+    def flush():
+        nonlocal total_evals
+        if not pending:
+            return
+        batch = list(pending)
+        pending.clear()
+        try:
+            idxs, imgs, segs, ss, labels, gts, t0s = zip(*batch)
+            preds = engine.predict(np.stack(imgs)).argmax(axis=1)
+            keep = []
+            for j in range(len(batch)):
+                if labels[j] is not None and int(preds[j]) != int(labels[j]):
+                    res.images_skipped_misclassified += 1
+                    log.emit({"event": "skip_misclassified", "index": idxs[j],
+                              "pred": int(preds[j]), "label": int(labels[j])})
+                else:
+                    keep.append(j)
+            if not keep:
+                return
+            results = bo_window_saliency_multi(
+                engine, [imgs[j] for j in keep], [segs[j] for j in keep],
+                bo_cfg, window_fraction=window_fraction,
+                seed=seed + idxs[keep[0]],
+                targets=[int(preds[j]) for j in keep], mesh=mesh,
+                proposals_per_iter=proposals_per_iter,
+            )
+        except Exception as e:
+            res.images_failed += len(batch)
+            log.emit({"event": "batch_failed", "indices": [b[0] for b in batch],
+                      "error": repr(e)})
+            return
+        for j, (out, trace) in zip(keep, results):
+            try:
+                total_evals += evals_per_image
+                row = {"index": idxs[j], "target": int(preds[j]),
+                       "num_segments": ss[j],
+                       "survival": float(np.mean(out.eval.survived)),
+                       "best_start": int(trace.xp[np.argmax(trace.yp)])}
+                surv_m.update(row["survival"])
+                if gts[j] is not None:
+                    iou, _ = localization_score(out.heatmap, gts[j],
+                                                bbox_threshold)
+                    row["iou"] = float(iou)
+                    iou_m.update(float(iou))
+                res.images_explained += 1
+                latencies.append(time.perf_counter() - t0s[j])
+                row["seconds"] = round(latencies[-1], 4)
+                res.per_image.append(row)
+                log.emit({"event": "image_done", **row})
+            except Exception as e:
+                res.images_failed += 1
+                log.emit({"event": "image_failed", "index": idxs[j],
+                          "error": repr(e)})
+
+    for i, item in enumerate(dataset):
+        if max_images is not None and i >= max_images:
+            break
+        image, label, gt_bbox = (item + (None,))[:3] if len(item) == 2 else item
+        res.images_total += 1
+        t0 = time.perf_counter()
+        try:
+            disp = aggregate.normalize_to_uint8_np(image)
+            if disp.ndim == 3 and disp.shape[2] == 1:
+                disp = disp[:, :, 0]
+            with log.phase("segment", index=i):
+                seg = np.asarray(segment_image(disp, seg_cfg), np.int32)
+            pending.append((i, np.asarray(image), seg, int(seg.max()) + 1,
+                            label, gt_bbox, t0))
+            if len(pending) >= image_batch:
+                flush()
+        except Exception as e:
+            res.images_failed += 1
+            log.emit({"event": "image_failed", "index": i, "error": repr(e)})
+    flush()
+
+    wall = time.perf_counter() - t_start
+    res.mean_iou = iou_m.avg
+    res.mean_survival = surv_m.avg
+    res.p50_latency_s = float(np.median(latencies)) if latencies else 0.0
+    res.evals_per_sec = total_evals / wall if wall > 0 else 0.0
+    return res

@@ -190,3 +190,35 @@ def test_saliency_sweep_mesh_plus_image_batch_composes():
     for a, b in zip(res_a.per_image, res_b.per_image):
         assert a["survival"] == b["survival"]
         assert a["num_segments"] == b["num_segments"]
+
+
+def test_bo_saliency_sweep_end_to_end():
+    """BO-driven sweep: batched fused loops over the image axis, skip
+    decided pre-dispatch, IOU computed for images with gt."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.saliency.sweep import bo_saliency_sweep
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=8, compute_dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    img = rng.rand(28, 28, 1).astype(np.float32)
+    pred, _ = engine.predict_one(img)
+
+    def dataset():
+        yield img, pred, np.array([4, 4, 10, 10])   # explained, with IOU
+        yield img, (pred + 1) % 10, None            # misclassified → skipped
+        yield rng.rand(28, 28, 1).astype(np.float32), None, None  # explained
+
+    cfg = SegmentConfig(method="slic", n_segments=9, slic_iters=4)
+    res = bo_saliency_sweep(
+        engine, dataset(), cfg, bo_cfg=BOConfig(n_iters=2, n_pre_samples=2),
+        image_batch=2,
+    )
+    assert res.images_total == 3
+    assert res.images_explained == 2
+    assert res.images_skipped_misclassified == 1
+    assert res.images_failed == 0
+    assert res.evals_per_sec > 0
+    iou_rows = [r for r in res.per_image if "iou" in r]
+    assert len(iou_rows) == 1 and np.isfinite(iou_rows[0]["iou"])
