@@ -110,6 +110,12 @@ def create_model(
 
         module = SqueezeNet(version=arch.split("squeezenet")[1],
                             num_classes=nc, **kw)
+    elif arch == "inception_v3":
+        from network_interpretation_imagenet_tpu.models.inception import InceptionV3
+
+        # torchvision's pretrained factory enables transform_input; mirror it
+        # so converted pretrained checkpoints see their training distribution.
+        module = InceptionV3(num_classes=nc, transform_input=True, **kw)
     elif arch == "mnist_cnn":
         module = MnistCNN(num_classes=nc, **kw)
     elif arch == "resnet":  # CIFAR ResNet-6N+2 (reference models/resnet.py)
@@ -132,10 +138,13 @@ def create_model(
     else:
         raise ValueError(f"unknown arch: {arch}")
 
+    # Inception-v3's native resolution is 299² (torchvision eval transform);
+    # the data pipeline's 224² tensors also trace — the head is a global pool.
+    input_size = 299 if arch == "inception_v3" else spec.image_size
     return ModelBundle(
         name=arch,
         module=module,
-        input_size=spec.image_size,
+        input_size=input_size,
         input_channels=spec.channels,
         num_classes=nc,
     )

@@ -283,6 +283,29 @@ def convert_squeezenet(sd: Mapping[str, np.ndarray], arch: str) -> Dict[str, Any
     return tb.variables()
 
 
+def convert_inception(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """torchvision Inception-v3 state dict →
+    :class:`models.inception.InceptionV3`.
+
+    The flax module names mirror torchvision's exactly
+    (``Conv2d_1a_3x3`` … ``Mixed_7c``, each BasicConv2d a ``conv``/``bn``
+    pair), so conversion is mechanical: walk every ``*.conv.weight`` /
+    ``*.bn.*`` key. The train-only ``AuxLogits.*`` head is skipped (the
+    inference graph omits it — see models/inception.py)."""
+    tb = _TreeBuilder()
+    for key in sd:
+        if key.startswith("AuxLogits."):
+            continue
+        if key.endswith(".conv.weight"):
+            prefix = key[: -len(".weight")]
+            tb.conv(sd, prefix, *prefix.split("."))
+        elif key.endswith(".bn.weight"):
+            prefix = key[: -len(".weight")]
+            tb.bn(sd, prefix, *prefix.split("."))
+    tb.dense(sd, "fc", "fc")
+    return tb.variables()
+
+
 def convert_checkpoint(path: str, arch: str, depth: int = 56, bn_size: int = 4):
     """One-call ingest: load + convert by architecture family."""
     sd = load_state_dict(path)
@@ -302,4 +325,6 @@ def convert_checkpoint(path: str, arch: str, depth: int = 56, bn_size: int = 4):
         return convert_alexnet(sd)
     if arch.startswith("squeezenet"):
         return convert_squeezenet(sd, arch)
+    if arch == "inception_v3":
+        return convert_inception(sd)
     raise ValueError(f"no converter for arch {arch}")

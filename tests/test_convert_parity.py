@@ -503,3 +503,170 @@ def test_densenet121_torchvision_roundtrip_random_weights(rng):
         bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
     )
     _assert_logit_parity(t_logits, j_logits, atol=3e-3)
+
+
+def test_inception_v3_roundtrip_random_weights(rng):
+    """torchvision-layout Inception-v3 replica (BasicConv2d + Mixed_5b..7c,
+    incl. the pretrained-model transform_input re-normalization) → convert →
+    flax logits match at the native 299² input."""
+
+    class TBasic(tnn.Module):
+        def __init__(self, inp, out, **kw):
+            super().__init__()
+            self.conv = tnn.Conv2d(inp, out, bias=False, **kw)
+            self.bn = tnn.BatchNorm2d(out, eps=0.001)
+
+        def forward(self, x):
+            return tF.relu(self.bn(self.conv(x)))
+
+    class TIncA(tnn.Module):
+        def __init__(self, inp, pool_features):
+            super().__init__()
+            self.branch1x1 = TBasic(inp, 64, kernel_size=1)
+            self.branch5x5_1 = TBasic(inp, 48, kernel_size=1)
+            self.branch5x5_2 = TBasic(48, 64, kernel_size=5, padding=2)
+            self.branch3x3dbl_1 = TBasic(inp, 64, kernel_size=1)
+            self.branch3x3dbl_2 = TBasic(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = TBasic(96, 96, kernel_size=3, padding=1)
+            self.branch_pool = TBasic(inp, pool_features, kernel_size=1)
+
+        def forward(self, x):
+            b5 = self.branch5x5_2(self.branch5x5_1(x))
+            bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+            bp = self.branch_pool(tF.avg_pool2d(x, 3, stride=1, padding=1))
+            return torch.cat([self.branch1x1(x), b5, bd, bp], 1)
+
+    class TIncB(tnn.Module):
+        def __init__(self, inp):
+            super().__init__()
+            self.branch3x3 = TBasic(inp, 384, kernel_size=3, stride=2)
+            self.branch3x3dbl_1 = TBasic(inp, 64, kernel_size=1)
+            self.branch3x3dbl_2 = TBasic(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = TBasic(96, 96, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+            return torch.cat(
+                [self.branch3x3(x), bd, tF.max_pool2d(x, 3, stride=2)], 1
+            )
+
+    class TIncC(tnn.Module):
+        def __init__(self, inp, c7):
+            super().__init__()
+            self.branch1x1 = TBasic(inp, 192, kernel_size=1)
+            self.branch7x7_1 = TBasic(inp, c7, kernel_size=1)
+            self.branch7x7_2 = TBasic(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7_3 = TBasic(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_1 = TBasic(inp, c7, kernel_size=1)
+            self.branch7x7dbl_2 = TBasic(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_3 = TBasic(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7dbl_4 = TBasic(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_5 = TBasic(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch_pool = TBasic(inp, 192, kernel_size=1)
+
+        def forward(self, x):
+            b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+            bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+                self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+            bp = self.branch_pool(tF.avg_pool2d(x, 3, stride=1, padding=1))
+            return torch.cat([self.branch1x1(x), b7, bd, bp], 1)
+
+    class TIncD(tnn.Module):
+        def __init__(self, inp):
+            super().__init__()
+            self.branch3x3_1 = TBasic(inp, 192, kernel_size=1)
+            self.branch3x3_2 = TBasic(192, 320, kernel_size=3, stride=2)
+            self.branch7x7x3_1 = TBasic(inp, 192, kernel_size=1)
+            self.branch7x7x3_2 = TBasic(192, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7x3_3 = TBasic(192, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7x3_4 = TBasic(192, 192, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            b3 = self.branch3x3_2(self.branch3x3_1(x))
+            b7 = self.branch7x7x3_4(self.branch7x7x3_3(
+                self.branch7x7x3_2(self.branch7x7x3_1(x))))
+            return torch.cat([b3, b7, tF.max_pool2d(x, 3, stride=2)], 1)
+
+    class TIncE(tnn.Module):
+        def __init__(self, inp):
+            super().__init__()
+            self.branch1x1 = TBasic(inp, 320, kernel_size=1)
+            self.branch3x3_1 = TBasic(inp, 384, kernel_size=1)
+            self.branch3x3_2a = TBasic(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3_2b = TBasic(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch3x3dbl_1 = TBasic(inp, 448, kernel_size=1)
+            self.branch3x3dbl_2 = TBasic(448, 384, kernel_size=3, padding=1)
+            self.branch3x3dbl_3a = TBasic(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3dbl_3b = TBasic(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch_pool = TBasic(inp, 192, kernel_size=1)
+
+        def forward(self, x):
+            b3 = self.branch3x3_1(x)
+            b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+            bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+            bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+            bp = self.branch_pool(tF.avg_pool2d(x, 3, stride=1, padding=1))
+            return torch.cat([self.branch1x1(x), b3, bd, bp], 1)
+
+    class TInception3(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.Conv2d_1a_3x3 = TBasic(3, 32, kernel_size=3, stride=2)
+            self.Conv2d_2a_3x3 = TBasic(32, 32, kernel_size=3)
+            self.Conv2d_2b_3x3 = TBasic(32, 64, kernel_size=3, padding=1)
+            self.Conv2d_3b_1x1 = TBasic(64, 80, kernel_size=1)
+            self.Conv2d_4a_3x3 = TBasic(80, 192, kernel_size=3)
+            self.Mixed_5b = TIncA(192, 32)
+            self.Mixed_5c = TIncA(256, 64)
+            self.Mixed_5d = TIncA(288, 64)
+            self.Mixed_6a = TIncB(288)
+            self.Mixed_6b = TIncC(768, 128)
+            self.Mixed_6c = TIncC(768, 160)
+            self.Mixed_6d = TIncC(768, 160)
+            self.Mixed_6e = TIncC(768, 192)
+            self.Mixed_7a = TIncD(768)
+            self.Mixed_7b = TIncE(1280)
+            self.Mixed_7c = TIncE(2048)
+            self.fc = tnn.Linear(2048, 1000)
+
+        def forward(self, x):
+            # torchvision Inception3._transform_input (transform_input=True,
+            # as the pretrained factory sets it — mirrored by create_model).
+            x = torch.stack(
+                [
+                    x[:, 0] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5,
+                    x[:, 1] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5,
+                    x[:, 2] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5,
+                ],
+                1,
+            )
+            x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+            x = tF.max_pool2d(x, 3, stride=2)
+            x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+            x = tF.max_pool2d(x, 3, stride=2)
+            for name in ("Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a",
+                         "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e",
+                         "Mixed_7a", "Mixed_7b", "Mixed_7c"):
+                x = getattr(self, name)(x)
+            x = tF.adaptive_avg_pool2d(x, (1, 1)).flatten(1)
+            return self.fc(x)
+
+    tmodel = TInception3()
+    tmodel.eval()
+    sd_np = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()
+             if "num_batches_tracked" not in k}
+    # The real torchvision state dict carries a train-only AuxLogits head;
+    # the converter must skip it.
+    sd_np["AuxLogits.conv0.conv.weight"] = np.zeros((128, 768, 1, 1), np.float32)
+    sd_np["AuxLogits.fc.weight"] = np.zeros((1000, 768), np.float32)
+    variables = convert.convert_inception(sd_np)
+    bundle = create_model("inception_v3", "imagenet")
+    assert bundle.input_size == 299
+
+    x = _structured_batch(rng, size=299)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x)).numpy()
+    j_logits = np.asarray(
+        bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    )
+    _assert_logit_parity(t_logits, j_logits, atol=3e-3)
