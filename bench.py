@@ -113,6 +113,12 @@ def tpu_rate_and_latency():
     import jax
     import jax.numpy as jnp
 
+    from network_interpretation_imagenet_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()  # repeat bench runs skip the cold compiles
+
     from network_interpretation_imagenet_tpu.models import create_model
     from network_interpretation_imagenet_tpu.ops import aggregate, masking, metrics
     from network_interpretation_imagenet_tpu.saliency import SaliencyEngine

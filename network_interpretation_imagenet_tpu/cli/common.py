@@ -93,15 +93,28 @@ def build_parser(description: str, dataset_default: str = "imagenet") -> argpars
                    help="enable jax_debug_nans: every jitted computation "
                         "re-checks outputs for NaN and errors at the "
                         "producing op (SURVEY §5 sanity-checking plan)")
+    g.add_argument("--compilation-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory "
+                        "(default ~/.cache/network_interpretation_imagenet_tpu"
+                        "/xla; repeat runs skip the 30-170s cold compiles)")
+    g.add_argument("--no-compilation-cache", dest="compilation_cache",
+                   action="store_const", const="off",
+                   help="disable the persistent compilation cache")
     return p
 
 
 def apply_debug_flags(args) -> None:
-    """Apply debug toggles that must run before any jit executes."""
+    """Apply runtime toggles that must run before any jit executes."""
     if getattr(args, "debug_nans", False):
         import jax
 
         jax.config.update("jax_debug_nans", True)
+    from network_interpretation_imagenet_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    cache = getattr(args, "compilation_cache", None)
+    enable_compilation_cache(None if cache is None else cache)
 
 
 def add_bo_flags(p: argparse.ArgumentParser) -> None:

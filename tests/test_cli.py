@@ -222,3 +222,20 @@ def test_cli_bo_batched(tmp_path):
         assert 0 <= row["survived"] <= 6
     import os as _os
     assert _os.path.exists(f"{out}/heatmap_2.png")
+
+
+def test_compilation_cache_toggle(tmp_path, monkeypatch):
+    """enable_compilation_cache: explicit dir wins, env-var off disables."""
+    import jax
+
+    from network_interpretation_imagenet_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    d = str(tmp_path / "xla_cache")
+    assert enable_compilation_cache(d) == d
+    assert os.path.isdir(d)
+    assert jax.config.jax_compilation_cache_dir == d
+
+    monkeypatch.setenv("NIT_COMPILATION_CACHE", "off")
+    assert enable_compilation_cache() == ""
