@@ -64,6 +64,15 @@ class SaliencyEngine:
         self.mask_batch = int(mask_batch)
         self.compute_dtype = compute_dtype
         self.use_pallas_masking = use_pallas_masking
+        # Keep a by-reference handle to host-resident weight trees (e.g.
+        # straight from convert_checkpoint): serving.export_engine reuses it
+        # to avoid a device→host readback that runs at ~1 MB/s on
+        # remote-tunnel TPU setups.
+        self.host_variables = (
+            variables
+            if all(isinstance(a, np.ndarray) for a in jax.tree.leaves(variables))
+            else None
+        )
         self.variables = jax.device_put(variables)
 
         apply_fn = bundle.logits

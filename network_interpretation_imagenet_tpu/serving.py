@@ -1,0 +1,212 @@
+"""AOT serving artifacts for the masked-forward engine.
+
+Production deployments shouldn't need the Python model zoo (or its compile
+times) on the serving host. ``export_engine`` ahead-of-time lowers the
+engine's fused mask-build + batched-classifier forward to serialized
+StableHLO (``jax.export``) — one artifact per mask-batch bucket — alongside a
+msgpack weight blob and a JSON manifest. ``load_exported`` reconstructs a
+server with the same ``eval_window_masks`` contract as
+:class:`saliency.engine.SaliencyEngine`, chunking requests over the exported
+buckets; no flax/model code runs at load time, and the XLA compile happened
+at export time (deserialize+first-call is ~4 s vs 30-170 s cold compiles).
+
+Artifacts are weight-agnostic: parameters are call-time arguments, so one
+export serves every fine-tune of the same architecture.
+
+The reference has no serving story — its closest analogue is re-running the
+whole script per image (``bayesian_active_learning_imagenet.py:379-498``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Sequence, Tuple
+
+import numpy as np
+
+MANIFEST = "manifest.json"
+WEIGHTS = "variables.msgpack"
+
+
+def _flatten_batches(total: int, buckets: Sequence[int]) -> Sequence[int]:
+    """Greedy cover of `total` masks by descending exported bucket sizes."""
+    out = []
+    remaining = total
+    for b in sorted(buckets, reverse=True):
+        while remaining >= b:
+            out.append(b)
+            remaining -= b
+    if remaining > 0:  # remaining < min(buckets) after the greedy pass
+        out.append(min(buckets))
+    return out
+
+
+def export_engine(
+    engine,
+    out_dir: str,
+    batch_sizes: Sequence[int] = (1024, 256, 32),
+    include_weights: bool = True,
+    host_variables: Any = None,
+) -> dict:
+    """Serialize the engine's window-mask forward for serving.
+
+    Writes ``masked_forward_{B}.stablehlo`` per bucket, ``variables.msgpack``
+    (unless ``include_weights=False``), and ``manifest.json``. Returns the
+    manifest dict.
+
+    Pass ``host_variables`` (the numpy pytree you device_put into the engine,
+    e.g. straight from ``convert_checkpoint``) to skip fetching weights back
+    off the device — on remote-tunnel TPU setups that readback runs at
+    ~1 MB/s and dominates the export.
+    """
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+    from jax import export as jexport
+
+    from network_interpretation_imagenet_tpu.ops import masking
+
+    bundle = engine.bundle
+    compute_dtype = engine.compute_dtype
+    apply_fn = bundle.logits
+
+    def masked_forward(variables, image, segments, firsts, width):
+        masks = masking.window_masks(segments, firsts, width)
+        imgs = masking.apply_masks(image, masks).astype(compute_dtype)
+        return apply_fn(variables, imgs).astype(jnp.float32)
+
+    os.makedirs(out_dir, exist_ok=True)
+    h = w = bundle.input_size
+    c = bundle.input_channels
+    var_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), engine.variables
+    )
+    files = {}
+    for b in sorted(set(int(b) for b in batch_sizes), reverse=True):
+        exp = jexport.export(jax.jit(masked_forward))(
+            var_spec,
+            jax.ShapeDtypeStruct((h, w, c), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+            jax.ShapeDtypeStruct((b,), jnp.int32),
+            jax.ShapeDtypeStruct((), jnp.int32),
+        )
+        fname = f"masked_forward_{b}.stablehlo"
+        with open(os.path.join(out_dir, fname), "wb") as f:
+            f.write(exp.serialize())
+        files[str(b)] = fname
+
+    if include_weights:
+        if host_variables is None:
+            host_variables = getattr(engine, "host_variables", None)
+        host_vars = jax.tree.map(
+            np.asarray,
+            host_variables if host_variables is not None
+            else jax.device_get(engine.variables),
+        )
+        with open(os.path.join(out_dir, WEIGHTS), "wb") as f:
+            f.write(serialization.msgpack_serialize(host_vars))
+
+    manifest = {
+        "arch": bundle.name,
+        "num_classes": bundle.num_classes,
+        "input_size": bundle.input_size,
+        "input_channels": bundle.input_channels,
+        "compute_dtype": np.dtype(compute_dtype).name,
+        "batch_sizes": sorted(files, key=int, reverse=True),
+        "files": files,
+        "weights": WEIGHTS if include_weights else None,
+        "jax_export_platforms": ["tpu", "cpu"],  # informational; artifact
+        # is lowered for the platform that ran the export
+    }
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+class ExportedSaliencyServer:
+    """Serves window-mask evaluations from an exported artifact directory.
+
+    Mirrors the outcome contract of ``SaliencyEngine.eval_window_masks``:
+    (survived, preds, prob_target, prob_max) numpy arrays trimmed to K.
+    """
+
+    def __init__(self, path: str, variables: Any = None) -> None:
+        import jax
+        from flax import serialization
+        from jax import export as jexport
+
+        from network_interpretation_imagenet_tpu.utils.compile_cache import (
+            enable_compilation_cache,
+        )
+
+        # The artifact is StableHLO: XLA still compiles it on first call per
+        # process. The persistent cache makes that a one-time cost per
+        # machine instead of per process.
+        enable_compilation_cache()
+        with open(os.path.join(path, MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self._fns = {}
+        for b, fname in self.manifest["files"].items():
+            with open(os.path.join(path, fname), "rb") as f:
+                self._fns[int(b)] = jexport.deserialize(f.read())
+        if variables is None:
+            wpath = self.manifest.get("weights")
+            if not wpath:
+                raise ValueError(
+                    "artifact has no bundled weights; pass variables="
+                )
+            with open(os.path.join(path, wpath), "rb") as f:
+                variables = serialization.msgpack_restore(f.read())
+        # Device-resident weights: serving calls must not re-upload the
+        # parameter tree (100 MB/call for ResNet-50 — measured 4.9 s/call
+        # through a remote tunnel vs 60 ms with resident weights).
+        self.variables = jax.device_put(variables)
+        self.buckets = sorted(self._fns, reverse=True)
+
+    def logits_for_windows(
+        self, image, segments, firsts, width: int
+    ) -> np.ndarray:
+        """f32 [K, num_classes] logits for K window masks."""
+        import jax.numpy as jnp
+
+        firsts = np.asarray(firsts, np.int32)
+        k = len(firsts)
+        image = jnp.asarray(image, jnp.float32)
+        segments = jnp.asarray(segments, jnp.int32)
+        width = jnp.int32(width)
+        outs = []
+        off = 0
+        for b in _flatten_batches(k, self.buckets):
+            chunk = firsts[off : off + b]
+            off += len(chunk)
+            if len(chunk) < b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros(b - len(chunk), np.int32)]
+                )
+            outs.append(
+                self._fns[b].call(
+                    self.variables, image, segments, jnp.asarray(chunk), width
+                )
+            )
+            if off >= k:
+                break
+        return np.concatenate([np.asarray(o) for o in outs])[:k]
+
+    def eval_window_masks(
+        self, image, segments, firsts, width: int, target: int
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        logits = self.logits_for_windows(image, segments, firsts, width)
+        z = logits - logits.max(axis=-1, keepdims=True)
+        probs = np.exp(z) / np.exp(z).sum(axis=-1, keepdims=True)
+        preds = logits.argmax(axis=-1).astype(np.int32)
+        return (
+            preds == target,
+            preds,
+            probs[:, target].astype(np.float32),
+            probs.max(axis=-1).astype(np.float32),
+        )
+
+
+def load_exported(path: str, variables: Any = None) -> ExportedSaliencyServer:
+    return ExportedSaliencyServer(path, variables)

@@ -1,0 +1,88 @@
+"""AOT serving artifacts (serving.py): export → load → parity with the
+live engine."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from network_interpretation_imagenet_tpu import serving
+from network_interpretation_imagenet_tpu.models import create_model
+from network_interpretation_imagenet_tpu.saliency import SaliencyEngine
+
+
+def _engine():
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    return SaliencyEngine(bundle, variables, mask_batch=16,
+                          compute_dtype=jnp.float32)
+
+
+def test_export_load_matches_engine(tmp_path, rng):
+    engine = _engine()
+    path = str(tmp_path / "artifact")
+    manifest = serving.export_engine(engine, path, batch_sizes=(16, 4))
+    assert manifest["arch"] == "mnist_cnn"
+    assert set(manifest["files"]) == {"16", "4"}
+
+    server = serving.load_exported(path)  # weights from the bundled msgpack
+    image = rng.rand(28, 28, 1).astype(np.float32)
+    segments = rng.randint(0, 10, (28, 28)).astype(np.int32)
+    firsts = rng.randint(0, 7, size=21).astype(np.int32)  # 16 + 4 + pad bucket
+    width = 3
+    target = 5
+
+    ref = engine.eval_window_masks(image, segments, firsts, width, target)
+    surv, preds, p_t, p_m = server.eval_window_masks(
+        image, segments, firsts, width, target
+    )
+    np.testing.assert_array_equal(preds, ref.preds)
+    np.testing.assert_array_equal(surv, ref.survived)
+    np.testing.assert_allclose(p_t, ref.prob_target, atol=1e-5)
+    np.testing.assert_allclose(p_m, ref.prob_max, atol=1e-5)
+
+
+def test_export_without_weights_requires_variables(tmp_path, rng):
+    engine = _engine()
+    path = str(tmp_path / "artifact")
+    serving.export_engine(engine, path, batch_sizes=(8,), include_weights=False)
+    try:
+        serving.load_exported(path)
+        assert False, "expected ValueError for missing weights"
+    except ValueError:
+        pass
+    server = serving.load_exported(path, variables=engine.variables)
+    logits = server.logits_for_windows(
+        rng.rand(28, 28, 1).astype(np.float32),
+        rng.randint(0, 10, (28, 28)).astype(np.int32),
+        np.arange(5, dtype=np.int32),
+        3,
+    )
+    assert logits.shape == (5, 10)
+
+
+def test_flatten_batches():
+    assert serving._flatten_batches(21, (16, 4)) == [16, 4, 4]
+    assert serving._flatten_batches(16, (16, 4)) == [16]
+    assert serving._flatten_batches(3, (16, 4)) == [4]
+    assert serving._flatten_batches(40, (16, 4)) == [16, 16, 4, 4]
+
+
+def test_export_serving_cli(tmp_path):
+    from network_interpretation_imagenet_tpu.cli import export_serving
+
+    out = str(tmp_path / "artifact")
+    rc = export_serving.main([
+        "--arch", "mnist_cnn", "--dataset", "mnist", "--synthetic",
+        "--dtype", "float32", "--out", out, "--batch-sizes", "8",
+        "--no-compilation-cache",
+    ])
+    assert rc == 0
+    server = serving.load_exported(out)
+    assert server.manifest["arch"] == "mnist_cnn"
+    r = np.random.RandomState(0)
+    logits = server.logits_for_windows(
+        r.rand(28, 28, 1).astype(np.float32),
+        r.randint(0, 6, (28, 28)).astype(np.int32),
+        np.arange(8, dtype=np.int32), 2,
+    )
+    assert logits.shape == (8, 10)
