@@ -98,22 +98,41 @@ def _run_batched(args):
         bo_window_saliency_multi,
     )
 
+    # The batched path is inherently the fused (vmapped one-jit) loop; the
+    # host-driven loop cannot batch images.
+    if not args.fused:
+        print("[note] --num-images > 1 always uses the fused vmapped loop "
+              "(--no-fused applies to single-image runs only)")
+
     start = time.time()
     engine = common.build_engine(args)
     seg_cfg = common.segment_config(args)
-    images, segs, gts = [], [], []
+    images, disps, segs, labels, gts = [], [], [], [], []
     for i in range(args.num_images):
         a = copy.copy(args)  # argparse Namespace: vary only the index
         a.eval_img_index = args.eval_img_index + i
-        image, disp, _label, gt_bbox = common.resolve_image(a)
+        image, disp, label, gt_bbox = common.resolve_image(a)
         images.append(np.asarray(image))
+        disps.append(disp)
         segs.append(common.segment_display(disp, seg_cfg))
+        labels.append(label)
         gts.append(gt_bbox)
+
+    # Mirror the single-image path's wrong-prediction warning (reference
+    # raises at bayesian_active_learning_imagenet.py:221); the predicted
+    # class is explained either way.
+    preds = np.asarray(engine.predict(np.stack(images)).argmax(axis=1))
+    for i, label in enumerate(labels):
+        if label is not None and int(preds[i]) != int(label):
+            print(f"[warn] wrong prediction at index "
+                  f"{args.eval_img_index + i} (pred={int(preds[i])}, "
+                  f"label={label}); explaining the predicted class instead")
 
     cfg = BOConfig(n_iters=args.n_iters, n_pre_samples=args.n_pre_samples)
     results = bo_window_saliency_multi(
         engine, images, segs, cfg, window_fraction=args.window_fraction,
-        seed=args.seed, proposals_per_iter=args.proposals_per_iter,
+        seed=args.seed, targets=preds.tolist(),
+        proposals_per_iter=args.proposals_per_iter,
     )
     duration = time.time() - start
 
@@ -121,6 +140,7 @@ def _run_batched(args):
     for i, (out, trace) in enumerate(results):
         row = {
             "eval_img_index": args.eval_img_index + i,
+            "target": int(preds[i]),
             "num_segments": out.num_segments,
             "survived": int(out.eval.survived.sum()),
             "best_start": int(trace.xp[np.argmax(trace.yp)]),
@@ -133,6 +153,22 @@ def _run_batched(args):
             os.path.join(args.out, f"heatmap_{args.eval_img_index + i}.png"),
             out.heatmap,
         )
+        save_panels(
+            os.path.join(args.out, f"index_{args.eval_img_index + i}.png"),
+            [disps[i], mark_boundaries(disps[i], out.segments), out.heatmap],
+            ["Org_img", "Superpixels", "Summed label training heatmap"],
+        )
+        if args.save_pngs:
+            from network_interpretation_imagenet_tpu.ops import masking
+            import jax.numpy as jnp
+
+            masks = np.asarray(masking.window_masks(
+                jnp.asarray(out.segments), jnp.asarray(out.firsts),
+                jnp.int32(out.width)))
+            common.save_mask_pngs(
+                os.path.join(args.out, f"masks_{args.eval_img_index + i}"),
+                masks, out.eval.labels,
+            )
     common.emit_result(args.out, "bo_result.json", {
         "num_images": args.num_images,
         "per_image": rows,

@@ -156,6 +156,18 @@ def segment_config(args) -> SegmentConfig:
     )
 
 
+# Dataset/array cache: N-image CLI paths call resolve_image once per index;
+# without this each call re-parses LOC_val_solution.csv / re-reads the whole
+# IDX/pickle test set just to pull one sample.
+_DATASET_CACHE: dict = {}
+
+
+def _cached_dataset(key, build):
+    if key not in _DATASET_CACHE:
+        _DATASET_CACHE[key] = build()
+    return _DATASET_CACHE[key]
+
+
 def resolve_image(args) -> Tuple[np.ndarray, np.ndarray, Optional[int], Optional[np.ndarray]]:
     """→ (normalized f32 HWC image, display uint8 HWC, label?, gt_bbox?)."""
     import jax.numpy as jnp
@@ -183,7 +195,10 @@ def resolve_image(args) -> Tuple[np.ndarray, np.ndarray, Optional[int], Optional
                 ImagenetLocalizationDataset,
             )
 
-            ds = ImagenetLocalizationDataset(args.data)
+            ds = _cached_dataset(
+                ("loc", args.data),
+                lambda: ImagenetLocalizationDataset(args.data),
+            )
         else:
             # Plain class-subdirectory layout — the reference's ImageFolder
             # path (generate_gp_training_data_imagenet.py:594-602); no gt
@@ -192,7 +207,9 @@ def resolve_image(args) -> Tuple[np.ndarray, np.ndarray, Optional[int], Optional
                 ImageFolderDataset,
             )
 
-            ds = ImageFolderDataset(args.data)
+            ds = _cached_dataset(
+                ("folder", args.data), lambda: ImageFolderDataset(args.data)
+            )
         # Reference counts images 1-based (count == eval_img_index).
         img, label, gt = ds[max(args.eval_img_index - 1, 0)]
         disp = np.asarray(preprocess.to_display_uint8(jnp.asarray(img)))
@@ -200,7 +217,9 @@ def resolve_image(args) -> Tuple[np.ndarray, np.ndarray, Optional[int], Optional
     if args.dataset == "mnist":
         from network_interpretation_imagenet_tpu.data import load_mnist_dir
 
-        xs, ys = load_mnist_dir(args.data, train=False)
+        xs, ys = _cached_dataset(
+            ("mnist", args.data), lambda: load_mnist_dir(args.data, train=False)
+        )
         i = max(args.eval_img_index - 1, 0)
         img = xs[i]
         disp = (img[:, :, 0] * 255).astype(np.uint8)
@@ -216,7 +235,9 @@ def resolve_image(args) -> Tuple[np.ndarray, np.ndarray, Optional[int], Optional
             load_cifar100_dir if args.dataset.startswith("cifar100")
             else load_cifar10_dir
         )
-        xs, ys = loader(args.data, train=False)
+        xs, ys = _cached_dataset(
+            (args.dataset, args.data), lambda: loader(args.data, train=False)
+        )
         i = max(args.eval_img_index - 1, 0)
         img = np.asarray(pp.normalize(jnp.asarray(xs[i]), spec.mean, spec.std))
         disp = np.asarray(pp.to_display_uint8(jnp.asarray(img)))

@@ -43,13 +43,14 @@ _FUSED_RUNNERS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 def fused_runner(
     engine: SaliencyEngine, max_candidates: int, cfg: BOConfig, q: int,
-    mesh=None, batch_images: bool = False,
+    mesh=None, data_axis: str = "data", batch_images: bool = False,
 ):
     """Compile-once fused-BO runner for this engine + static config."""
     per_engine = _FUSED_RUNNERS.setdefault(engine, {})
     key = (
         max_candidates, cfg.n_pre_samples, cfg.n_iters, cfg.alpha,
-        cfg.epsilon, tuple(cfg.lengthscale_grid), q, mesh, batch_images,
+        cfg.epsilon, tuple(cfg.lengthscale_grid), q, mesh, data_axis,
+        batch_images,
     )
     if key not in per_engine:
         bundle, dtype = engine.bundle, engine.compute_dtype
@@ -67,9 +68,36 @@ def fused_runner(
             lengthscale_grid=cfg.lengthscale_grid,
             proposals_per_iter=q,
             mesh=mesh,
+            data_axis=data_axis,
             batch_images=batch_images,
         )
     return per_engine[key]
+
+
+def _assemble_output(segments, num_segments, width, target, bo_res):
+    """Heatmap + SaliencyOutput from one image's BO trace (host twins only).
+
+    Aggregation mirrors the reference's plot_summed_heatmap reading all
+    BO-written mask PNGs (``bayesian_active_learning_imagenet.py:312-344``).
+    """
+    from network_interpretation_imagenet_tpu.saliency.engine import MaskEvalResult
+
+    heat = aggregate.summed_superpixel_labels_np(
+        segments, bo_res.xp.astype(np.int32), width, bo_res.survived
+    )
+    return SaliencyOutput(
+        segments=segments,
+        num_segments=num_segments,
+        eval=MaskEvalResult(
+            survived=bo_res.survived,
+            preds=np.where(bo_res.survived, target, -1),
+            prob_target=bo_res.yp.astype(np.float32),
+            prob_max=np.full_like(bo_res.yp, np.nan, dtype=np.float32),
+        ),
+        heatmap=heat,
+        firsts=bo_res.xp.astype(np.int32),
+        width=width,
+    )
 
 
 def bo_window_saliency(
@@ -134,29 +162,7 @@ def bo_window_saliency(
             lengthscale_grid=cfg.lengthscale_grid,
         )
 
-    # Aggregate every evaluated mask's survive label into the heatmap
-    # (reference plot_summed_heatmap reads all BO-written mask PNGs,
-    # bayesian_active_learning_imagenet.py:312-344). Host twin — a device
-    # dispatch+fetch here costs a tunnel round-trip.
-    heat = aggregate.summed_superpixel_labels_np(
-        segments, bo_res.xp.astype(np.int32), width, bo_res.survived
-    )
-    from network_interpretation_imagenet_tpu.saliency.engine import MaskEvalResult
-
-    out = SaliencyOutput(
-        segments=segments,
-        num_segments=s,
-        eval=MaskEvalResult(
-            survived=bo_res.survived,
-            preds=np.where(bo_res.survived, target, -1),
-            prob_target=bo_res.yp.astype(np.float32),
-            prob_max=np.full_like(bo_res.yp, np.nan, dtype=np.float32),
-        ),
-        heatmap=heat,
-        firsts=bo_res.xp.astype(np.int32),
-        width=width,
-    )
-    return out, bo_res
+    return _assemble_output(segments, s, width, target, bo_res), bo_res
 
 
 def bo_window_saliency_multi(
@@ -168,6 +174,7 @@ def bo_window_saliency_multi(
     seed: int = 0,
     targets=None,
     mesh=None,
+    data_axis: str = "data",
     proposals_per_iter: int = 1,
 ):
     """Fused BO saliency over N same-shape images in ONE program.
@@ -195,14 +202,13 @@ def bo_window_saliency_multi(
         targets = np.asarray(targets, np.int32)
 
     # Pad the image axis to a power of two: one compiled program per
-    # (bucket, config), and pow-2 counts divide pow-2 mesh data axes.
-    n_pad = 1
-    while n_pad < n:
-        n_pad *= 2
+    # (bucket, config). With a mesh, pad further to a multiple of the data
+    # axis (lcm handles non-pow-2 device counts, e.g. a 6-device axis).
+    n_pad = 1 << max(n - 1, 0).bit_length()
     if mesh is not None:
-        n_data = int(mesh.shape["data"])
-        while n_pad % n_data:  # small batch on a wide mesh: pad up to n_data
-            n_pad *= 2
+        import math
+
+        n_pad = math.lcm(n_pad, int(mesh.shape[data_axis]))
     if n_pad > n:
         reps = n_pad - n
         pad = lambda a: np.concatenate([a, np.repeat(a[:1], reps, axis=0)])
@@ -215,7 +221,7 @@ def bo_window_saliency_multi(
 
     run = fused_runner(
         engine, next_pow2(int(uppers.max()) + 1), cfg, proposals_per_iter,
-        mesh=mesh, batch_images=True,
+        mesh=mesh, data_axis=data_axis, batch_images=True,
     )
     # Keys derive from the ORIGINAL image count so results are invariant to
     # padding (and to whether a mesh widened the pad).
@@ -231,30 +237,14 @@ def bo_window_saliency_multi(
     xs, ys = np.asarray(xs), np.asarray(ys)
     survived, counts = np.asarray(survived), np.asarray(counts)
 
-    from network_interpretation_imagenet_tpu.saliency.engine import MaskEvalResult
-
     outs = []
     for i in range(n):
         c = int(counts[i])
         bo_res = BOResult(
             xp=xs[i, :c].astype(int), yp=ys[i, :c], survived=survived[i, :c]
         )
-        heat = aggregate.summed_superpixel_labels_np(
-            segs[i], bo_res.xp.astype(np.int32), int(widths[i]),
-            bo_res.survived,
+        out = _assemble_output(
+            segs[i], ss[i], int(widths[i]), int(targets[i]), bo_res
         )
-        outs.append((
-            SaliencyOutput(
-                segments=segs[i], num_segments=ss[i],
-                eval=MaskEvalResult(
-                    survived=bo_res.survived,
-                    preds=np.where(bo_res.survived, targets[i], -1),
-                    prob_target=bo_res.yp.astype(np.float32),
-                    prob_max=np.full_like(bo_res.yp, np.nan, dtype=np.float32),
-                ),
-                heatmap=heat, firsts=bo_res.xp.astype(np.int32),
-                width=int(widths[i]),
-            ),
-            bo_res,
-        ))
+        outs.append((out, bo_res))
     return outs

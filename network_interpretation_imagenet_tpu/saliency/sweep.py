@@ -405,17 +405,19 @@ def bo_saliency_sweep(
             return
         batch = list(pending)
         pending.clear()
+        keep = None  # None until the skip decision lands (predict can fail)
         try:
             idxs, imgs, segs, ss, labels, gts, t0s = zip(*batch)
             preds = engine.predict(np.stack(imgs)).argmax(axis=1)
-            keep = []
+            keep = [
+                j for j in range(len(batch))
+                if labels[j] is None or int(preds[j]) == int(labels[j])
+            ]
             for j in range(len(batch)):
-                if labels[j] is not None and int(preds[j]) != int(labels[j]):
+                if j not in keep:
                     res.images_skipped_misclassified += 1
                     log.emit({"event": "skip_misclassified", "index": idxs[j],
                               "pred": int(preds[j]), "label": int(labels[j])})
-                else:
-                    keep.append(j)
             if not keep:
                 return
             results = bo_window_saliency_multi(
@@ -426,8 +428,12 @@ def bo_saliency_sweep(
                 proposals_per_iter=proposals_per_iter,
             )
         except Exception as e:
-            res.images_failed += len(batch)
-            log.emit({"event": "batch_failed", "indices": [b[0] for b in batch],
+            # Skipped images are already accounted for; only the dispatched
+            # (or, pre-predict, the whole) set counts as failed.
+            failed = [b[0] for b in batch] if keep is None else \
+                [batch[j][0] for j in keep]
+            res.images_failed += len(failed)
+            log.emit({"event": "batch_failed", "indices": failed,
                       "error": repr(e)})
             return
         for j, (out, trace) in zip(keep, results):

@@ -172,6 +172,8 @@ class ExportedSaliencyServer:
 
         firsts = np.asarray(firsts, np.int32)
         k = len(firsts)
+        if k == 0:  # engine contract: K=0 returns an empty typed result
+            return np.zeros((0, self.manifest["num_classes"]), np.float32)
         image = jnp.asarray(image, jnp.float32)
         segments = jnp.asarray(segments, jnp.int32)
         width = jnp.int32(width)

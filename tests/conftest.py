@@ -15,6 +15,10 @@ if not os.environ.get("NIT_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 
+# CLI mains enable the persistent XLA compilation cache by default
+# (~/.cache/...); tests must not write artifacts into the real user home.
+os.environ.setdefault("NIT_COMPILATION_CACHE", "off")
+
 import numpy as np
 import pytest
 

@@ -321,3 +321,41 @@ def test_fused_bo_batched_matches_per_image():
                                    atol=1e-5)
         np.testing.assert_allclose(multi[i][0].heatmap,
                                    multi_mesh[i][0].heatmap, atol=1e-5)
+
+
+def test_fused_bo_batched_non_pow2_mesh_axis():
+    """A mesh whose data axis is NOT a power of two (6 devices ÷ model=2 →
+    data=3) must terminate (regression: the image-axis padding loop used to
+    spin forever) and reproduce the unmeshed results; a custom data-axis
+    name must be honored (regression: "data" was hardcoded)."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.models import create_model
+    from network_interpretation_imagenet_tpu.parallel import make_mesh
+    from network_interpretation_imagenet_tpu.saliency import SaliencyEngine
+    from network_interpretation_imagenet_tpu.saliency import bo_pipeline
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(4))
+    engine = SaliencyEngine(bundle, variables, mask_batch=16,
+                            compute_dtype=jnp.float32)
+    rng = np.random.RandomState(7)
+    n = 2
+    images = [rng.rand(28, 28, 1).astype(np.float32) for _ in range(n)]
+    segs = [(np.arange(784).reshape(28, 28) % 8).astype(np.int32)
+            for _ in range(n)]
+    cfg = BOConfig(n_iters=2, n_pre_samples=2)
+    targets = [1, 2]
+
+    plain = bo_pipeline.bo_window_saliency_multi(
+        engine, images, segs, cfg, seed=0, targets=targets
+    )
+
+    mesh = make_mesh(jax.devices()[:6], model_parallel=2, data_axis="batch")
+    assert int(mesh.shape["batch"]) == 3  # non-pow-2 data axis
+    meshed = bo_pipeline.bo_window_saliency_multi(
+        engine, images, segs, cfg, seed=0, targets=targets,
+        mesh=mesh, data_axis="batch",
+    )
+    for i in range(n):
+        np.testing.assert_array_equal(plain[i][1].xp, meshed[i][1].xp)
+        np.testing.assert_allclose(plain[i][1].yp, meshed[i][1].yp, atol=1e-5)

@@ -232,10 +232,15 @@ def test_compilation_cache_toggle(tmp_path, monkeypatch):
         enable_compilation_cache,
     )
 
-    d = str(tmp_path / "xla_cache")
-    assert enable_compilation_cache(d) == d
-    assert os.path.isdir(d)
-    assert jax.config.jax_compilation_cache_dir == d
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        d = str(tmp_path / "xla_cache")
+        assert enable_compilation_cache(d) == d
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
 
-    monkeypatch.setenv("NIT_COMPILATION_CACHE", "off")
-    assert enable_compilation_cache() == ""
+        monkeypatch.setenv("NIT_COMPILATION_CACHE", "off")
+        assert enable_compilation_cache() == ""
+    finally:
+        # don't leave the process-global config pointing at a deleted tmp dir
+        jax.config.update("jax_compilation_cache_dir", prev)

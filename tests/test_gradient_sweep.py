@@ -222,3 +222,42 @@ def test_bo_saliency_sweep_end_to_end():
     assert res.evals_per_sec > 0
     iou_rows = [r for r in res.per_image if "iou" in r]
     assert len(iou_rows) == 1 and np.isfinite(iou_rows[0]["iou"])
+
+
+def test_bo_sweep_dispatch_failure_counts_once():
+    """When the batched BO dispatch throws, skipped-misclassified images must
+    not ALSO be counted as failed (regression: failed += len(batch))."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.saliency.sweep import bo_saliency_sweep
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=8,
+                            compute_dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    img = rng.rand(28, 28, 1).astype(np.float32)
+    pred, _ = engine.predict_one(img)
+
+    def dataset():
+        yield img, pred, None                 # dispatched → failed (boom)
+        yield img, (pred + 1) % 10, None      # misclassified → skipped only
+
+    def boom(*a, **k):
+        raise RuntimeError("boom")
+
+    # bo_saliency_sweep imports the symbol from bo_pipeline at call time.
+    import network_interpretation_imagenet_tpu.saliency.bo_pipeline as bp
+    real = bp.bo_window_saliency_multi
+    bp.bo_window_saliency_multi = boom
+    try:
+        cfg = SegmentConfig(method="slic", n_segments=9, slic_iters=4)
+        res = bo_saliency_sweep(
+            engine, dataset(), cfg,
+            bo_cfg=BOConfig(n_iters=2, n_pre_samples=2), image_batch=2,
+        )
+    finally:
+        bp.bo_window_saliency_multi = real
+    assert res.images_total == 2
+    assert res.images_skipped_misclassified == 1
+    assert res.images_failed == 1  # only the dispatched image
+    assert res.images_explained == 0

@@ -40,6 +40,14 @@ def test_export_load_matches_engine(tmp_path, rng):
     np.testing.assert_allclose(p_t, ref.prob_target, atol=1e-5)
     np.testing.assert_allclose(p_m, ref.prob_max, atol=1e-5)
 
+    # K=0 honors the engine contract (empty typed result, no crash).
+    empty = server.logits_for_windows(image, segments, np.zeros(0, np.int32), width)
+    assert empty.shape == (0, manifest["num_classes"])
+    surv0, preds0, _, _ = server.eval_window_masks(
+        image, segments, np.zeros(0, np.int32), width, target
+    )
+    assert surv0.shape == (0,) and preds0.shape == (0,)
+
 
 def test_export_without_weights_requires_variables(tmp_path, rng):
     engine = _engine()
