@@ -97,7 +97,9 @@ def create_model(
     spec = DATASETS[dataset]
     nc = num_classes if num_classes is not None else spec.num_classes
 
-    if arch in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152"):
+    if arch in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+                "resnext50_32x4d", "resnext101_32x8d",
+                "wide_resnet50_2", "wide_resnet101_2"):
         module: nn.Module = create_resnet(arch, num_classes=nc, **kw)
     elif arch.startswith("vgg"):
         module = create_vgg(arch, num_classes=nc, **kw)
@@ -116,6 +118,29 @@ def create_model(
         # torchvision's pretrained factory enables transform_input; mirror it
         # so converted pretrained checkpoints see their training distribution.
         module = InceptionV3(num_classes=nc, transform_input=True, **kw)
+    elif arch == "googlenet":
+        from network_interpretation_imagenet_tpu.models.googlenet import GoogLeNet
+
+        # torchvision's pretrained factory enables transform_input (as for
+        # inception_v3); mirror it for converted checkpoints.
+        module = GoogLeNet(num_classes=nc, transform_input=True, **kw)
+    elif arch == "mobilenet_v2":
+        from network_interpretation_imagenet_tpu.models.mobilenet import MobileNetV2
+
+        module = MobileNetV2(num_classes=nc, **kw)
+    elif arch.startswith("shufflenet_v2"):
+        from network_interpretation_imagenet_tpu.models.shufflenet import (
+            _STAGE_OUT,
+            ShuffleNetV2,
+        )
+
+        module = ShuffleNetV2(stage_out=_STAGE_OUT[arch], num_classes=nc, **kw)
+    elif arch.startswith("mnasnet"):
+        from network_interpretation_imagenet_tpu.models.mnasnet import MNASNet
+
+        # torchvision names: mnasnet0_5 / mnasnet0_75 / mnasnet1_0 / mnasnet1_3
+        alpha = float(arch[len("mnasnet"):].replace("_", "."))
+        module = MNASNet(alpha=alpha, num_classes=nc, **kw)
     elif arch == "mnist_cnn":
         module = MnistCNN(num_classes=nc, **kw)
     elif arch == "resnet":  # CIFAR ResNet-6N+2 (reference models/resnet.py)

@@ -66,6 +66,26 @@ def max_pool_same(x: Array, window: int, stride: int) -> Array:
     )
 
 
+def max_pool_ceil(x: Array, window: int, stride: int, padding: int = 0) -> Array:
+    """torch ``MaxPool2d(..., ceil_mode=True)``: output = ceil((H + 2p − k)/s)
+    + 1. Implemented as asymmetric −inf padding (shapes are jit-static so the
+    pad amounts are Python ints). torch ignores windows that start inside the
+    right/bottom padding; for the stride ≤ window configs used here the ceil
+    formula never creates such a window."""
+    import math
+
+    h, w = x.shape[1], x.shape[2]
+
+    def hi(size: int) -> int:
+        out = math.ceil((size + 2 * padding - window) / stride) + 1
+        return (out - 1) * stride + window - size - padding
+
+    return nn.max_pool(
+        x, (window, window), strides=(stride, stride),
+        padding=[(padding, hi(h)), (padding, hi(w))],
+    )
+
+
 def global_mean_pool(x: Array) -> Array:
     """Mean over H, W (reference ``x2.mean(3).mean(2)``,
     ``generate_gp_training_data_mnist.py:102``)."""

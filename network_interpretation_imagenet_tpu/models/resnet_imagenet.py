@@ -67,17 +67,24 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     expansion: int = 4
+    groups: int = 1          # ResNeXt cardinality (torchvision `groups`)
+    base_width: int = 64     # Wide-ResNet doubles this (`width_per_group`)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        # torchvision Bottleneck: width = planes * base_width/64 * groups;
+        # grouped 3×3 maps to XLA feature_group_count (tiles per-group
+        # matmuls on the MXU).
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1", **kw)(x)
+        out = nn.Conv(width, (1, 1), use_bias=False, name="conv1", **kw)(x)
         out = BatchNorm(use_running_average=not train, name="bn1", **kw)(out)
         out = nn.relu(out)
         out = nn.Conv(
-            self.planes, (3, 3), strides=(self.stride, self.stride),
-            padding=[(1, 1), (1, 1)], use_bias=False, name="conv2", **kw,
+            width, (3, 3), strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)], use_bias=False,
+            feature_group_count=self.groups, name="conv2", **kw,
         )(out)
         out = BatchNorm(use_running_average=not train, name="bn2", **kw)(out)
         out = nn.relu(out)
@@ -105,6 +112,8 @@ class ResNet(nn.Module):
     num_classes: int = 1000
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    groups: int = 1
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -125,9 +134,12 @@ class ResNet(nn.Module):
             for b in range(num_blocks):
                 s = stride if b == 0 else 1
                 has_ds = s != 1 or inplanes != planes * expansion
+                bkw = dict(kw)
+                if self.block is Bottleneck:
+                    bkw.update(groups=self.groups, base_width=self.base_width)
                 x = self.block(
                     planes=planes, stride=s, has_downsample=has_ds,
-                    name=f"layer{stage + 1}_{b}", **kw,
+                    name=f"layer{stage + 1}_{b}", **bkw,
                 )(x, train)
                 inplanes = planes * expansion
 
@@ -142,9 +154,24 @@ _CONFIGS = {
     "resnet50": (Bottleneck, (3, 4, 6, 3)),
     "resnet101": (Bottleneck, (3, 4, 23, 3)),
     "resnet152": (Bottleneck, (3, 8, 36, 3)),
+    # grouped / wide variants (torchvision resnet.py factory arguments)
+    "resnext50_32x4d": (Bottleneck, (3, 4, 6, 3)),
+    "resnext101_32x8d": (Bottleneck, (3, 4, 23, 3)),
+    "wide_resnet50_2": (Bottleneck, (3, 4, 6, 3)),
+    "wide_resnet101_2": (Bottleneck, (3, 4, 23, 3)),
+}
+
+# (groups, base_width) per arch; default (1, 64).
+_GROUPS = {
+    "resnext50_32x4d": (32, 4),
+    "resnext101_32x8d": (32, 8),
+    "wide_resnet50_2": (1, 128),
+    "wide_resnet101_2": (1, 128),
 }
 
 
 def create_resnet(arch: str, num_classes: int = 1000, **kw) -> ResNet:
     block, stages = _CONFIGS[arch]
-    return ResNet(stage_sizes=stages, block=block, num_classes=num_classes, **kw)
+    groups, base_width = _GROUPS.get(arch, (1, 64))
+    return ResNet(stage_sizes=stages, block=block, num_classes=num_classes,
+                  groups=groups, base_width=base_width, **kw)

@@ -283,6 +283,40 @@ def convert_squeezenet(sd: Mapping[str, np.ndarray], arch: str) -> Dict[str, Any
     return tb.variables()
 
 
+def convert_mobilenet_v2(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """torchvision MobileNetV2 state dict → :class:`models.MobileNetV2`.
+
+    torch names: ``features.0.{0,1}`` stem ConvBNReLU, per-block
+    ``features.{i}.conv.{j}[.{0,1}]`` (nested ConvBNReLU children for the
+    expand/depthwise stages, bare conv + BN for the linear projection),
+    ``features.18.{0,1}``, ``classifier.1``. Depthwise kernels keep torch's
+    (C, 1, kh, kw) layout so the standard conv transpose applies.
+    """
+    from network_interpretation_imagenet_tpu.models.mobilenet import _SETTINGS
+
+    tb = _TreeBuilder()
+    tb.conv(sd, "features.0.0", "features_0", "0")
+    tb.bn(sd, "features.0.1", "features_0", "1")
+    idx = 1
+    for t, _c, n, _s in _SETTINGS:
+        for _b in range(n):
+            f, p = f"features_{idx}", f"features.{idx}.conv"
+            j = 0
+            if t != 1:  # pointwise expand ConvBNReLU
+                tb.conv(sd, f"{p}.0.0", f, "conv_0", "0")
+                tb.bn(sd, f"{p}.0.1", f, "conv_0", "1")
+                j = 1
+            tb.conv(sd, f"{p}.{j}.0", f, f"conv_{j}", "0")  # depthwise
+            tb.bn(sd, f"{p}.{j}.1", f, f"conv_{j}", "1")
+            tb.conv(sd, f"{p}.{j + 1}", f, f"conv_{j + 1}")  # projection
+            tb.bn(sd, f"{p}.{j + 2}", f, f"conv_{j + 2}")
+            idx += 1
+    tb.conv(sd, f"features.{idx}.0", f"features_{idx}", "0")
+    tb.bn(sd, f"features.{idx}.1", f"features_{idx}", "1")
+    tb.dense(sd, "classifier.1", "classifier_1")
+    return tb.variables()
+
+
 def convert_inception(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     """torchvision Inception-v3 state dict →
     :class:`models.inception.InceptionV3`.
@@ -306,6 +340,81 @@ def convert_inception(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     return tb.variables()
 
 
+def convert_googlenet(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """torchvision GoogLeNet state dict → :class:`models.googlenet.GoogLeNet`.
+
+    torch names: ``conv{1..3}.{conv,bn}``, ``inception{3a..5b}.branch{1..4}``
+    (branches 2-4 are Sequentials, so ``branch2.0.conv`` → flax
+    ``branch2_0/conv``), ``fc``. Train-only ``aux{1,2}.*`` heads are skipped
+    (inference graph omits them — see models/googlenet.py)."""
+
+    def flax_path(prefix: str):
+        out = []
+        for p in prefix.split("."):
+            if out and out[-1].startswith("branch") and p.isdigit():
+                out[-1] = f"{out[-1]}_{p}"
+            else:
+                out.append(p)
+        return out
+
+    tb = _TreeBuilder()
+    for key in sd:
+        if key.startswith(("aux1.", "aux2.")):
+            continue
+        if key.endswith(".conv.weight"):
+            prefix = key[: -len(".weight")]
+            tb.conv(sd, prefix, *flax_path(prefix))
+        elif key.endswith(".bn.weight"):
+            prefix = key[: -len(".weight")]
+            tb.bn(sd, prefix, *flax_path(prefix))
+    tb.dense(sd, "fc", "fc")
+    return tb.variables()
+
+
+def _convert_by_name_walk(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Generic torchvision-Sequential converter: every ``*.weight`` key maps
+    to a flax child whose name flattens the dotted Sequential indices with
+    ``_`` (``stage2.0.branch1.0`` → ``stage2_0/branch1_0``). BN is detected
+    by a sibling ``running_mean``; Linear by a 2-D weight. Works for any
+    model whose flax module names follow this flattening convention."""
+
+    def flax_path(prefix: str):
+        out = []
+        for p in prefix.split("."):
+            if out and p.isdigit():
+                out[-1] = f"{out[-1]}_{p}"
+            else:
+                out.append(p)
+        return out
+
+    tb = _TreeBuilder()
+    for key in sd:
+        if not key.endswith(".weight"):
+            continue
+        prefix = key[: -len(".weight")]
+        if prefix + ".running_mean" in sd:
+            tb.bn(sd, prefix, *flax_path(prefix))
+        elif sd[key].ndim == 2:
+            tb.dense(sd, prefix, *flax_path(prefix))
+        else:
+            tb.conv(sd, prefix, *flax_path(prefix))
+    return tb.variables()
+
+
+def convert_shufflenet_v2(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """torchvision ShuffleNetV2 state dict →
+    :class:`models.shufflenet.ShuffleNetV2` (names: ``conv1.{0,1}``,
+    ``stage{2,3,4}.{b}.branch{1,2}.{i}``, ``conv5.{0,1}``, ``fc``)."""
+    return _convert_by_name_walk(sd)
+
+
+def convert_mnasnet(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """torchvision MNASNet state dict → :class:`models.mnasnet.MNASNet`
+    (names: ``layers.{0..16}`` stem/tail, ``layers.{8..13}.{b}.layers.{j}``
+    MBConv stacks, ``classifier.1``)."""
+    return _convert_by_name_walk(sd)
+
+
 def convert_checkpoint(path: str, arch: str, depth: int = 56, bn_size: int = 4):
     """One-call ingest: load + convert by architecture family."""
     sd = load_state_dict(path)
@@ -313,7 +422,7 @@ def convert_checkpoint(path: str, arch: str, depth: int = 56, bn_size: int = 4):
         return convert_mnist_cnn(sd)
     if arch == "resnet":
         return convert_resnet_cifar(sd, depth)
-    if arch.startswith("resnet"):
+    if arch.startswith(("resnet", "resnext", "wide_resnet")):
         return convert_resnet_imagenet(sd, arch)
     if arch == "densenet":
         return convert_densenet(sd, depth, bn_size)
@@ -327,4 +436,12 @@ def convert_checkpoint(path: str, arch: str, depth: int = 56, bn_size: int = 4):
         return convert_squeezenet(sd, arch)
     if arch == "inception_v3":
         return convert_inception(sd)
+    if arch == "mobilenet_v2":
+        return convert_mobilenet_v2(sd)
+    if arch == "googlenet":
+        return convert_googlenet(sd)
+    if arch.startswith("shufflenet_v2"):
+        return convert_shufflenet_v2(sd)
+    if arch.startswith("mnasnet"):
+        return convert_mnasnet(sd)
     raise ValueError(f"no converter for arch {arch}")

@@ -670,3 +670,380 @@ def test_inception_v3_roundtrip_random_weights(rng):
         bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
     )
     _assert_logit_parity(t_logits, j_logits, atol=3e-3)
+
+
+@pytest.mark.parametrize("arch,groups,base_width", [
+    ("resnext50_32x4d", 32, 4),
+    ("wide_resnet50_2", 1, 128),
+])
+def test_grouped_wide_resnet_roundtrip_random_weights(rng, arch, groups, base_width):
+    """ResNeXt / Wide-ResNet (torchvision resnet.py factory args): random
+    torch replica with grouped 3x3 bottlenecks → convert → flax logits match.
+    Grouped conv kernels keep torch's (O, I/groups, H, W) layout, so the
+    standard conv transpose applies unchanged."""
+
+    class TorchBottleneck(tnn.Module):
+        def __init__(self, inp, planes, stride=1, downsample=False):
+            super().__init__()
+            width = int(planes * (base_width / 64.0)) * groups
+            self.conv1 = tnn.Conv2d(inp, width, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(width)
+            self.conv2 = tnn.Conv2d(width, width, 3, stride=stride, padding=1,
+                                    groups=groups, bias=False)
+            self.bn2 = tnn.BatchNorm2d(width)
+            self.conv3 = tnn.Conv2d(width, planes * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(planes * 4)
+            self.downsample = None
+            if downsample:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(inp, planes * 4, 1, stride=stride, bias=False),
+                    tnn.BatchNorm2d(planes * 4),
+                )
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = tF.relu(self.bn1(self.conv1(x)))
+            y = tF.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return tF.relu(y + idt)
+
+    class TorchNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.maxpool = tnn.MaxPool2d(3, 2, padding=1)
+            layers = []
+            inp = 64
+            for li, (planes, blocks, stride) in enumerate(
+                ((64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2))
+            ):
+                stage = [TorchBottleneck(inp, planes, stride, True)]
+                inp = planes * 4
+                stage += [TorchBottleneck(inp, planes) for _ in range(blocks - 1)]
+                setattr(self, f"layer{li + 1}", tnn.Sequential(*stage))
+            self.fc = tnn.Linear(2048, 1000)
+
+        def forward(self, x):
+            x = self.maxpool(tF.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            return self.fc(x.mean((2, 3)))
+
+    tmodel = TorchNet()
+    tmodel.eval()
+    sd_np = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()
+             if "num_batches_tracked" not in k}
+    variables = convert.convert_resnet_imagenet(sd_np, arch)
+    bundle = create_model(arch, "imagenet")
+
+    x = rng.rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x)).numpy()
+    j_logits = np.asarray(bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(j_logits, t_logits, atol=2e-3, rtol=1e-3)
+
+
+def test_mobilenet_v2_roundtrip_random_weights(rng):
+    """MobileNetV2 (torchvision graph): random torch replica (inverted
+    residuals, ReLU6, depthwise groups) → convert → flax logits match."""
+
+    class TorchConvBNReLU(tnn.Sequential):
+        def __init__(self, inp, oup, kernel=3, stride=1, groups=1):
+            pad = (kernel - 1) // 2
+            super().__init__(
+                tnn.Conv2d(inp, oup, kernel, stride, pad, groups=groups,
+                           bias=False),
+                tnn.BatchNorm2d(oup),
+                tnn.ReLU6(inplace=True),
+            )
+
+    class TorchInvertedResidual(tnn.Module):
+        def __init__(self, inp, oup, stride, expand_ratio):
+            super().__init__()
+            hidden = int(round(inp * expand_ratio))
+            self.use_res = stride == 1 and inp == oup
+            layers = []
+            if expand_ratio != 1:
+                layers.append(TorchConvBNReLU(inp, hidden, kernel=1))
+            layers += [
+                TorchConvBNReLU(hidden, hidden, stride=stride, groups=hidden),
+                tnn.Conv2d(hidden, oup, 1, 1, 0, bias=False),
+                tnn.BatchNorm2d(oup),
+            ]
+            self.conv = tnn.Sequential(*layers)
+
+        def forward(self, x):
+            return x + self.conv(x) if self.use_res else self.conv(x)
+
+    class TorchMobileNetV2(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            settings = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2),
+                        (6, 64, 4, 2), (6, 96, 3, 1), (6, 160, 3, 2),
+                        (6, 320, 1, 1)]
+            features = [TorchConvBNReLU(3, 32, stride=2)]
+            c_in = 32
+            for t, c, n, s in settings:
+                for b in range(n):
+                    features.append(TorchInvertedResidual(
+                        c_in, c, s if b == 0 else 1, t))
+                    c_in = c
+            features.append(TorchConvBNReLU(c_in, 1280, kernel=1))
+            self.features = tnn.Sequential(*features)
+            self.classifier = tnn.Sequential(
+                tnn.Dropout(0.2), tnn.Linear(1280, 1000))
+
+        def forward(self, x):
+            x = self.features(x).mean((2, 3))
+            return self.classifier(x)
+
+    tmodel = TorchMobileNetV2()
+    tmodel.eval()
+    sd_np = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()
+             if "num_batches_tracked" not in k}
+    variables = convert.convert_mobilenet_v2(sd_np)
+    bundle = create_model("mobilenet_v2", "imagenet")
+
+    x = rng.rand(1, 3, 96, 96).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x)).numpy()
+    j_logits = np.asarray(bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(j_logits, t_logits, atol=2e-3, rtol=1e-3)
+
+
+def test_googlenet_roundtrip_random_weights(rng):
+    """GoogLeNet (torchvision graph incl. ceil-mode pools, 3x3 "5x5"
+    branches, transform_input): random torch replica → convert → flax
+    logits match at 224²."""
+
+    class TBasicConv(tnn.Module):
+        def __init__(self, inp, oup, **kw):
+            super().__init__()
+            self.conv = tnn.Conv2d(inp, oup, bias=False, **kw)
+            self.bn = tnn.BatchNorm2d(oup, eps=0.001)
+
+        def forward(self, x):
+            return tF.relu(self.bn(self.conv(x)))
+
+    class TInception(tnn.Module):
+        def __init__(self, inp, ch1x1, ch3x3red, ch3x3, ch5x5red, ch5x5, pool_proj):
+            super().__init__()
+            self.branch1 = TBasicConv(inp, ch1x1, kernel_size=1)
+            self.branch2 = tnn.Sequential(
+                TBasicConv(inp, ch3x3red, kernel_size=1),
+                TBasicConv(ch3x3red, ch3x3, kernel_size=3, padding=1))
+            self.branch3 = tnn.Sequential(
+                TBasicConv(inp, ch5x5red, kernel_size=1),
+                TBasicConv(ch5x5red, ch5x5, kernel_size=3, padding=1))
+            self.branch4 = tnn.Sequential(
+                tnn.MaxPool2d(3, stride=1, padding=1, ceil_mode=True),
+                TBasicConv(inp, pool_proj, kernel_size=1))
+
+        def forward(self, x):
+            return torch.cat([self.branch1(x), self.branch2(x),
+                              self.branch3(x), self.branch4(x)], 1)
+
+    class TGoogLeNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = TBasicConv(3, 64, kernel_size=7, stride=2, padding=3)
+            self.maxpool1 = tnn.MaxPool2d(3, stride=2, ceil_mode=True)
+            self.conv2 = TBasicConv(64, 64, kernel_size=1)
+            self.conv3 = TBasicConv(64, 192, kernel_size=3, padding=1)
+            self.maxpool2 = tnn.MaxPool2d(3, stride=2, ceil_mode=True)
+            self.inception3a = TInception(192, 64, 96, 128, 16, 32, 32)
+            self.inception3b = TInception(256, 128, 128, 192, 32, 96, 64)
+            self.maxpool3 = tnn.MaxPool2d(3, stride=2, ceil_mode=True)
+            self.inception4a = TInception(480, 192, 96, 208, 16, 48, 64)
+            self.inception4b = TInception(512, 160, 112, 224, 24, 64, 64)
+            self.inception4c = TInception(512, 128, 128, 256, 24, 64, 64)
+            self.inception4d = TInception(512, 112, 144, 288, 32, 64, 64)
+            self.inception4e = TInception(528, 256, 160, 320, 32, 128, 128)
+            self.maxpool4 = tnn.MaxPool2d(2, stride=2, ceil_mode=True)
+            self.inception5a = TInception(832, 256, 160, 320, 32, 128, 128)
+            self.inception5b = TInception(832, 384, 192, 384, 48, 128, 128)
+            self.fc = tnn.Linear(1024, 1000)
+
+        def forward(self, x):
+            # torchvision _transform_input (pretrained factory default)
+            x = torch.cat([
+                x[:, 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5,
+                x[:, 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5,
+                x[:, 2:3] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5,
+            ], 1)
+            x = self.maxpool1(self.conv1(x))
+            x = self.maxpool2(self.conv3(self.conv2(x)))
+            x = self.maxpool3(self.inception3b(self.inception3a(x)))
+            x = self.inception4e(self.inception4d(self.inception4c(
+                self.inception4b(self.inception4a(x)))))
+            x = self.maxpool4(x)
+            x = self.inception5b(self.inception5a(x))
+            return self.fc(x.mean((2, 3)))
+
+    tmodel = TGoogLeNet()
+    tmodel.eval()
+    sd_np = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()
+             if "num_batches_tracked" not in k}
+    variables = convert.convert_googlenet(sd_np)
+    bundle = create_model("googlenet", "imagenet")
+
+    x = rng.rand(1, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x)).numpy()
+    j_logits = np.asarray(bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(j_logits, t_logits, atol=2e-3, rtol=1e-3)
+
+
+def test_shufflenet_v2_roundtrip_random_weights(rng):
+    """ShuffleNetV2 x1.0 (torchvision graph: channel split/shuffle units,
+    depthwise branches): random torch replica → convert → flax logits match."""
+
+    def channel_shuffle_t(x, groups):
+        b, c, h, w = x.size()
+        x = x.view(b, groups, c // groups, h, w).transpose(1, 2).contiguous()
+        return x.view(b, c, h, w)
+
+    class TUnit(tnn.Module):
+        def __init__(self, inp, oup, stride):
+            super().__init__()
+            self.stride = stride
+            bf = oup // 2
+            if stride > 1:
+                self.branch1 = tnn.Sequential(
+                    tnn.Conv2d(inp, inp, 3, stride, 1, groups=inp, bias=False),
+                    tnn.BatchNorm2d(inp),
+                    tnn.Conv2d(inp, bf, 1, bias=False),
+                    tnn.BatchNorm2d(bf),
+                    tnn.ReLU(inplace=True),
+                )
+            else:
+                self.branch1 = tnn.Sequential()
+            b2_in = inp if stride > 1 else bf
+            self.branch2 = tnn.Sequential(
+                tnn.Conv2d(b2_in, bf, 1, bias=False),
+                tnn.BatchNorm2d(bf),
+                tnn.ReLU(inplace=True),
+                tnn.Conv2d(bf, bf, 3, stride, 1, groups=bf, bias=False),
+                tnn.BatchNorm2d(bf),
+                tnn.Conv2d(bf, bf, 1, bias=False),
+                tnn.BatchNorm2d(bf),
+                tnn.ReLU(inplace=True),
+            )
+
+        def forward(self, x):
+            if self.stride == 1:
+                x1, x2 = x.chunk(2, dim=1)
+                out = torch.cat((x1, self.branch2(x2)), dim=1)
+            else:
+                out = torch.cat((self.branch1(x), self.branch2(x)), dim=1)
+            return channel_shuffle_t(out, 2)
+
+    class TShuffleNetV2(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            so = (24, 116, 232, 464, 1024)
+            self.conv1 = tnn.Sequential(
+                tnn.Conv2d(3, so[0], 3, 2, 1, bias=False),
+                tnn.BatchNorm2d(so[0]), tnn.ReLU(inplace=True))
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            c_in = so[0]
+            for si, (reps, c_out) in enumerate(zip((4, 8, 4), so[1:4]), 2):
+                units = [TUnit(c_in, c_out, 2)]
+                c_in = c_out
+                units += [TUnit(c_in, c_out, 1) for _ in range(reps - 1)]
+                setattr(self, f"stage{si}", tnn.Sequential(*units))
+            self.conv5 = tnn.Sequential(
+                tnn.Conv2d(c_in, so[4], 1, bias=False),
+                tnn.BatchNorm2d(so[4]), tnn.ReLU(inplace=True))
+            self.fc = tnn.Linear(so[4], 1000)
+
+        def forward(self, x):
+            x = self.maxpool(self.conv1(x))
+            x = self.stage4(self.stage3(self.stage2(x)))
+            return self.fc(self.conv5(x).mean([2, 3]))
+
+    tmodel = TShuffleNetV2()
+    tmodel.eval()
+    sd_np = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()
+             if "num_batches_tracked" not in k}
+    variables = convert.convert_shufflenet_v2(sd_np)
+    bundle = create_model("shufflenet_v2_x1_0", "imagenet")
+
+    x = rng.rand(1, 3, 96, 96).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x)).numpy()
+    j_logits = np.asarray(bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(j_logits, t_logits, atol=2e-3, rtol=1e-3)
+
+
+def test_mnasnet_roundtrip_random_weights(rng):
+    """MNASNet 1.0 (torchvision graph: MBConv stacks, 5x5 depthwise):
+    random torch replica → convert → flax logits match."""
+
+    class TInv(tnn.Module):
+        def __init__(self, inp, oup, k, stride, exp):
+            super().__init__()
+            mid = inp * exp
+            self.apply_residual = inp == oup and stride == 1
+            self.layers = tnn.Sequential(
+                tnn.Conv2d(inp, mid, 1, bias=False),
+                tnn.BatchNorm2d(mid), tnn.ReLU(inplace=True),
+                tnn.Conv2d(mid, mid, k, padding=k // 2, stride=stride,
+                           groups=mid, bias=False),
+                tnn.BatchNorm2d(mid), tnn.ReLU(inplace=True),
+                tnn.Conv2d(mid, oup, 1, bias=False),
+                tnn.BatchNorm2d(oup),
+            )
+
+        def forward(self, x):
+            y = self.layers(x)
+            return x + y if self.apply_residual else y
+
+    def stack(inp, oup, k, stride, exp, repeats):
+        units = [TInv(inp, oup, k, stride, exp)]
+        units += [TInv(oup, oup, k, 1, exp) for _ in range(repeats - 1)]
+        return tnn.Sequential(*units)
+
+    class TMNASNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            d = [32, 16, 24, 40, 80, 96, 192, 320]
+            self.layers = tnn.Sequential(
+                tnn.Conv2d(3, d[0], 3, padding=1, stride=2, bias=False),
+                tnn.BatchNorm2d(d[0]), tnn.ReLU(inplace=True),
+                tnn.Conv2d(d[0], d[0], 3, padding=1, groups=d[0], bias=False),
+                tnn.BatchNorm2d(d[0]), tnn.ReLU(inplace=True),
+                tnn.Conv2d(d[0], d[1], 1, bias=False),
+                tnn.BatchNorm2d(d[1]),
+                stack(d[1], d[2], 3, 2, 3, 3),
+                stack(d[2], d[3], 5, 2, 3, 3),
+                stack(d[3], d[4], 5, 2, 6, 3),
+                stack(d[4], d[5], 3, 1, 6, 2),
+                stack(d[5], d[6], 5, 2, 6, 4),
+                stack(d[6], d[7], 3, 1, 6, 1),
+                tnn.Conv2d(d[7], 1280, 1, bias=False),
+                tnn.BatchNorm2d(1280), tnn.ReLU(inplace=True),
+            )
+            self.classifier = tnn.Sequential(
+                tnn.Dropout(0.2), tnn.Linear(1280, 1000))
+
+        def forward(self, x):
+            return self.classifier(self.layers(x).mean([2, 3]))
+
+    tmodel = TMNASNet()
+    tmodel.eval()
+    sd_np = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()
+             if "num_batches_tracked" not in k}
+    variables = convert.convert_mnasnet(sd_np)
+    bundle = create_model("mnasnet1_0", "imagenet")
+
+    # sanity: alpha parsing reproduces torchvision depths at 1.0
+    from network_interpretation_imagenet_tpu.models.mnasnet import get_depths
+    assert get_depths(1.0) == [32, 16, 24, 40, 80, 96, 192, 320]
+    assert get_depths(0.5) == [16, 8, 16, 24, 40, 48, 96, 160]
+
+    x = rng.rand(1, 3, 96, 96).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(x)).numpy()
+    j_logits = np.asarray(bundle.logits(variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(j_logits, t_logits, atol=2e-3, rtol=1e-3)
