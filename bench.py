@@ -183,7 +183,11 @@ def tpu_rate_and_latency():
         pipeline.localization_score(out.heatmap, [60, 50, 120, 130])
         return out.heatmap
 
-    one_image(100)  # warm the 100-mask shape
+    # Warm the 100-mask shape AND the dispatch path: the first few calls
+    # after a compile carry extra tunnel/dispatch overhead (measured runs
+    # decay 230→170 ms over ~5 calls), so one warm call under-reports.
+    for w in range(3):
+        one_image(100 + w)
     lats = []
     for i in range(7):
         t0 = time.perf_counter()

@@ -56,6 +56,12 @@ def transform_gt_bbox(
     intersect with the centered crop window, shift into crop coordinates.
     Returns [x, y, w, h] in the cropped image frame ([0,0,0,0] if the box
     falls outside the crop).
+
+    Deliberate reference-parity choice: the box frame uses UN-truncated
+    float resize dims (sw = img_w·r), exactly like ``dataset.py``, while the
+    pixel path truncates the long side like PIL (``pil_eval_transform``) —
+    so boxes can sit ≲1 px off the pixel frame, as they do in the reference.
+    The committed real-JPEG fixture pins these torch-computed semantics.
     """
     r = crop / (img_w if img_w < img_h else img_h)
     x, y, w, h = (v * r for v in bbox_xywh)

@@ -176,8 +176,6 @@ def fit_adam(
     del params  # lengthscale comes from the sweep
     y = jnp.asarray(y_grid, jnp.float32)
     h, w = y.shape
-    n = h * w
-    opt = optax.adam(lr)
 
     # Host: eigendecompose every candidate (cached across calls).
     qh_all, qw_all, lam_all = zip(
@@ -187,9 +185,29 @@ def fit_adam(
     qw_all = jnp.asarray(np.stack(qw_all))
     lam_all = jnp.asarray(np.stack(lam_all))
 
+    run = _fit_core(int(iters), float(lr))
+    best, pf, losses = run(qh_all, qw_all, lam_all, y)
+    log_os, log_noise, mean = pf
+    ls_best = float(lengthscale_grid[int(best)])
+    return (
+        KronGPParams(
+            jnp.log(jnp.asarray(ls_best, jnp.float32)), log_os, log_noise, mean
+        ),
+        losses,
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _fit_core(iters: int, lr: float):
+    """Jitted Adam-fit core, cached per (iters, lr): repeat fits in one
+    process (e.g. a val-set sweep of per-image pixel-GPs) reuse the traced
+    executable instead of re-tracing the whole scan per call."""
+    opt = optax.adam(lr)
+
     @jax.jit
     def run(qh_all, qw_all, lam_all, y):
       with jax.default_matmul_precision("highest"):
+          n = y.shape[0] * y.shape[1]
           y_mean0 = jnp.mean(y)
           y_var0 = jnp.maximum(jnp.var(y), 1e-6)
 
@@ -230,15 +248,7 @@ def fit_adam(
           (pf, _), losses = jax.lax.scan(step, (p0, s0), None, length=iters)
           return best, pf, losses
 
-    best, pf, losses = run(qh_all, qw_all, lam_all, y)
-    log_os, log_noise, mean = pf
-    ls_best = float(lengthscale_grid[int(best)])
-    return (
-        KronGPParams(
-            jnp.log(jnp.asarray(ls_best, jnp.float32)), log_os, log_noise, mean
-        ),
-        losses,
-    )
+    return run
 
 
 def predict_offgrid(

@@ -15,6 +15,7 @@ matmuls + erf:
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -131,20 +132,19 @@ def neg_elbo(params: VGPParams, inducing: Array, x: Array, y01: Array) -> Array:
     return -(ell - _kl(params, luu, s_chol))
 
 
-def fit_adam(
-    model: VGPModel, x: Array, y01: Array, iters: int = 30, lr: float = 0.1
-) -> Tuple[VGPModel, Array]:
-    """Reference training loop semantics: 30 Adam(0.1) full-batch iterations
-    (``gp_classification.py:176-217``), here a jitted `lax.scan`."""
+@functools.lru_cache(maxsize=16)
+def _fit_core(iters: int, lr: float):
+    """Jitted ELBO-fit core, cached per (iters, lr) so repeat fits in one
+    process reuse the traced executable (inducing points are an operand)."""
     opt = optax.adam(lr)
 
     @jax.jit
-    def run(p0, xx, yy):
+    def run(p0, inducing, xx, yy):
         s0 = opt.init(p0)
 
         def step(carry, _):
             p, s = carry
-            loss, grads = jax.value_and_grad(neg_elbo)(p, model.inducing, xx, yy)
+            loss, grads = jax.value_and_grad(neg_elbo)(p, inducing, xx, yy)
             updates, s = opt.update(grads, s)
             p = optax.apply_updates(p, updates)
             return (p, s), loss
@@ -152,7 +152,17 @@ def fit_adam(
         (pf, _), losses = jax.lax.scan(step, (p0, s0), None, length=iters)
         return pf, losses
 
-    pf, losses = run(model.params, jnp.asarray(x), jnp.asarray(y01, jnp.float32))
+    return run
+
+
+def fit_adam(
+    model: VGPModel, x: Array, y01: Array, iters: int = 30, lr: float = 0.1
+) -> Tuple[VGPModel, Array]:
+    """Reference training loop semantics: 30 Adam(0.1) full-batch iterations
+    (``gp_classification.py:176-217``), here a jitted `lax.scan`."""
+    run = _fit_core(int(iters), float(lr))
+    pf, losses = run(model.params, model.inducing, jnp.asarray(x),
+                     jnp.asarray(y01, jnp.float32))
     return VGPModel(pf, model.inducing), losses
 
 

@@ -5,6 +5,12 @@ K masks shard over the "data" axis; each device builds its local mask chunk
 from the replicated segment map and runs the local batched forward; per-mask
 outputs come back sharded (no collective needed — metrics reductions use
 ``psum`` inside `shard_map` when requested).
+
+The jitted shard_map wrappers are cached per (mesh, logits_fn, dtype, axis):
+``target``/``width`` enter as traced scalars, so a val-set sweep over many
+images reuses ONE compiled executable per mask-count bucket instead of
+re-tracing (and, with per-image target classes baked in, re-compiling) the
+whole model forward per image.
 """
 
 from __future__ import annotations
@@ -20,6 +26,37 @@ from jax import shard_map
 from network_interpretation_imagenet_tpu.ops import masking
 
 Array = jax.Array
+
+# (kind, mesh, logits_fn, dtype-name, data_axis) → jitted shard_map wrapper.
+# Bound methods hash by (instance, function), Mesh and dtypes are hashable,
+# so repeat calls with the same engine/bundle hit the same entry; jit's own
+# cache then keys on operand shapes.
+_FN_CACHE: dict = {}
+
+
+def _single_eval_fn(mesh, logits_fn, compute_dtype, data_axis):
+    key = ("single", mesh, logits_fn, jnp.dtype(compute_dtype).name, data_axis)
+    if key not in _FN_CACHE:
+
+        def local_eval(variables, image, segments, width, target, f_local,
+                       valid_local):
+            masks = masking.window_masks(segments, f_local, width)
+            imgs = masking.apply_masks(image, masks).astype(compute_dtype)
+            logits = logits_fn(variables, imgs).astype(jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1)
+            preds = jnp.argmax(logits, axis=-1)
+            survived = (preds == target) & valid_local
+            count = jax.lax.psum(jnp.sum(survived.astype(jnp.int32)), data_axis)
+            return survived, probs[:, target], count
+
+        _FN_CACHE[key] = jax.jit(shard_map(
+            local_eval,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(data_axis), P(data_axis)),
+            out_specs=(P(data_axis), P(data_axis), P()),
+            check_vma=False,
+        ))
+    return _FN_CACHE[key]
 
 
 def sharded_window_eval(
@@ -50,29 +87,13 @@ def sharded_window_eval(
         firsts = np.concatenate([firsts, np.zeros(pad, np.int32)])
     valid = np.arange(len(firsts)) < k
 
-    def local_eval(variables, image, segments, f_local, valid_local):
-        masks = masking.window_masks(segments, f_local, jnp.int32(width))
-        imgs = masking.apply_masks(image, masks).astype(compute_dtype)
-        logits = logits_fn(variables, imgs).astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)
-        preds = jnp.argmax(logits, axis=-1)
-        survived = (preds == target) & valid_local
-        count = jax.lax.psum(jnp.sum(survived.astype(jnp.int32)), data_axis)
-        return survived, probs[:, target], count
-
-    spec_data = P(data_axis)
-    spec_rep = P()
-    fn = shard_map(
-        local_eval,
-        mesh=mesh,
-        in_specs=(spec_rep, spec_rep, spec_rep, spec_data, spec_data),
-        out_specs=(spec_data, spec_data, spec_rep),
-        check_vma=False,
-    )
-    survived, probs, count = jax.jit(fn)(
+    fn = _single_eval_fn(mesh, logits_fn, compute_dtype, data_axis)
+    survived, probs, count = fn(
         variables,
         jnp.asarray(image),
         jnp.asarray(segments),
+        jnp.int32(width),
+        jnp.int32(target),
         jnp.asarray(firsts),
         jnp.asarray(valid),
     )
@@ -81,6 +102,37 @@ def sharded_window_eval(
         np.asarray(probs)[:k],
         int(np.asarray(count).reshape(-1)[0]),
     )
+
+
+def _multi_eval_fn(mesh, logits_fn, compute_dtype, data_axis):
+    key = ("multi", mesh, logits_fn, jnp.dtype(compute_dtype).name, data_axis)
+    if key not in _FN_CACHE:
+
+        def local_eval(variables, images, segments, widths, targets,
+                       pairs_local):
+            img_idx = pairs_local[:, 0]
+            f = pairs_local[:, 1]
+            seg = segments[img_idx]
+            lo = f[:, None, None]
+            hi = lo + widths[img_idx][:, None, None]
+            masks = (seg >= lo) & (seg < hi)
+            imgs = (images[img_idx]
+                    * masks[..., None].astype(images.dtype)).astype(compute_dtype)
+            logits = logits_fn(variables, imgs).astype(jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1)
+            preds = jnp.argmax(logits, axis=-1)
+            t = targets[img_idx]
+            p_t = jnp.take_along_axis(probs, t[:, None], axis=1)[:, 0]
+            return preds == t, p_t
+
+        _FN_CACHE[key] = jax.jit(shard_map(
+            local_eval,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(data_axis)),
+            out_specs=(P(data_axis), P(data_axis)),
+            check_vma=False,
+        ))
+    return _FN_CACHE[key]
 
 
 def sharded_window_eval_multi(
@@ -120,31 +172,8 @@ def sharded_window_eval_multi(
     if pad:
         pairs = np.concatenate([pairs, np.zeros((pad, 2), np.int32)])
 
-    def local_eval(variables, images, segments, widths, targets, pairs_local):
-        img_idx = pairs_local[:, 0]
-        f = pairs_local[:, 1]
-        seg = segments[img_idx]
-        lo = f[:, None, None]
-        hi = lo + widths[img_idx][:, None, None]
-        masks = (seg >= lo) & (seg < hi)
-        imgs = (images[img_idx] * masks[..., None].astype(images.dtype)).astype(
-            compute_dtype
-        )
-        logits = logits_fn(variables, imgs).astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)
-        preds = jnp.argmax(logits, axis=-1)
-        t = targets[img_idx]
-        p_t = jnp.take_along_axis(probs, t[:, None], axis=1)[:, 0]
-        return preds == t, p_t
-
-    fn = shard_map(
-        local_eval,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(data_axis)),
-        out_specs=(P(data_axis), P(data_axis)),
-        check_vma=False,
-    )
-    survived, p_t = jax.jit(fn)(
+    fn = _multi_eval_fn(mesh, logits_fn, compute_dtype, data_axis)
+    survived, p_t = fn(
         variables,
         jnp.asarray(images),
         jnp.asarray(segments),

@@ -11,6 +11,7 @@ collectives on ICI).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
@@ -83,7 +84,9 @@ def make_sharded_train_step(
 
     batch_sharding = NamedSharding(mesh, P(data_axis))
 
-    @jax.jit
+    # Donating the state keeps params/opt-state single-buffered at the
+    # update (without it each step holds old+new trees live → 2× memory).
+    @partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: TrainState, images: Array, labels: Array):
         images = jax.lax.with_sharding_constraint(images, batch_sharding)
         labels = jax.lax.with_sharding_constraint(labels, batch_sharding)

@@ -11,9 +11,9 @@ def relabel_sequential(labels: np.ndarray) -> np.ndarray:
     """Relabel to contiguous 0..S-1 in raster-scan first-occurrence order."""
     labels = np.asarray(labels)
     flat = labels.ravel()
-    _, first_idx = np.unique(flat, return_index=True)
+    uniq, first_idx = np.unique(flat, return_index=True)
     order = np.argsort(first_idx)  # original label ids sorted by first occurrence
-    uniq_sorted_by_occurrence = np.unique(flat)[order]
+    uniq_sorted_by_occurrence = uniq[order]
     remap = np.full(int(flat.max()) + 1, -1, np.int32)
     remap[uniq_sorted_by_occurrence] = np.arange(len(order), dtype=np.int32)
     return remap[labels].astype(np.int32)

@@ -121,7 +121,10 @@ def _felzenszwalb_numpy(
     n = h * w
     parent = np.arange(n, dtype=np.int32)
     size = np.ones(n, np.int32)
-    internal = np.zeros(n, np.float64)
+    # float32 like the C++ kernel: the merge threshold must round identically
+    # in both backends or near-threshold edges diverge (bit-parity contract).
+    internal = np.zeros(n, np.float32)
+    scale32 = np.float32(scale)
 
     def find(x: int) -> int:
         root = x
@@ -143,7 +146,9 @@ def _felzenszwalb_numpy(
         if ra == rb:
             continue
         wt = weights[i]
-        if wt <= internal[ra] + scale / size[ra] and wt <= internal[rb] + scale / size[rb]:
+        ta = internal[ra] + scale32 / np.float32(size[ra])
+        tb = internal[rb] + scale32 / np.float32(size[rb])
+        if wt <= ta and wt <= tb:
             merge(ra, rb, wt)
 
     for i in range(len(a)):

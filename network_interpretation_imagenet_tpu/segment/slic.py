@@ -70,6 +70,12 @@ def _slic_device(
 
     gh, gw = _grid_shape(h, w, n_segments)
     k = gh * gw
+    # XLA's TPU compile degenerates on awkward K (measured on v5e: the
+    # [N,K] argmin/one-hot/matmul chain compiles in ~260-310 s at K=49 or
+    # 56 vs ~2 s at K=48/64). Pad K to the next power of two with sentinel
+    # centers placed far outside feature space — they never win an
+    # assignment, never update, and the output label range stays [0, k).
+    k_pad = max(8, 1 << (k - 1).bit_length())
     spacing = float(np.sqrt(h * w / k))
 
     ys = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * (h / gh)
@@ -97,21 +103,30 @@ def _slic_device(
     centers0 = jnp.concatenate(
         [init_color, (cy0 * ratio)[:, None], (cx0 * ratio)[:, None]], axis=1
     )  # [K, C+2]
+    if k_pad > k:
+        centers0 = jnp.concatenate(
+            [centers0, jnp.full((k_pad - k, c + 2), 1e6, jnp.float32)]
+        )
 
     pix_sq = jnp.sum(pix * pix, axis=1, keepdims=True)  # [N, 1]
+
+    # TPU-default matmul precision is bf16: cross terms are O(1e4) (colors ×
+    # scaled coords) while boundary-deciding d2 gaps are O(1) — bf16 rounding
+    # misassigns multi-pixel boundary bands (invisible in f32 CPU tests).
+    _hp = jax.lax.Precision.HIGHEST
 
     def assign(centers: Array) -> Array:
         # ||p - c||² = ||p||² + ||c||² - 2 p·c — the cross term is an [N, K]
         # matmul that lands on the MXU.
         cen_sq = jnp.sum(centers * centers, axis=1)[None, :]
-        cross = pix @ centers.T
+        cross = jnp.matmul(pix, centers.T, precision=_hp)
         d2 = pix_sq + cen_sq - 2.0 * cross
         return jnp.argmin(d2, axis=1).astype(jnp.int32)  # [N]
 
     def update(labels: Array, centers: Array) -> Array:
-        onehot = jax.nn.one_hot(labels, k, dtype=jnp.float32)  # [N, K]
+        onehot = jax.nn.one_hot(labels, k_pad, dtype=jnp.float32)  # [N, K]
         counts = jnp.sum(onehot, axis=0)[:, None]  # [K, 1]
-        sums = onehot.T @ pix  # [K, C+2] — MXU
+        sums = jnp.matmul(onehot.T, pix, precision=_hp)  # [K, C+2] — MXU
         return jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), centers)
 
     def body(_, centers: Array) -> Array:

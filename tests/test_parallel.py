@@ -216,3 +216,48 @@ def test_merge_sweep_metrics_pools_latencies():
     # Pooled sorted latencies: 0.1 0.2 0.3 0.9 1.1 → p50 = 0.3
     # (median-of-medians would give 0.9).
     np.testing.assert_allclose(merged.p50_latency_s, 0.3)
+
+
+def test_sharded_eval_no_retrace_across_targets():
+    """Per-image target/width are traced operands and the shard_map wrapper
+    is cached, so a sweep over images must trace the model ONCE (regression:
+    target/width were baked into a fresh closure per call → per-image
+    recompiles)."""
+    from network_interpretation_imagenet_tpu.parallel import (
+        make_mesh,
+        sharded_window_eval,
+        sharded_window_eval_multi,
+    )
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    traces = []
+
+    def counting_logits(variables, imgs):
+        traces.append(1)  # appends only while TRACING, not per execution
+        return bundle.logits(variables, imgs)
+
+    mesh = make_mesh()
+    rng = np.random.RandomState(0)
+    image = rng.rand(28, 28, 1).astype(np.float32)
+    segments = rng.randint(0, 12, (28, 28)).astype(np.int32)
+    firsts = np.arange(8, dtype=np.int32)
+    for target in (1, 5, 9):
+        for width in (3, 4):
+            sharded_window_eval(
+                mesh, counting_logits, variables, image, segments, firsts,
+                width=width, target=target, compute_dtype=jnp.float32,
+            )
+    assert len(traces) == 1, f"expected 1 trace, got {len(traces)}"
+
+    traces.clear()
+    imgs = np.stack([image, image])
+    segs = np.stack([segments, segments])
+    f2 = rng.randint(0, 4, (2, 3)).astype(np.int32)
+    for tgts in ([1, 2], [3, 4]):
+        sharded_window_eval_multi(
+            mesh, counting_logits, variables, imgs, segs, f2,
+            np.asarray([3, 4], np.int32), np.asarray(tgts, np.int32),
+            compute_dtype=jnp.float32,
+        )
+    assert len(traces) == 1, f"expected 1 trace, got {len(traces)}"
