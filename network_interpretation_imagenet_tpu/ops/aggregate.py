@@ -35,7 +35,8 @@ def summed_label_heatmap(masks: Array, labels: Array) -> Array:
 
 
 def summed_superpixel_labels(
-    segments: Array, firsts: Array, width: Array, labels: Array
+    segments: Array, firsts: Array, width: Array, labels: Array,
+    s_cap: int = 4096,
 ) -> Array:
     """Equivalent heatmap computed from window parameters without a mask bank.
 
@@ -54,9 +55,10 @@ def summed_superpixel_labels(
     Returns:
       f32[H, W].
     """
-    # Static bound on segment IDs; matches ops.masking.sample_knockout_ids.
-    s_cap = 4096
-    seg_ids = jnp.arange(s_cap, dtype=jnp.int32)
+    # s_cap is the jit-static bound on segment IDs. Callers that know S must
+    # pass s_cap >= S (pow-2 bucketed to bound compiled shapes) — IDs above
+    # the cap would silently lose heat and gather-clamp to the top row.
+    seg_ids = jnp.arange(int(s_cap), dtype=jnp.int32)
     # in_window[k, s] = first[k] <= s < first[k]+width
     in_window = (seg_ids[None, :] >= firsts[:, None]) & (
         seg_ids[None, :] < (firsts + width)[:, None]

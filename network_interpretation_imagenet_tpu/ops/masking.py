@@ -141,7 +141,7 @@ def sample_window_starts_host(
 
 
 def sample_knockout_ids(
-    key: Array, num: int, m: int, total_segments: Array
+    key: Array, num: int, m: int, total_segments: Array, max_s: int = 4096
 ) -> Array:
     """Random knockout segment IDs, K masks × M segments each.
 
@@ -160,10 +160,15 @@ def sample_knockout_ids(
     if m == 1:
         return jax.random.randint(key, (num, 1), 0, hi, dtype=jnp.int32)
     # Without replacement from a traced-size range: rank random scores that are
-    # +inf outside [0, hi) and take the M smallest indices.
-    max_s = 4096  # static cap far above any real segment count
-    scores = jax.random.uniform(key, (num, max_s))
-    idx = jnp.arange(max_s)[None, :]
+    # +inf outside [0, hi) and take the M smallest indices. ``max_s`` is the
+    # jit-static ID bound — callers with S possibly > 4096 must pass a larger
+    # (pow-2 bucketed) cap or high IDs are never sampled.
+    scores = jax.random.uniform(key, (num, int(max_s)))
+    idx = jnp.arange(int(max_s))[None, :]
     scores = jnp.where(idx < hi, scores, jnp.inf)
     _, picked = jax.lax.top_k(-scores, m)  # M smallest scores
+    # Degenerate images (fewer than M eligible segments): +inf-scored pad
+    # indices can be picked — clamp into the valid range (duplicates, like
+    # knocking out fewer segments) instead of returning phantom IDs.
+    picked = jnp.minimum(picked, hi - 1)
     return picked.astype(jnp.int32)

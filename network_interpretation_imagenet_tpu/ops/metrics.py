@@ -57,38 +57,27 @@ def largest_component_bbox(mask: np.ndarray) -> np.ndarray:
     findContours' treatment of diagonally-touching foreground. Runs once per
     image on a 224² boolean mask — negligible host cost.
     """
+    from scipy import ndimage
+
     mask = np.asarray(mask, bool)
-    h, w = mask.shape
-    labels = np.zeros((h, w), np.int32)
-    cur = 0
+    # 8-connected components in C (a Python flood fill here costs ~0.2-1 s
+    # per 224² mask — 10-40× the per-image device budget on the sweep path).
+    lab, n = ndimage.label(mask, structure=np.ones((3, 3), int))
+    if n == 0:
+        return np.zeros(4, np.int32)
     best = (0, 0, 0, 0)
     best_size = 0
-    for sy in range(h):
-        for sx in range(w):
-            if mask[sy, sx] and labels[sy, sx] == 0:
-                cur += 1
-                stack = [(sy, sx)]
-                labels[sy, sx] = cur
-                y0 = y1 = sy
-                x0 = x1 = sx
-                while stack:
-                    y, x = stack.pop()
-                    y0, y1 = min(y0, y), max(y1, y)
-                    x0, x1 = min(x0, x), max(x1, x)
-                    for ny in (y - 1, y, y + 1):
-                        for nx in (x - 1, x, x + 1):
-                            if (
-                                0 <= ny < h and 0 <= nx < w
-                                and mask[ny, nx] and labels[ny, nx] == 0
-                            ):
-                                labels[ny, nx] = cur
-                                stack.append((ny, nx))
-                bw, bh = x1 - x0 + 1, y1 - y0 + 1
-                # Reference keeps the box with largest area w*h (utils.py:103-107,
-                # including its use of the *updated* size for comparison).
-                if bw * bh > best_size:
-                    best = (x0, y0, bw, bh)
-                    best_size = bw * bh
+    # find_objects returns bboxes in label order = raster order of each
+    # component's first pixel, matching the reference's scan order; strict >
+    # keeps the first-found box on area ties (utils.py:103-107 keeps the
+    # largest w*h area).
+    for sl in ndimage.find_objects(lab):
+        y0, y1 = sl[0].start, sl[0].stop - 1
+        x0, x1 = sl[1].start, sl[1].stop - 1
+        bw, bh = x1 - x0 + 1, y1 - y0 + 1
+        if bw * bh > best_size:
+            best = (x0, y0, bw, bh)
+            best_size = bw * bh
     return np.array(best, np.int32)
 
 

@@ -220,9 +220,24 @@ class SaliencyEngine:
 
     # -- public API ---------------------------------------------------------
 
+    def predict_logits_device(self, images: Array) -> Array:
+        """Dispatch a batched unmasked forward; returns DEVICE logits
+        [B, num_classes] (async — callers can keep argmax targets as device
+        scalars). The batch pads to a power of two so tail flushes of a
+        sweep reuse compiled shapes instead of compiling one-off sizes."""
+        images = jnp.asarray(images)
+        b = images.shape[0]
+        b_pad = max(1, 1 << max(b - 1, 0).bit_length())
+        if b_pad > b:
+            images = jnp.concatenate(
+                [images,
+                 jnp.broadcast_to(images[:1], (b_pad - b,) + images.shape[1:])]
+            )
+        return self._predict(self.variables, images)[:b]
+
     def predict(self, images: Array) -> np.ndarray:
         """Batched unmasked forward → f32 logits [B, num_classes]."""
-        return np.asarray(self._predict(self.variables, jnp.asarray(images)))
+        return np.asarray(self.predict_logits_device(images))
 
     def predict_one(self, image: Array) -> Tuple[int, np.ndarray]:
         logits = self.predict(jnp.asarray(image)[None])[0]

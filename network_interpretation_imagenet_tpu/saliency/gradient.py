@@ -104,32 +104,51 @@ def occlusion_map(
     base_logits = logits_fn(variables, image[None].astype(compute_dtype))
     base_prob = jax.nn.softmax(base_logits.astype(jnp.float32), -1)[0, target]
 
-    rows = jnp.arange(h)[:, None]
-    cols = jnp.arange(w)[None, :]
+    run = _occlusion_core(logits_fn, patch, batch, compute_dtype)
+    return run(
+        variables, image, base_prob, jnp.int32(target),
+        jnp.asarray(pos_p), jnp.asarray(valid),
+    )
 
-    @jax.jit
-    def run(pos_arr, valid_arr):
-        def step(_, chunk):
-            py, px = chunk[:, 0], chunk[:, 1]
-            inside = (
-                (rows[None] >= py[:, None, None])
-                & (rows[None] < (py + patch)[:, None, None])
-                & (cols[None] >= px[:, None, None])
-                & (cols[None] < (px + patch)[:, None, None])
+
+# (logits_fn, patch, batch, dtype) → jitted core: image/target/base_prob are
+# traced operands, so a sweep of occlusion maps traces and compiles ONCE.
+_OCCLUSION_CACHE: dict = {}
+
+
+def _occlusion_core(logits_fn, patch: int, batch: int, compute_dtype):
+    key = (logits_fn, int(patch), int(batch), jnp.dtype(compute_dtype).name)
+    if key not in _OCCLUSION_CACHE:
+
+        @jax.jit
+        def run(variables, image, base_prob, target, pos_arr, valid_arr):
+            h, w = image.shape[0], image.shape[1]
+            rows = jnp.arange(h)[:, None]
+            cols = jnp.arange(w)[None, :]
+
+            def step(_, chunk):
+                py, px = chunk[:, 0], chunk[:, 1]
+                inside = (
+                    (rows[None] >= py[:, None, None])
+                    & (rows[None] < (py + patch)[:, None, None])
+                    & (cols[None] >= px[:, None, None])
+                    & (cols[None] < (px + patch)[:, None, None])
+                )
+                imgs = image[None] * (~inside)[:, :, :, None].astype(image.dtype)
+                logits = logits_fn(variables, imgs.astype(compute_dtype))
+                probs = jax.nn.softmax(logits.astype(jnp.float32), -1)[:, target]
+                return None, (probs, inside)
+
+            _, (probs, insides) = jax.lax.scan(
+                step, None, pos_arr.reshape(-1, batch, 2)
             )
-            imgs = image[None] * (~inside)[:, :, :, None].astype(image.dtype)
-            logits = logits_fn(variables, imgs.astype(compute_dtype))
-            probs = jax.nn.softmax(logits.astype(jnp.float32), -1)[:, target]
-            return None, (probs, inside)
+            probs = probs.reshape(-1)
+            insides = (insides.reshape(-1, h, w).astype(jnp.float32)
+                       * valid_arr[:, None, None])
+            drop = jnp.maximum(base_prob - probs, 0.0)
+            heat = jnp.einsum("k,khw->hw", drop, insides)
+            count = jnp.maximum(jnp.sum(insides, axis=0), 1.0)
+            return heat / count
 
-        _, (probs, insides) = jax.lax.scan(
-            step, None, pos_arr.reshape(-1, batch, 2)
-        )
-        probs = probs.reshape(-1)
-        insides = insides.reshape(-1, h, w).astype(jnp.float32) * valid_arr[:, None, None]
-        drop = jnp.maximum(base_prob - probs, 0.0)
-        heat = jnp.einsum("k,khw->hw", drop, insides)
-        count = jnp.maximum(jnp.sum(insides, axis=0), 1.0)
-        return heat / count
-
-    return run(jnp.asarray(pos_p), jnp.asarray(valid))[:, :]
+        _OCCLUSION_CACHE[key] = run
+    return _OCCLUSION_CACHE[key]

@@ -101,7 +101,12 @@ def knockout_saliency(
         target, _ = engine.predict_one(image)
     key = jax.random.PRNGKey(seed)
     knock_ids = np.asarray(
-        masking.sample_knockout_ids(key, num_samples, num_knockout, jnp.int32(s))
+        masking.sample_knockout_ids(
+            key, num_samples, num_knockout, jnp.int32(s),
+            # pow-2 bucketed static ID bound: correct for any S, and images
+            # with different (large) segment counts share compiled shapes.
+            max_s=max(4096, 1 << (s - 1).bit_length()),
+        )
     )
     result = engine.eval_knockout_masks(image, segments, knock_ids, target)
     masks = np.asarray(

@@ -55,6 +55,17 @@ class SweepResult:
     per_image: list = dataclasses.field(default_factory=list)
 
 
+def _unpack_item(item):
+    """(image, label?, gt_bbox?) from a 2- or 3-element dataset item.
+
+    Accepts any sequence type (tuple/list), so a malformed item fails inside
+    the caller's per-image try block instead of aborting the whole sweep."""
+    seq = tuple(item)
+    if len(seq) == 2:
+        return seq[0], seq[1], None
+    return seq[0], seq[1], seq[2]
+
+
 def _sharded_window_saliency(
     engine: SaliencyEngine, mesh, image, segments, num_samples: int,
     window_fraction: float, seed: int, target: int, firsts=None,
@@ -75,11 +86,10 @@ def _sharded_window_saliency(
         mesh, engine.bundle.logits, engine.variables, image, segments,
         firsts, width, target, compute_dtype=engine.compute_dtype,
     )
-    heat = np.asarray(
-        aggregate.summed_superpixel_labels(
-            jnp.asarray(segments), jnp.asarray(firsts), jnp.int32(width),
-            jnp.asarray(survived),
-        )
+    # Host twin: exact for any S (the device path is s_cap-bounded) and
+    # keeps aggregation off the device queue.
+    heat = aggregate.summed_superpixel_labels_np(
+        segments, firsts, width, np.asarray(survived)
     )
     return SaliencyOutput(
         segments=segments, num_segments=s,
@@ -238,9 +248,8 @@ def saliency_sweep(
         try:
             idxs, imgs, segs, ss, widths, firsts, labels, t0s = zip(*batch)
             images_np = np.stack(imgs)
-            logits_dev = engine._predict(
-                engine.variables, jnp.asarray(images_np)
-            )
+            # pow-2 padded predict: the tail flush reuses a compiled shape
+            logits_dev = engine.predict_logits_device(images_np)
             targets_dev = jnp.argmax(logits_dev, axis=1).astype(jnp.int32)
             metas = list(zip(idxs, segs, ss, widths, firsts, labels, t0s))
             if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
@@ -282,11 +291,11 @@ def saliency_sweep(
     for i, item in enumerate(dataset):
         if max_images is not None and i >= max_images:
             break
-        image, label, gt_bbox = (item + (None,))[:3] if len(item) == 2 else item
-        gt_by_index[i] = gt_bbox
         res.images_total += 1
         t0 = time.perf_counter()
         try:
+            image, label, gt_bbox = _unpack_item(item)
+            gt_by_index[i] = gt_bbox
             # Host segmentation runs FIRST so it overlaps the device
             # evaluating the in-flight image's masks (streaming path). The
             # display conversion is the numpy twin for the same reason — a
@@ -462,10 +471,10 @@ def bo_saliency_sweep(
     for i, item in enumerate(dataset):
         if max_images is not None and i >= max_images:
             break
-        image, label, gt_bbox = (item + (None,))[:3] if len(item) == 2 else item
         res.images_total += 1
         t0 = time.perf_counter()
         try:
+            image, label, gt_bbox = _unpack_item(item)
             disp = aggregate.normalize_to_uint8_np(image)
             if disp.ndim == 3 and disp.shape[2] == 1:
                 disp = disp[:, :, 0]

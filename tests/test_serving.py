@@ -69,10 +69,16 @@ def test_export_without_weights_requires_variables(tmp_path, rng):
 
 
 def test_flatten_batches():
-    assert serving._flatten_batches(21, (16, 4)) == [16, 4, 4]
+    """Fewest dispatches first, least padding second (a 255-mask tail is one
+    padded 256 call, not eight 32 calls)."""
+    assert serving._flatten_batches(21, (16, 4)) == [16, 16]  # 2 calls < 3
+    assert serving._flatten_batches(20, (16, 4)) == [16, 4]
     assert serving._flatten_batches(16, (16, 4)) == [16]
     assert serving._flatten_batches(3, (16, 4)) == [4]
-    assert serving._flatten_batches(40, (16, 4)) == [16, 16, 4, 4]
+    assert serving._flatten_batches(40, (16, 4)) == [16, 16, 16]  # 3 < 4
+    assert serving._flatten_batches(255, (1024, 256, 32)) == [256]
+    assert serving._flatten_batches(1023, (1024, 256, 32)) == [1024]
+    assert serving._flatten_batches(1280, (1024, 256, 32)) == [1024, 256]
 
 
 def test_export_serving_cli(tmp_path):
