@@ -24,6 +24,12 @@ def main(argv=None) -> int:
     p.add_argument("--no-weights", action="store_true",
                    help="exclude weights from the artifact (pass variables "
                         "at load time instead)")
+    p.add_argument("--bo", action="store_true",
+                   help="also export the fused BO loop (full active-learning "
+                        "explanation as one AOT program)")
+    p.add_argument("--candidate-buckets", default="32,64",
+                   help="pow-2 BO candidate buckets to export with --bo")
+    common.add_bo_flags(p)
     args = p.parse_args(argv)
     common.apply_debug_flags(args)
 
@@ -35,6 +41,20 @@ def main(argv=None) -> int:
         engine, args.out, batch_sizes=batch_sizes,
         include_weights=not args.no_weights,
     )
+    if args.bo:
+        from network_interpretation_imagenet_tpu.config import BOConfig
+
+        bo_manifest = serving.export_bo_engine(
+            engine, args.out,
+            bo_cfg=BOConfig(n_iters=args.n_iters,
+                            n_pre_samples=args.n_pre_samples),
+            candidate_buckets=tuple(
+                int(b) for b in args.candidate_buckets.split(",")
+            ),
+            include_weights=False,  # shared variables.msgpack already written
+        )
+        manifest = {**manifest, "bo": bo_manifest["bo"],
+                    "bo_files": bo_manifest["files"]}
     common.emit_result(args.out, "export_result.json", {
         "artifact": args.out, **manifest,
     })

@@ -235,3 +235,215 @@ class ExportedSaliencyServer:
 
 def load_exported(path: str, variables: Any = None) -> ExportedSaliencyServer:
     return ExportedSaliencyServer(path, variables)
+
+
+# ---------------------------------------------------------------------------
+# Fused-BO artifact: the flagship active-learning loop, AOT
+# ---------------------------------------------------------------------------
+
+BO_MANIFEST = "bo_manifest.json"
+
+
+def export_bo_engine(
+    engine,
+    out_dir: str,
+    bo_cfg=None,
+    candidate_buckets: Sequence[int] = (32, 64),
+    proposals_per_iter: int = 1,
+    include_weights: bool = True,
+    host_variables: Any = None,
+) -> dict:
+    """AOT-export the ENTIRE fused BO loop (GP refits + EI argmax + dedup +
+    classifier forwards inside one program — the reference's flagship
+    ``bayesian_active_learning_imagenet.py:379-498`` flow) as StableHLO, one
+    artifact per pow-2 candidate bucket, plus a batch-1 predict for target
+    inference. A serving host can then explain images with zero model-zoo /
+    flax code and no cold compile.
+    """
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+    from jax import export as jexport
+
+    from network_interpretation_imagenet_tpu.bo.loop import (
+        make_fused_window_bo,
+        next_pow2,
+    )
+    from network_interpretation_imagenet_tpu.config import BOConfig
+
+    bo_cfg = bo_cfg or BOConfig()
+    bundle = engine.bundle
+    compute_dtype = engine.compute_dtype
+
+    def apply_fn(variables, imgs):
+        return bundle.logits(variables, imgs.astype(compute_dtype))
+
+    os.makedirs(out_dir, exist_ok=True)
+    h = w = bundle.input_size
+    c = bundle.input_channels
+    var_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), engine.variables
+    )
+    img_spec = jax.ShapeDtypeStruct((h, w, c), jnp.float32)
+    seg_spec = jax.ShapeDtypeStruct((h, w), jnp.int32)
+    i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    files = {}
+    for cbucket in sorted({next_pow2(int(cb)) for cb in candidate_buckets}):
+        run = make_fused_window_bo(
+            apply_fn, cbucket,
+            n_pre_samples=bo_cfg.n_pre_samples, n_iters=bo_cfg.n_iters,
+            alpha=bo_cfg.alpha, epsilon=bo_cfg.epsilon,
+            lengthscale_grid=bo_cfg.lengthscale_grid,
+            proposals_per_iter=proposals_per_iter,
+        )
+        exp = jexport.export(run)(
+            var_spec, img_spec, seg_spec, i32, i32, i32, key_spec
+        )
+        fname = f"fused_bo_{cbucket}.stablehlo"
+        with open(os.path.join(out_dir, fname), "wb") as f:
+            f.write(exp.serialize())
+        files[str(cbucket)] = fname
+
+    import jax.numpy as _jnp
+
+    def predict1(variables, image):
+        return apply_fn(variables, image[None]).astype(_jnp.float32)[0]
+
+    exp_p = jexport.export(jax.jit(predict1))(var_spec, img_spec)
+    with open(os.path.join(out_dir, "predict_1.stablehlo"), "wb") as f:
+        f.write(exp_p.serialize())
+
+    if include_weights:
+        if host_variables is None:
+            host_variables = getattr(engine, "host_variables", None)
+        host_vars = jax.tree.map(
+            np.asarray,
+            host_variables if host_variables is not None
+            else jax.device_get(engine.variables),
+        )
+        with open(os.path.join(out_dir, WEIGHTS), "wb") as f:
+            f.write(serialization.msgpack_serialize(host_vars))
+
+    manifest = {
+        "arch": bundle.name,
+        "num_classes": bundle.num_classes,
+        "input_size": bundle.input_size,
+        "input_channels": bundle.input_channels,
+        "compute_dtype": np.dtype(compute_dtype).name,
+        "bo": {
+            "n_pre_samples": bo_cfg.n_pre_samples,
+            "n_iters": bo_cfg.n_iters,
+            "proposals_per_iter": proposals_per_iter,
+        },
+        "candidate_buckets": sorted(files, key=int),
+        "files": files,
+        "predict": "predict_1.stablehlo",
+        # A weights blob already in the directory (e.g. written by a prior
+        # export_engine call sharing this artifact dir) is referenced even
+        # when this export skipped writing one.
+        "weights": WEIGHTS
+        if include_weights or os.path.exists(os.path.join(out_dir, WEIGHTS))
+        else None,
+        "export_platform": jax.default_backend(),
+    }
+    with open(os.path.join(out_dir, BO_MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+class ExportedBOServer:
+    """Serves full BO saliency explanations from an exported artifact.
+
+    ``explain(image, segments, ...)`` reproduces
+    ``saliency.bo_pipeline.bo_window_saliency`` (fused path): pick the
+    smallest exported candidate bucket ≥ upper+1, run the AOT loop, assemble
+    the summed heatmap on host.
+    """
+
+    def __init__(self, path: str, variables: Any = None) -> None:
+        import jax
+        from flax import serialization
+        from jax import export as jexport
+
+        from network_interpretation_imagenet_tpu.utils.compile_cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache()
+        with open(os.path.join(path, BO_MANIFEST)) as f:
+            self.manifest = json.load(f)
+        exported_on = self.manifest.get("export_platform")
+        if exported_on and exported_on != jax.default_backend():
+            raise ValueError(
+                f"artifact was exported for platform {exported_on!r} but "
+                f"this host's backend is {jax.default_backend()!r}; "
+                "re-export on a matching host"
+            )
+        self._fns = {}
+        for cb, fname in self.manifest["files"].items():
+            with open(os.path.join(path, fname), "rb") as f:
+                self._fns[int(cb)] = jexport.deserialize(f.read())
+        with open(os.path.join(path, self.manifest["predict"]), "rb") as f:
+            self._predict = jexport.deserialize(f.read())
+        if variables is None:
+            wpath = self.manifest.get("weights")
+            if not wpath:
+                raise ValueError(
+                    "artifact has no bundled weights; pass variables="
+                )
+            with open(os.path.join(path, wpath), "rb") as f:
+                variables = serialization.msgpack_restore(f.read())
+        self.variables = jax.device_put(variables)
+        self.buckets = sorted(self._fns)
+
+    def explain(
+        self,
+        image,
+        segments,
+        window_fraction: float = 0.4,
+        seed: int = 0,
+        target: Any = None,
+    ):
+        """→ (SaliencyOutput, BOResult), the bo_window_saliency contract."""
+        import jax
+        import jax.numpy as jnp
+
+        from network_interpretation_imagenet_tpu.bo.loop import BOResult
+        from network_interpretation_imagenet_tpu.saliency.bo_pipeline import (
+            _assemble_output,
+        )
+
+        segments = np.asarray(segments, np.int32)
+        s = int(segments.max()) + 1
+        width = int(window_fraction * s)
+        upper = int(0.6 * s)
+        usable = [b for b in self.buckets if b >= upper + 1]
+        if not usable:
+            raise ValueError(
+                f"image needs a candidate bucket >= {upper + 1}; exported "
+                f"buckets: {self.buckets} — re-export with a larger bucket"
+            )
+        image = jnp.asarray(image, jnp.float32)
+        seg_dev = jnp.asarray(segments)
+        if target is None:
+            logits = np.asarray(self._predict.call(self.variables, image))
+            target = int(logits.argmax())
+        xs, ys, survived, count = self._fns[usable[0]].call(
+            self.variables, image, seg_dev, jnp.int32(width),
+            jnp.int32(int(target)), jnp.int32(upper),
+            jax.random.PRNGKey(seed),
+        )
+        (xs, ys, survived, count) = jax.device_get((xs, ys, survived, count))
+        n = int(count)
+        bo_res = BOResult(
+            xp=np.asarray(xs)[:n].astype(int),
+            yp=np.asarray(ys)[:n],
+            survived=np.asarray(survived)[:n],
+        )
+        return _assemble_output(segments, s, width, int(target), bo_res), bo_res
+
+
+def load_exported_bo(path: str, variables: Any = None) -> ExportedBOServer:
+    return ExportedBOServer(path, variables)

@@ -100,3 +100,44 @@ def test_export_serving_cli(tmp_path):
         np.arange(8, dtype=np.int32), 2,
     )
     assert logits.shape == (8, 10)
+
+
+def test_export_bo_matches_fused_pipeline(tmp_path, rng):
+    """The AOT fused-BO artifact must reproduce bo_window_saliency's fused
+    path exactly (same seed/target/bucket)."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.saliency import bo_pipeline
+
+    engine = _engine()
+    cfg = BOConfig(n_iters=3, n_pre_samples=2)
+    image = rng.rand(28, 28, 1).astype(np.float32)
+    segments = (np.arange(784).reshape(28, 28) % 10).astype(np.int32)
+    s = 10
+    upper = int(0.6 * s)
+
+    path = str(tmp_path / "bo_artifact")
+    manifest = serving.export_bo_engine(
+        engine, path, bo_cfg=cfg, candidate_buckets=(upper + 1,)
+    )
+    assert manifest["bo"]["n_iters"] == 3
+    server = serving.load_exported_bo(path)
+
+    out_ref, trace_ref = bo_pipeline.bo_window_saliency(
+        engine, image, segments, cfg, seed=4, target=7, fused=True
+    )
+    out_srv, trace_srv = server.explain(image, segments, seed=4, target=7)
+    np.testing.assert_array_equal(trace_srv.xp, trace_ref.xp)
+    np.testing.assert_allclose(trace_srv.yp, trace_ref.yp, atol=1e-5)
+    np.testing.assert_array_equal(trace_srv.survived, trace_ref.survived)
+    np.testing.assert_allclose(out_srv.heatmap, out_ref.heatmap, atol=1e-5)
+
+    # target inference via the bundled predict artifact
+    out2, trace2 = server.explain(image, segments, seed=4)
+    pred, _ = engine.predict_one(image)
+    assert int(out2.eval.preds[trace2.survived.argmax()] if trace2.survived.any() else pred) in range(10)
+
+    # bucket too small → clear error
+    import pytest
+    big_seg = (np.arange(784).reshape(28, 28) % 200).astype(np.int32)
+    with pytest.raises(ValueError, match="candidate bucket"):
+        server.explain(image, big_seg, seed=0, target=1)
