@@ -5,7 +5,7 @@ Run as modules, e.g.::
 
     python -m network_interpretation_imagenet_tpu.cli.bayesian_active_learning_imagenet --synthetic
     python -m network_interpretation_imagenet_tpu.cli.generate_gp_training_data_mnist --mode gp-data
-    python -m network_interpretation_imagenet_tpu.cli.gp_regression --masks masks.npz --mode train
+    python -m network_interpretation_imagenet_tpu.cli.gp_regression --masks masks.npz --gp-mode train
 
 Every script works without real datasets via ``--synthetic`` (deterministic
 generated images); with ``--data DIR`` they consume the same on-disk layouts

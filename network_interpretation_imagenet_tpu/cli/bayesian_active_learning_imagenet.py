@@ -45,7 +45,7 @@ def main(argv=None):
         # Reference raises here (:221); we degrade gracefully (SURVEY §5).
         print(f"[warn] wrong prediction (pred={pred}, label={label}); "
               "explaining the predicted class instead")
-    target = label if label is not None and pred == label else pred
+    target = pred  # when pred == label this IS the label; else explain the prediction
 
     seg = common.segment_display(disp, common.segment_config(args))
     print(f"{common.segment_config(args).method} number of segments: {seg.max() + 1}")

@@ -74,7 +74,9 @@ def build_parser(description: str, dataset_default: str = "imagenet") -> argpars
                    choices=["felzenszwalb", "slic"])
     g.add_argument("--scale", type=float, default=100.0)
     g.add_argument("--sigma", type=float, default=0.5)
-    g.add_argument("--min_size", type=int, default=50)
+    # None = per-dataset reference default (50 imagenet / 5 mnist / 10 cifar,
+    # resolved in segment_config); an explicit value always wins.
+    g.add_argument("--min_size", type=int, default=None)
     g.add_argument("--n_segments", type=int, default=48)
 
     g = p.add_argument_group("masks")
@@ -146,10 +148,13 @@ def add_gp_flags(p: argparse.ArgumentParser) -> None:
 def segment_config(args) -> SegmentConfig:
     spec = DATASETS[args.dataset]
     min_size = args.min_size
-    if args.dataset == "mnist" and min_size == 50:
-        min_size = 5   # reference generate_gp_training_data_mnist.py:187
-    if args.dataset.startswith("cifar") and min_size == 50:
-        min_size = 10  # reference generate_gp_training_data_cifar.py:293
+    if min_size is None:  # per-dataset reference defaults
+        if args.dataset == "mnist":
+            min_size = 5   # reference generate_gp_training_data_mnist.py:187
+        elif args.dataset.startswith("cifar"):
+            min_size = 10  # reference generate_gp_training_data_cifar.py:293
+        else:
+            min_size = 50  # reference bayesian_active_learning_imagenet.py:150
     return SegmentConfig(
         method=args.segmenter, scale=args.scale, sigma=args.sigma,
         min_size=min_size, n_segments=args.n_segments,
@@ -257,9 +262,17 @@ def build_engine(args, num_classes: Optional[int] = None):
     bundle = create_model(
         args.arch, args.dataset, num_classes=num_classes,
         depth=args.depth, dtype=dtype,
+        # DenseNet shape flags (parser exposes them; dropping them here would
+        # build a default-shape model that can't load the trained params)
+        growth_rate=getattr(args, "growth_rate", 12),
+        bn_size=getattr(args, "bn_size", 4),
+        compression=getattr(args, "compression", 0.5),
     )
     if args.ckpt and args.ckpt.endswith((".pth.tar", ".pth", ".tar")):
-        variables = convert.convert_checkpoint(args.ckpt, args.arch, depth=args.depth)
+        variables = convert.convert_checkpoint(
+            args.ckpt, args.arch, depth=args.depth,
+            bn_size=getattr(args, "bn_size", 4),
+        )
     elif args.ckpt:
         from network_interpretation_imagenet_tpu.utils.checkpoint import restore_checkpoint
 

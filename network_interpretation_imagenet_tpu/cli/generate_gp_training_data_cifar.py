@@ -85,7 +85,7 @@ def main(argv=None):
     image, disp, label, _ = common.resolve_image(args)
     engine = common.build_engine(args)
     pred, _ = engine.predict_one(image)
-    target = label if (label is not None and pred == label) else pred
+    target = pred  # when pred == label this IS the label; else explain the prediction
 
     seg = common.segment_display(disp, common.segment_config(args))
     out = knockout_saliency(

@@ -31,7 +31,7 @@ def main(argv=None):
     image, disp, label, gt_bbox = common.resolve_image(args)
     engine = common.build_engine(args)
     pred, _ = engine.predict_one(image)
-    target = label if (label is not None and pred == label) else pred
+    target = pred  # when pred == label this IS the label; else explain the prediction
     if label is not None and pred != label:
         print(f"[warn] wrong prediction (pred={pred}, label={label})")
 

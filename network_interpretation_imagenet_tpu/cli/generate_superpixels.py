@@ -28,7 +28,8 @@ def main(argv=None):
     else:
         _, disp, _, _ = common.resolve_image(args)
         displays.append(disp)
-        args2 = p.parse_args((argv or sys.argv[1:]) + ["--eval_img_index",
+        args2 = p.parse_args(
+            (argv if argv is not None else sys.argv[1:]) + ["--eval_img_index",
                                                        str(args.eval_img_index + 1)])
         _, disp2, _, _ = common.resolve_image(args2)
         displays.append(disp2)

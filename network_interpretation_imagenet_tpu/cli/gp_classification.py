@@ -28,6 +28,10 @@ from network_interpretation_imagenet_tpu.utils.checkpoint import (
 def main(argv=None):
     p = common.build_parser(__doc__)
     common.add_gp_flags(p)
+    # Reference classification defaults: grid_size=10, 30 Adam iters
+    # (gp_classification.py:141,176). Explicit flags always win — per-CLI
+    # defaults instead of value sentinels.
+    p.set_defaults(grid_size=10, gp_iters=30)
     p.add_argument("--masks", required=True)
     p.add_argument("--binarize", default="median", choices=["median", "nonzero", "none"])
     p.add_argument("--train_subsample", type=int, default=4096,
@@ -51,8 +55,8 @@ def main(argv=None):
     else:
         y = raw.astype(np.float32)
 
-    grid_size = min(args.grid_size, 10)  # reference grid_size=10 (:141)
-    model = variational.init_model(n, grid_size=grid_size, lengthscale=n / 8.0)
+    model = variational.init_model(n, grid_size=args.grid_size,
+                                   lengthscale=n / 8.0)
     ckpt_name = "gp_cls_checkpoint"
     if args.gp_mode == "eval":
         # Reference loads the saved GP state dict before prediction
@@ -68,8 +72,8 @@ def main(argv=None):
         )
         losses = np.zeros(1)
     else:
-        iters = args.gp_iters if args.gp_iters != 20 else 30  # ref default 30
-        model, losses = variational.fit_adam(model, x, y, iters=iters, lr=args.gp_lr)
+        model, losses = variational.fit_adam(model, x, y, iters=args.gp_iters,
+                                             lr=args.gp_lr)
         save_checkpoint(
             {k: np.asarray(v) for k, v in model.params._asdict().items()},
             args.gp_ckpt, name=ckpt_name,
@@ -87,7 +91,7 @@ def main(argv=None):
     common.emit_result(args.out, "gp_classification_result.json", {
         "masks": args.masks,
         "train_points": int(len(x)),
-        "grid_size": grid_size,
+        "grid_size": args.grid_size,
         "elbo_first": round(-float(np.asarray(losses)[0]), 3),
         "elbo_last": round(-float(np.asarray(losses)[-1]), 3),
         "prob_range": [round(float(probs.min()), 4), round(float(probs.max()), 4)],

@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from network_interpretation_imagenet_tpu.models.common import max_pool_ceil
+
 Array = jax.Array
 
 
@@ -70,15 +72,8 @@ class SqueezeNet(nn.Module):
         fire_i = 0
         for step in plan:
             if step == "P":
-                # torch MaxPool2d(3, 2, ceil_mode=True): pad bottom/right so
-                # the ragged edge still produces an output column/row.
-                h, w = x.shape[1], x.shape[2]
-                ph = (-(h - 3)) % 2
-                pw = (-(w - 3)) % 2
-                x = nn.max_pool(
-                    x, (3, 3), strides=(2, 2),
-                    padding=[(0, ph), (0, pw)],
-                )
+                # torch MaxPool2d(3, 2, ceil_mode=True)
+                x = max_pool_ceil(x, 3, 2)
             else:
                 s, e1, e3 = step
                 x = Fire(s, e1, e3, name=f"fire{fire_i}",

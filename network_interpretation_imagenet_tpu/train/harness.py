@@ -153,10 +153,19 @@ class Trainer:
             ]
             treedef = jax.tree_util.tree_structure(opt_state)
             opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        def _put_like(new, like):
+            """Restore onto the SAME shardings init_fn established — a bare
+            device_put would commit everything to one device and break the
+            next step on a >1-device mesh (dp/tp placement lost)."""
+            return jax.tree.map(
+                lambda n, l: jax.device_put(n, getattr(l, "sharding", None)),
+                new, like,
+            )
+
         self.state = self.state._replace(
-            params=jax.device_put(blob["params"]),
-            batch_stats=jax.device_put(blob["batch_stats"]),
-            opt_state=jax.device_put(opt_state),
+            params=_put_like(blob["params"], self.state.params),
+            batch_stats=_put_like(blob["batch_stats"], self.state.batch_stats),
+            opt_state=_put_like(opt_state, self.state.opt_state),
             step=jnp.asarray(blob.get("step", 0), jnp.int32),
         )
         self.start_epoch = int(blob["epoch"]) + 1

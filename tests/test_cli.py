@@ -244,3 +244,18 @@ def test_compilation_cache_toggle(tmp_path, monkeypatch):
     finally:
         # don't leave the process-global config pointing at a deleted tmp dir
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_build_engine_honors_densenet_shape_flags(tmp_path):
+    """--growth-rate/--bn-size/--compression must reach create_model
+    (regression: build_engine dropped them, so trained DenseNet params
+    could not be reloaded for saliency)."""
+    from network_interpretation_imagenet_tpu.cli import common
+
+    p = common.build_parser("t")
+    args = p.parse_args([
+        "--arch", "densenet", "--dataset", "cifar10", "--depth", "10",
+        "--growth-rate", "24", "--synthetic", "--out", str(tmp_path),
+    ])
+    engine = common.build_engine(args)
+    assert engine.bundle.module.growth_rate == 24
