@@ -39,6 +39,18 @@ def main(argv=None):
                    help="shard each image's mask batch over all devices")
     p.add_argument("--image-batch", type=int, default=1,
                    help="fuse this many images' mask banks into one forward")
+    common.add_gp_flags(p)
+    p.add_argument("--gp-heatmaps", action="store_true",
+                   help="fit an exact Kronecker pixel-GP to every explained "
+                        "image's heatmap in ONE vmapped program (mean + "
+                        "uncertainty maps → gp_heatmaps.npz)")
+    p.add_argument("--bo", action="store_true",
+                   help="drive the sweep with the FLAGSHIP GP-EI BO path "
+                        "(batched vmapped fused loops per flush) instead of "
+                        "random window masks")
+    common.add_bo_flags(p)
+    p.add_argument("--proposals-per-iter", type=int, default=1,
+                   help="(--bo) q-batched BO proposals per GP refit")
     args = p.parse_args(argv)
     common.apply_debug_flags(args)
 
@@ -71,22 +83,80 @@ def main(argv=None):
 
         mesh = make_mesh()
     logger = PhaseLogger(enabled=args.trace)
-    res = saliency_sweep(
-        engine,
-        dataset,
-        common.segment_config(args),
-        num_mask_samples=args.num_mask_samples,
-        window_fraction=args.window_fraction,
-        bbox_threshold=args.bbox_threshold,
-        max_images=args.num_images,
-        seed=args.seed,
-        logger=logger,
-        mesh=mesh,
-        image_batch=args.image_batch,
-    )
+    if args.bo:
+        from network_interpretation_imagenet_tpu.config import BOConfig
+        from network_interpretation_imagenet_tpu.saliency.sweep import (
+            bo_saliency_sweep,
+        )
+
+        res = bo_saliency_sweep(
+            engine,
+            dataset,
+            common.segment_config(args),
+            bo_cfg=BOConfig(n_iters=args.n_iters,
+                            n_pre_samples=args.n_pre_samples),
+            window_fraction=args.window_fraction,
+            bbox_threshold=args.bbox_threshold,
+            image_batch=max(args.image_batch, 1),
+            max_images=args.num_images,
+            seed=args.seed,
+            logger=logger,
+            mesh=mesh,
+            proposals_per_iter=args.proposals_per_iter,
+            keep_heatmaps=args.gp_heatmaps,
+        )
+    else:
+        res = saliency_sweep(
+            engine,
+            dataset,
+            common.segment_config(args),
+            num_mask_samples=args.num_mask_samples,
+            window_fraction=args.window_fraction,
+            bbox_threshold=args.bbox_threshold,
+            max_images=args.num_images,
+            seed=args.seed,
+            logger=logger,
+            mesh=mesh,
+            image_batch=args.image_batch,
+            keep_heatmaps=args.gp_heatmaps,
+        )
     payload = dataclasses.asdict(res)
     payload.pop("per_image")
+    payload.pop("heatmaps", None)
     payload["per_image_count"] = res.images_explained
+
+    if args.gp_heatmaps and res.heatmaps:
+        # GP-surrogate pass over the whole sweep: N exact Kronecker pixel-GP
+        # fits + posteriors as ONE vmapped program (reference fits one image
+        # per process, gp_superpixel_data_imagenet.py:578-663).
+        import os
+        import time
+
+        from network_interpretation_imagenet_tpu.gp import kron
+
+        idxs = sorted(res.heatmaps)
+        heats = np.stack([res.heatmaps[i] for i in idxs])
+        t0 = time.perf_counter()
+        params, means, vars_, _ = kron.fit_posterior_batch(
+            heats, iters=args.gp_iters, lr=args.gp_lr
+        )
+        gp_seconds = time.perf_counter() - t0
+        os.makedirs(args.out, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(args.out, "gp_heatmaps.npz"),
+            indices=np.asarray(idxs),
+            heatmaps=heats,
+            gp_mean=np.asarray(means),
+            gp_var=np.asarray(vars_),
+            lengthscales=np.asarray(
+                [float(np.exp(p.log_lengthscale)) for p in params]
+            ),
+        )
+        payload["gp_heatmaps"] = {
+            "images": len(idxs),
+            "seconds": round(gp_seconds, 3),
+            "artifact": "gp_heatmaps.npz",
+        }
     common.emit_result(args.out, "sweep_result.json", payload)
 
 

@@ -197,14 +197,10 @@ def fit_adam(
     )
 
 
-@functools.lru_cache(maxsize=16)
-def _fit_core(iters: int, lr: float):
-    """Jitted Adam-fit core, cached per (iters, lr): repeat fits in one
-    process (e.g. a val-set sweep of per-image pixel-GPs) reuse the traced
-    executable instead of re-tracing the whole scan per call."""
+def _build_fit_run(iters: int, lr: float):
+    """Raw (unjitted) Adam-fit body shared by the single and vmapped cores."""
     opt = optax.adam(lr)
 
-    @jax.jit
     def run(qh_all, qw_all, lam_all, y):
       with jax.default_matmul_precision("highest"):
           n = y.shape[0] * y.shape[1]
@@ -251,6 +247,24 @@ def _fit_core(iters: int, lr: float):
     return run
 
 
+@functools.lru_cache(maxsize=16)
+def _fit_core(iters: int, lr: float):
+    """Jitted Adam-fit core, cached per (iters, lr): repeat fits in one
+    process (e.g. a val-set sweep of per-image pixel-GPs) reuse the traced
+    executable instead of re-tracing the whole scan per call."""
+    return jax.jit(_build_fit_run(iters, lr))
+
+
+@functools.lru_cache(maxsize=16)
+def _fit_core_batch(iters: int, lr: float):
+    """vmapped fit core: N images' GPs fit in ONE program. The
+    per-lengthscale eigenbases are image-independent, so they broadcast
+    (in_axes=None) while the heat grids map over the leading axis."""
+    return jax.jit(
+        jax.vmap(_build_fit_run(iters, lr), in_axes=(None, None, None, 0))
+    )
+
+
 def predict_offgrid(
     params: KronGPParams, y_grid: Array, points: Array
 ) -> Array:
@@ -275,3 +289,55 @@ def predict_offgrid(
     kc = jnp.exp(-0.5 * ((points[:, 1:2] - cols[None, :]) / ls) ** 2)
     mean = jnp.einsum("ph,hw,pw->p", kr, alpha_grid, kc)
     return mean + mc
+
+
+@jax.jit
+def _posterior_batch_core(qh_all, qw_all, lam_all, best, y, os_, noise, mc):
+    def one(bi, yi, osi, ni, mi):
+        return _posterior_core(qh_all[bi], qw_all[bi], lam_all[bi],
+                               yi, osi, ni, mi)
+
+    return jax.vmap(one)(best, y, os_, noise, mc)
+
+
+def fit_posterior_batch(
+    y_grids: Array,
+    iters: int = 20,
+    lr: float = 0.1,
+    lengthscale_grid: Tuple[float, ...] = (2.0, 4.0, 8.0, 16.0, 32.0, 64.0),
+):
+    """Fit N pixel-GPs and compute their exact posteriors in TWO programs.
+
+    TPU-first extension of :func:`fit_adam` (reference fits one image per
+    process, ``gp_superpixel_data_imagenet.py:578-663``): the candidate
+    eigenbases are image-independent, so they broadcast into a vmapped
+    (sweep + Adam scan) over the image axis — N fits cost ~one fit's wall
+    time plus N tiny scans, and compile once per (iters, lr).
+
+    Returns (params_list[N], means [N,H,W], vars [N,H,W], losses [N,iters]).
+    """
+    y = jnp.asarray(y_grids, jnp.float32)
+    _, h, w = y.shape
+    qh_all, qw_all, lam_all = zip(
+        *[_host_factored(float(ls), h, w) for ls in lengthscale_grid]
+    )
+    qh_all = jnp.asarray(np.stack(qh_all))
+    qw_all = jnp.asarray(np.stack(qw_all))
+    lam_all = jnp.asarray(np.stack(lam_all))
+
+    vrun = _fit_core_batch(int(iters), float(lr))
+    best, (log_os, log_noise, mean), losses = vrun(qh_all, qw_all, lam_all, y)
+    means, vars_ = _posterior_batch_core(
+        qh_all, qw_all, lam_all, best,
+        y, jnp.exp(log_os), jnp.exp(log_noise), mean,
+    )
+    ls_grid_np = np.asarray(lengthscale_grid, np.float32)
+    best_np = np.asarray(best)
+    params = [
+        KronGPParams(
+            jnp.log(jnp.asarray(ls_grid_np[int(best_np[i])], jnp.float32)),
+            log_os[i], log_noise[i], mean[i],
+        )
+        for i in range(y.shape[0])
+    ]
+    return params, means, vars_, losses

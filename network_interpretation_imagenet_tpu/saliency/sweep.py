@@ -53,6 +53,9 @@ class SweepResult:
     p50_latency_s: float = 0.0
     evals_per_sec: float = 0.0
     per_image: list = dataclasses.field(default_factory=list)
+    # index → f32[H, W] summed-label heatmap; populated only when the sweep
+    # runs with keep_heatmaps=True (e.g. for a batched GP-surrogate pass).
+    heatmaps: dict = dataclasses.field(default_factory=dict)
 
 
 def _unpack_item(item):
@@ -115,6 +118,7 @@ def saliency_sweep(
     logger: Optional[PhaseLogger] = None,
     mesh=None,
     image_batch: int = 1,
+    keep_heatmaps: bool = False,
 ) -> SweepResult:
     """Sweep (image, label, gt_bbox?) triples; returns aggregate metrics.
 
@@ -153,6 +157,8 @@ def saliency_sweep(
             row["iou"] = float(iou)
             iou_m.update(float(iou))
         res.images_explained += 1
+        if keep_heatmaps:
+            res.heatmaps[i] = np.asarray(heat)
         latencies.append(time.perf_counter() - t0)
         row["seconds"] = round(latencies[-1], 4)
         res.per_image.append(row)
@@ -382,6 +388,7 @@ def bo_saliency_sweep(
     logger: Optional[PhaseLogger] = None,
     mesh=None,
     proposals_per_iter: int = 1,
+    keep_heatmaps: bool = False,
 ) -> SweepResult:
     """Val-set sweep driven by the FLAGSHIP path: GP-EI BO per image
     (``bayesian_active_learning_imagenet.py:379-498``), batched — every
@@ -459,6 +466,8 @@ def bo_saliency_sweep(
                     row["iou"] = float(iou)
                     iou_m.update(float(iou))
                 res.images_explained += 1
+                if keep_heatmaps:
+                    res.heatmaps[idxs[j]] = np.asarray(out.heatmap)
                 latencies.append(time.perf_counter() - t0s[j])
                 row["seconds"] = round(latencies[-1], 4)
                 res.per_image.append(row)

@@ -163,3 +163,31 @@ def test_jaccard_rbf_matches_definition(rng):
     union = np.logical_or(masks[0], masks[1]).sum()
     expect = np.exp(-0.5 * (1 - inter / union))
     np.testing.assert_allclose(k[0, 1], expect, rtol=1e-5)
+
+
+def test_kron_fit_posterior_batch_matches_per_image():
+    """Batched (vmapped) fit+posterior must reproduce N independent
+    fit_adam/posterior calls."""
+    from network_interpretation_imagenet_tpu.gp import kron
+
+    rng = np.random.RandomState(3)
+    ys = np.stack([
+        np.outer(np.sin(np.arange(24) / 4), np.cos(np.arange(24) / 5)),
+        rng.rand(24, 24) * 3.0,
+        np.tile(np.linspace(0, 1, 24), (24, 1)),
+    ]).astype(np.float32)
+
+    params_b, means_b, vars_b, losses_b = kron.fit_posterior_batch(ys, iters=8)
+    assert means_b.shape == ys.shape and vars_b.shape == ys.shape
+    for i in range(len(ys)):
+        p_i, losses_i = kron.fit_adam(ys[i], iters=8)
+        mean_i, var_i = kron.posterior(p_i, ys[i])
+        np.testing.assert_allclose(
+            float(params_b[i].log_lengthscale), float(p_i.log_lengthscale),
+            atol=1e-6)
+        np.testing.assert_allclose(np.asarray(losses_b)[i],
+                                   np.asarray(losses_i), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(means_b)[i], np.asarray(mean_i),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(vars_b)[i], np.asarray(var_i),
+                                   rtol=1e-4, atol=1e-4)

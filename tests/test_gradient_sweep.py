@@ -261,3 +261,48 @@ def test_bo_sweep_dispatch_failure_counts_once():
     assert res.images_skipped_misclassified == 1
     assert res.images_failed == 1  # only the dispatched image
     assert res.images_explained == 0
+
+
+def test_sweep_gp_heatmaps_cli(tmp_path):
+    """--gp-heatmaps: batched Kronecker GP over all explained heatmaps →
+    gp_heatmaps.npz with mean/var per image."""
+    from network_interpretation_imagenet_tpu.cli import saliency_sweep as cli_sweep
+    import json
+    import os
+
+    out = str(tmp_path)
+    cli_sweep.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num-images", "3", "--num_mask_samples", "8", "--mask-batch", "8",
+        "--dtype", "float32", "--segmenter", "slic", "--n_segments", "9",
+        "--gp-heatmaps", "--gp_iters", "4", "--out", out,
+    ])
+    with open(os.path.join(out, "sweep_result.json")) as f:
+        r = json.load(f)
+    assert r["gp_heatmaps"]["images"] == 3
+    blob = np.load(os.path.join(out, "gp_heatmaps.npz"))
+    assert blob["gp_mean"].shape == (3, 28, 28)
+    assert blob["gp_var"].shape == (3, 28, 28)
+    assert (blob["gp_var"] > 0).all()
+    assert len(blob["lengthscales"]) == 3
+
+
+def test_sweep_cli_bo_mode(tmp_path):
+    """--bo drives the sweep through the batched fused-BO path."""
+    from network_interpretation_imagenet_tpu.cli import saliency_sweep as cli_sweep
+    import json
+    import os
+
+    out = str(tmp_path)
+    cli_sweep.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num-images", "2", "--mask-batch", "8", "--dtype", "float32",
+        "--segmenter", "slic", "--n_segments", "9",
+        "--bo", "--n_iters", "2", "--n_pre_samples", "2",
+        "--image-batch", "2", "--out", out,
+    ])
+    with open(os.path.join(out, "sweep_result.json")) as f:
+        r = json.load(f)
+    assert r["images_total"] == 2
+    assert r["images_explained"] == 2
+    assert r["images_failed"] == 0
