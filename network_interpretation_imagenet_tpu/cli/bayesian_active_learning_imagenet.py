@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--proposals-per-iter", type=int, default=1,
                    help="q-batched BO: evaluate top-q EI proposals per "
                         "iteration in one forward (1 = reference behavior)")
+    p.add_argument("--fidelity", action="store_true",
+                   help="also report deletion/insertion AUC (+ pointing game "
+                        "with gt boxes) for the produced heatmap")
     p.add_argument("--num-images", type=int, default=1,
                    help=">1: explain N consecutive images with the vmapped "
                         "image-batched fused loop (~6x per-image vs one at "
@@ -86,6 +89,19 @@ def main(argv=None):
         payload["IOU"] = round(float(iou), 4)
         payload["pred_box_xywh"] = [int(v) for v in pred_box]
         payload["gt_box_xywh"] = [float(v) for v in gt_bbox]
+    if args.fidelity:
+        from network_interpretation_imagenet_tpu.saliency import (
+            deletion_insertion_auc,
+            pointing_game,
+        )
+
+        fm = deletion_insertion_auc(engine, image, out.heatmap, int(target))
+        payload["deletion_auc"] = round(fm["deletion_auc"], 4)
+        payload["insertion_auc"] = round(fm["insertion_auc"], 4)
+        if gt_bbox is not None:
+            payload["pointing_game_hit"] = bool(
+                pointing_game(out.heatmap, gt_bbox)
+            )
     common.emit_result(args.out, "bo_result.json", payload)
 
 

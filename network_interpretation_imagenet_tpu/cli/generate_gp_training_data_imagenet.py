@@ -25,6 +25,9 @@ def main(argv=None):
     p = common.build_parser(__doc__)
     p.add_argument("--bbox_threshold", type=int, default=180)
     p.add_argument("--skip-threshold-search", action="store_true")
+    p.add_argument("--fidelity", action="store_true",
+                   help="also report deletion/insertion AUC (+ pointing game "
+                        "with gt boxes) for the produced heatmap")
     args = p.parse_args(argv)
     common.apply_debug_flags(args)
 
@@ -88,6 +91,19 @@ def main(argv=None):
         iou, pred_box = localization_score(out.heatmap, gt_bbox, args.bbox_threshold)
         payload["IOU"] = round(float(iou), 4)
         payload["pred_box_xywh"] = [int(v) for v in pred_box]
+    if args.fidelity:
+        from network_interpretation_imagenet_tpu.saliency import (
+            deletion_insertion_auc,
+            pointing_game,
+        )
+
+        fm = deletion_insertion_auc(engine, image, out.heatmap, int(target))
+        payload["deletion_auc"] = round(fm["deletion_auc"], 4)
+        payload["insertion_auc"] = round(fm["insertion_auc"], 4)
+        if gt_bbox is not None:
+            payload["pointing_game_hit"] = bool(
+                pointing_game(out.heatmap, gt_bbox)
+            )
     common.emit_result(args.out, "gp_training_data_result.json", payload)
 
 

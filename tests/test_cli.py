@@ -259,3 +259,17 @@ def test_build_engine_honors_densenet_shape_flags(tmp_path):
     ])
     engine = common.build_engine(args)
     assert engine.bundle.module.growth_rate == 24
+
+
+def test_cli_fidelity_metrics(tmp_path):
+    """--fidelity adds deletion/insertion AUC to the result payload."""
+    out = str(tmp_path)
+    cli_imagenet.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num_mask_samples", "8", "--mask-batch", "8", "--dtype", "float32",
+        "--segmenter", "slic", "--n_segments", "9",
+        "--skip-threshold-search", "--fidelity", "--out", out,
+    ])
+    r = _json(os.path.join(out, "gp_training_data_result.json"))
+    assert 0.0 <= r["deletion_auc"] <= 1.0
+    assert 0.0 <= r["insertion_auc"] <= 1.0

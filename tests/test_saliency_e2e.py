@@ -232,3 +232,48 @@ def test_sweep_over_real_jpeg_fixture(mnist_engine):
     assert res.images_failed == 0
     # Every image has a gt box → an IOU column exists and is finite.
     assert all("iou" in row and np.isfinite(row["iou"]) for row in res.per_image)
+
+
+def test_fidelity_metrics_order_good_vs_bad_heatmaps():
+    """Deletion/insertion AUC must rank a correct heatmap above a wrong one
+    on a model whose evidence region is known, and the pointing game must
+    hit the evidence box."""
+    import jax.numpy as jnp
+
+    from network_interpretation_imagenet_tpu.saliency import (
+        SaliencyEngine,
+        deletion_insertion_auc,
+        pointing_game,
+    )
+
+    class _Bundle:
+        name = "toy"
+        num_classes = 2
+
+        @staticmethod
+        def logits(variables, imgs):
+            s = jnp.sum(imgs[:, 4:12, 4:12, :], axis=(1, 2, 3)) * 0.05
+            return jnp.stack([jnp.full_like(s, 1.0), s], axis=1)
+
+    engine = SaliencyEngine.__new__(SaliencyEngine)
+    # minimal engine surface used by the metrics: predict_logits_device
+    import jax
+
+    engine._predict = jax.jit(lambda v, x: _Bundle.logits(v, x))
+    engine.variables = {}
+    img = np.ones((16, 16, 1), np.float32)
+
+    good = np.zeros((16, 16), np.float32)
+    good[4:12, 4:12] = 1.0
+    bad = 1.0 - good  # marks exactly the wrong pixels
+
+    m_good = deletion_insertion_auc(engine, img, good, target=1, steps=16)
+    m_bad = deletion_insertion_auc(engine, img, bad, target=1, steps=16)
+    # Removing the true evidence first kills the prediction faster:
+    assert m_good["deletion_auc"] < m_bad["deletion_auc"]
+    # Revealing the true evidence first restores it faster:
+    assert m_good["insertion_auc"] > m_bad["insertion_auc"]
+    assert m_good["deletion_curve"].shape == (17,)
+
+    assert pointing_game(good, [4, 4, 8, 8])
+    assert not pointing_game(bad, [4, 4, 8, 8])
