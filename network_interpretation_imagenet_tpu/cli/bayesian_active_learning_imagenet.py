@@ -164,6 +164,21 @@ def _run_batched(args):
         if gts[i] is not None:
             iou, _ = localization_score(out.heatmap, gts[i], args.bbox_threshold)
             row["IOU"] = round(float(iou), 4)
+        if args.fidelity:
+            from network_interpretation_imagenet_tpu.saliency import (
+                deletion_insertion_auc,
+                pointing_game,
+            )
+
+            fm = deletion_insertion_auc(
+                engine, images[i], out.heatmap, int(preds[i])
+            )
+            row["deletion_auc"] = round(fm["deletion_auc"], 4)
+            row["insertion_auc"] = round(fm["insertion_auc"], 4)
+            if gts[i] is not None:
+                row["pointing_game_hit"] = bool(
+                    pointing_game(out.heatmap, gts[i])
+                )
         rows.append(row)
         common.write_heatmap_png(
             os.path.join(args.out, f"heatmap_{args.eval_img_index + i}.png"),

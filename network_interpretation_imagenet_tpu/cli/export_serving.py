@@ -36,7 +36,9 @@ def main(argv=None) -> int:
     from network_interpretation_imagenet_tpu import serving
 
     engine = common.build_engine(args)
-    batch_sizes = tuple(int(b) for b in args.batch_sizes.split(","))
+    batch_sizes = tuple(
+        int(b.strip()) for b in args.batch_sizes.split(",") if b.strip()
+    )
     manifest = serving.export_engine(
         engine, args.out, batch_sizes=batch_sizes,
         include_weights=not args.no_weights,
@@ -49,7 +51,8 @@ def main(argv=None) -> int:
             bo_cfg=BOConfig(n_iters=args.n_iters,
                             n_pre_samples=args.n_pre_samples),
             candidate_buckets=tuple(
-                int(b) for b in args.candidate_buckets.split(",")
+                int(b.strip()) for b in args.candidate_buckets.split(",")
+                if b.strip()
             ),
             include_weights=False,  # shared variables.msgpack already written
         )

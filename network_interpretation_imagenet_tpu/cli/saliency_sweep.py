@@ -120,9 +120,13 @@ def main(argv=None):
             image_batch=args.image_batch,
             keep_heatmaps=args.gp_heatmaps,
         )
-    payload = dataclasses.asdict(res)
-    payload.pop("per_image")
-    payload.pop("heatmaps", None)
+    # Scalar fields only — dataclasses.asdict would deep-copy every retained
+    # heatmap and per-image row just to discard them.
+    payload = {
+        f.name: getattr(res, f.name)
+        for f in dataclasses.fields(res)
+        if f.name not in ("per_image", "heatmaps")
+    }
     payload["per_image_count"] = res.images_explained
 
     if args.gp_heatmaps and res.heatmaps:
@@ -137,9 +141,21 @@ def main(argv=None):
         idxs = sorted(res.heatmaps)
         heats = np.stack([res.heatmaps[i] for i in idxs])
         t0 = time.perf_counter()
-        params, means, vars_, _ = kron.fit_posterior_batch(
-            heats, iters=args.gp_iters, lr=args.gp_lr
-        )
+        # Fixed-size chunks bound device memory (one vmapped program holds
+        # per-image per-lengthscale projections) and keep ONE compiled shape
+        # for full flushes; a val-set-scale sweep must not stack 50k grids
+        # into a single program.
+        chunk = 32
+        params, means_l, vars_l = [], [], []
+        for lo in range(0, len(heats), chunk):
+            p_c, m_c, v_c, _ = kron.fit_posterior_batch(
+                heats[lo:lo + chunk], iters=args.gp_iters, lr=args.gp_lr
+            )
+            params.extend(p_c)
+            means_l.append(np.asarray(m_c))
+            vars_l.append(np.asarray(v_c))
+        means = np.concatenate(means_l)
+        vars_ = np.concatenate(vars_l)
         gp_seconds = time.perf_counter() - t0
         os.makedirs(args.out, exist_ok=True)
         np.savez_compressed(

@@ -29,6 +29,20 @@ def _rank_map(heatmap: np.ndarray) -> np.ndarray:
     return rank.reshape(np.asarray(heatmap).shape)
 
 
+def _curve_probs(engine, image, rank2d, counts, target, mode: str):
+    """probs f32[steps+1] for one curve; shares the caller's rank map."""
+    import jax.numpy as jnp
+
+    ranks = jnp.asarray(rank2d)[None]
+    cuts = jnp.asarray(counts)[:, None, None]
+    salient = ranks < cuts
+    keep = ~salient if mode == "deletion" else salient
+    imgs = jnp.asarray(image)[None] * keep[..., None].astype(jnp.float32)
+    logits = np.asarray(engine.predict_logits_device(imgs))
+    z = logits - logits.max(axis=-1, keepdims=True)
+    return (np.exp(z) / np.exp(z).sum(axis=-1, keepdims=True))[:, int(target)]
+
+
 def fidelity_curve(
     engine,
     image: np.ndarray,
@@ -44,27 +58,13 @@ def fidelity_curve(
     AUC (removing what it marks kills the prediction fast) and HIGH
     insertion AUC. The whole curve is one batched forward.
     """
-    import jax.numpy as jnp
-
     if mode not in ("deletion", "insertion"):
         raise ValueError(mode)
     image = np.asarray(image, np.float32)
-    h, w = image.shape[0], image.shape[1]
-    n = h * w
+    n = image.shape[0] * image.shape[1]
     rank2d = _rank_map(np.asarray(heatmap))
     counts = np.round(np.linspace(0, n, steps + 1)).astype(np.int32)
-
-    # salient_set[i] = (rank < counts[i]); deletion zeroes it, insertion
-    # keeps only it. Broadcast compare → [steps+1, H, W] bool on device.
-    ranks = jnp.asarray(rank2d)[None]
-    cuts = jnp.asarray(counts)[:, None, None]
-    salient = ranks < cuts
-    keep = ~salient if mode == "deletion" else salient
-    imgs = jnp.asarray(image)[None] * keep[..., None].astype(jnp.float32)
-
-    logits = np.asarray(engine.predict_logits_device(imgs))
-    z = logits - logits.max(axis=-1, keepdims=True)
-    probs = (np.exp(z) / np.exp(z).sum(axis=-1, keepdims=True))[:, int(target)]
+    probs = _curve_probs(engine, image, rank2d, counts, target, mode)
     auc = float(np.trapezoid(probs, dx=1.0 / steps))
     return probs.astype(np.float32), auc
 
@@ -72,14 +72,28 @@ def fidelity_curve(
 def deletion_insertion_auc(
     engine, image, heatmap, target: int, steps: int = 32
 ) -> dict:
-    """Both curves; returns {"deletion_auc", "insertion_auc", curves}."""
-    del_probs, del_auc = fidelity_curve(
-        engine, image, heatmap, target, steps, "deletion")
-    ins_probs, ins_auc = fidelity_curve(
-        engine, image, heatmap, target, steps, "insertion")
+    """Both curves in ONE batched forward (shared rank map, the 2·(steps+1)
+    variants stacked); returns {"deletion_auc", "insertion_auc", curves}."""
+    import jax.numpy as jnp
+
+    image = np.asarray(image, np.float32)
+    n = image.shape[0] * image.shape[1]
+    rank2d = _rank_map(np.asarray(heatmap))
+    counts = np.round(np.linspace(0, n, steps + 1)).astype(np.int32)
+
+    ranks = jnp.asarray(rank2d)[None]
+    cuts = jnp.asarray(counts)[:, None, None]
+    salient = ranks < cuts  # [steps+1, H, W]
+    keep = jnp.concatenate([~salient, salient])  # deletion ‖ insertion
+    imgs = jnp.asarray(image)[None] * keep[..., None].astype(jnp.float32)
+    logits = np.asarray(engine.predict_logits_device(imgs))
+    z = logits - logits.max(axis=-1, keepdims=True)
+    probs = (np.exp(z) / np.exp(z).sum(axis=-1, keepdims=True))[:, int(target)]
+    del_probs = probs[: steps + 1].astype(np.float32)
+    ins_probs = probs[steps + 1:].astype(np.float32)
     return {
-        "deletion_auc": del_auc,
-        "insertion_auc": ins_auc,
+        "deletion_auc": float(np.trapezoid(del_probs, dx=1.0 / steps)),
+        "insertion_auc": float(np.trapezoid(ins_probs, dx=1.0 / steps)),
         "deletion_curve": del_probs,
         "insertion_curve": ins_probs,
     }
@@ -93,7 +107,9 @@ def pointing_game(
     heatmap = np.asarray(heatmap)
     y, x = np.unravel_index(int(np.argmax(heatmap)), heatmap.shape)
     bx, by, bw, bh = [float(v) for v in gt_bbox_xywh]
+    # Inclusive-width convention (ops.metrics: w = x1 - x0 + 1): the box's
+    # last covered column/row is bx+bw-1 / by+bh-1.
     return (
-        bx - tolerance <= x <= bx + bw + tolerance
-        and by - tolerance <= y <= by + bh + tolerance
+        bx - tolerance <= x <= bx + bw - 1 + tolerance
+        and by - tolerance <= y <= by + bh - 1 + tolerance
     )

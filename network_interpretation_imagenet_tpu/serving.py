@@ -306,10 +306,8 @@ def export_bo_engine(
             f.write(exp.serialize())
         files[str(cbucket)] = fname
 
-    import jax.numpy as _jnp
-
     def predict1(variables, image):
-        return apply_fn(variables, image[None]).astype(_jnp.float32)[0]
+        return apply_fn(variables, image[None]).astype(jnp.float32)[0]
 
     exp_p = jexport.export(jax.jit(predict1))(var_spec, img_spec)
     with open(os.path.join(out_dir, "predict_1.stablehlo"), "wb") as f:

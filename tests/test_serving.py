@@ -131,10 +131,15 @@ def test_export_bo_matches_fused_pipeline(tmp_path, rng):
     np.testing.assert_array_equal(trace_srv.survived, trace_ref.survived)
     np.testing.assert_allclose(out_srv.heatmap, out_ref.heatmap, atol=1e-5)
 
-    # target inference via the bundled predict artifact
-    out2, trace2 = server.explain(image, segments, seed=4)
+    # target inference via the bundled predict artifact must agree with the
+    # live engine, and the resulting run must match an explicit-target run.
     pred, _ = engine.predict_one(image)
-    assert int(out2.eval.preds[trace2.survived.argmax()] if trace2.survived.any() else pred) in range(10)
+    out2, trace2 = server.explain(image, segments, seed=4)
+    out2_ref, trace2_ref = server.explain(image, segments, seed=4,
+                                          target=int(pred))
+    np.testing.assert_array_equal(trace2.xp, trace2_ref.xp)
+    np.testing.assert_allclose(trace2.yp, trace2_ref.yp, atol=1e-6)
+    np.testing.assert_allclose(out2.heatmap, out2_ref.heatmap, atol=1e-6)
 
     # bucket too small → clear error
     import pytest
