@@ -32,7 +32,10 @@ from network_interpretation_imagenet_tpu.saliency.engine import SaliencyEngine
 from network_interpretation_imagenet_tpu.saliency.pipeline import (
     localization_score,
 )
-from network_interpretation_imagenet_tpu.segment import segment_image
+from network_interpretation_imagenet_tpu.segment import (
+    segment_image,
+    segment_image_batch,
+)
 from network_interpretation_imagenet_tpu.utils.logging import PhaseLogger
 from network_interpretation_imagenet_tpu.utils.meters import AverageMeter
 
@@ -413,7 +416,7 @@ def bo_saliency_sweep(
     evals_per_image = bo_cfg.n_pre_samples + bo_cfg.n_iters * proposals_per_iter
     total_evals = 0
     t_start = time.perf_counter()
-    pending = []  # (i, image, seg, s, label, gt, t0)
+    pending = []  # (i, image, display, label, gt, t0)
 
     def flush():
         nonlocal total_evals
@@ -423,7 +426,16 @@ def bo_saliency_sweep(
         pending.clear()
         keep = None  # None until the skip decision lands (predict can fail)
         try:
-            idxs, imgs, segs, ss, labels, gts, t0s = zip(*batch)
+            idxs, imgs, disps, labels, gts, t0s = zip(*batch)
+            # Segment the whole flush at once: SLIC batches N k-means runs
+            # into ONE device dispatch (per-image calls each pay a tunnel
+            # round trip); FH loops on host.
+            with log.phase("segment_batch", count=len(batch)):
+                segs = [
+                    np.asarray(s, np.int32)
+                    for s in segment_image_batch(disps, seg_cfg)
+                ]
+            ss = [int(s.max()) + 1 for s in segs]
             preds = engine.predict(np.stack(imgs)).argmax(axis=1)
             keep = [
                 j for j in range(len(batch))
@@ -487,10 +499,7 @@ def bo_saliency_sweep(
             disp = aggregate.normalize_to_uint8_np(image)
             if disp.ndim == 3 and disp.shape[2] == 1:
                 disp = disp[:, :, 0]
-            with log.phase("segment", index=i):
-                seg = np.asarray(segment_image(disp, seg_cfg), np.int32)
-            pending.append((i, np.asarray(image), seg, int(seg.max()) + 1,
-                            label, gt_bbox, t0))
+            pending.append((i, np.asarray(image), disp, label, gt_bbox, t0))
             if len(pending) >= image_batch:
                 flush()
         except Exception as e:

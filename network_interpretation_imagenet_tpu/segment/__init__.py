@@ -15,8 +15,12 @@ Two families:
 from network_interpretation_imagenet_tpu.segment.felzenszwalb import (  # noqa: F401
     felzenszwalb,
 )
-from network_interpretation_imagenet_tpu.segment.slic import slic  # noqa: F401
+from network_interpretation_imagenet_tpu.segment.slic import (  # noqa: F401
+    slic,
+    slic_batch,
+)
 from network_interpretation_imagenet_tpu.segment.common import (  # noqa: F401
     relabel_sequential,
     segment_image,
+    segment_image_batch,
 )

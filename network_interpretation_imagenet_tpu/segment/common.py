@@ -52,3 +52,33 @@ def segment_image(img_u8: np.ndarray, cfg: SegmentConfig) -> np.ndarray:
             seg = slic_mod.enforce_connectivity(seg)
         return relabel_sequential(seg)
     raise ValueError(f"unknown segmentation method {cfg.method}")
+
+
+def segment_image_batch(displays, cfg: SegmentConfig):
+    """Segment N same-shape display images; returns a list of int32[H, W]
+    label maps identical to per-image :func:`segment_image` calls.
+
+    For SLIC the N k-means runs batch into ONE device dispatch
+    (``slic.slic_batch`` — per-image calls each pay a dispatch+readback
+    round trip); the host postpasses (connectivity, relabel) stay per image.
+    Felzenszwalb is host work and simply loops.
+    """
+    displays = list(displays)
+    if cfg.method != "slic" or not displays:
+        return [segment_image(d, cfg) for d in displays]
+
+    import importlib
+
+    slic_mod = importlib.import_module(
+        "network_interpretation_imagenet_tpu.segment.slic"
+    )
+    segs = np.asarray(slic_mod.slic_batch(
+        displays, n_segments=cfg.n_segments, compactness=cfg.compactness,
+        num_iters=cfg.slic_iters,
+    ))
+    out = []
+    for seg in segs:
+        if cfg.enforce_connectivity:
+            seg = slic_mod.enforce_connectivity(seg)
+        out.append(relabel_sequential(seg))
+    return out

@@ -55,9 +55,8 @@ def _grid_shape(h: int, w: int, n_segments: int) -> Tuple[int, int]:
     return gh, gw
 
 
-@functools.partial(jax.jit, static_argnames=("n_segments", "num_iters", "use_lab"))
-def _slic_device(
-    img: Array, n_segments: int, compactness: float, num_iters: int, use_lab: bool
+def _slic_core(
+    img: Array, n_segments: int, compactness, num_iters: int, use_lab: bool
 ) -> Array:
     h, w = img.shape[0], img.shape[1]
     c = img.shape[2]
@@ -136,6 +135,22 @@ def _slic_device(
     return assign(centers).reshape(h, w)
 
 
+@functools.partial(jax.jit, static_argnames=("n_segments", "num_iters", "use_lab"))
+def _slic_device(
+    img: Array, n_segments: int, compactness: float, num_iters: int, use_lab: bool
+) -> Array:
+    return _slic_core(img, n_segments, compactness, num_iters, use_lab)
+
+
+@functools.partial(jax.jit, static_argnames=("n_segments", "num_iters", "use_lab"))
+def _slic_device_batch(
+    imgs: Array, n_segments: int, compactness: float, num_iters: int, use_lab: bool
+) -> Array:
+    return jax.vmap(
+        lambda im: _slic_core(im, n_segments, compactness, num_iters, use_lab)
+    )(imgs)
+
+
 def slic(
     image,
     n_segments: int = 48,
@@ -199,3 +214,28 @@ def enforce_connectivity(labels: np.ndarray, min_fraction: float = 0.25) -> np.n
     out = labels.copy()
     out[~keep_pix] = labels[iy[~keep_pix], ix[~keep_pix]]
     return out
+
+
+def slic_batch(
+    images,
+    n_segments: int = 48,
+    compactness: float = 10.0,
+    num_iters: int = 10,
+    use_lab: bool = True,
+) -> Array:
+    """Segment N same-shape images in ONE device dispatch (vmapped k-means).
+
+    Per-image ``slic`` calls each pay a dispatch + readback round trip
+    (~0.3-0.6 s/image through a remote tunnel); the batch amortizes that to
+    one. Returns int32[N, H, W] labels (same per-image results as ``slic``).
+    """
+    imgs = jnp.asarray(np.stack([np.asarray(im) for im in images]))
+    if imgs.ndim == 3:
+        imgs = imgs[:, :, :, None]
+    if imgs.dtype == jnp.uint8:
+        imgs = imgs.astype(jnp.float32) / 255.0
+    imgs = imgs.astype(jnp.float32)
+    use_lab = bool(use_lab and imgs.shape[3] == 3)
+    return _slic_device_batch(
+        imgs, int(n_segments), float(compactness), int(num_iters), use_lab
+    )

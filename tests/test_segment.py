@@ -136,3 +136,36 @@ def test_segment_image_slic_with_connectivity():
     seg = segment_image(_block_image(16), cfg)
     uniq = np.unique(seg)
     np.testing.assert_array_equal(uniq, np.arange(len(uniq)))
+
+
+def test_slic_batch_matches_per_image():
+    """slic_batch (one vmapped dispatch) must reproduce per-image slic, and
+    segment_image_batch must match per-image segment_image (incl. the
+    connectivity + relabel postpasses)."""
+    from network_interpretation_imagenet_tpu.config import SegmentConfig
+    from network_interpretation_imagenet_tpu.segment import (
+        segment_image,
+        segment_image_batch,
+        slic,
+        slic_batch,
+    )
+
+    rng = np.random.RandomState(5)
+    imgs = [(rng.rand(32, 32, 3) * 255).astype(np.uint8) for _ in range(3)]
+
+    batch = np.asarray(slic_batch(imgs, n_segments=9, num_iters=5))
+    for i, img in enumerate(imgs):
+        np.testing.assert_array_equal(
+            batch[i], np.asarray(slic(img, n_segments=9, num_iters=5))
+        )
+
+    cfg = SegmentConfig(method="slic", n_segments=9, slic_iters=5)
+    segs_b = segment_image_batch(imgs, cfg)
+    for i, img in enumerate(imgs):
+        np.testing.assert_array_equal(segs_b[i], segment_image(img, cfg))
+
+    # felzenszwalb path just loops
+    cfg_fh = SegmentConfig(method="felzenszwalb", scale=10.0, min_size=5)
+    segs_fh = segment_image_batch(imgs, cfg_fh)
+    for i, img in enumerate(imgs):
+        np.testing.assert_array_equal(segs_fh[i], segment_image(img, cfg_fh))
