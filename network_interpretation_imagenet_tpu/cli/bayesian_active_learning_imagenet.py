@@ -123,16 +123,19 @@ def _run_batched(args):
     start = time.time()
     engine = common.build_engine(args)
     seg_cfg = common.segment_config(args)
-    images, disps, segs, labels, gts = [], [], [], [], []
+    images, disps, labels, gts = [], [], [], []
     for i in range(args.num_images):
         a = copy.copy(args)  # argparse Namespace: vary only the index
         a.eval_img_index = args.eval_img_index + i
         image, disp, label, gt_bbox = common.resolve_image(a)
         images.append(np.asarray(image))
         disps.append(disp)
-        segs.append(common.segment_display(disp, seg_cfg))
         labels.append(label)
         gts.append(gt_bbox)
+    # One dispatch segments all N images when the segmenter is SLIC.
+    from network_interpretation_imagenet_tpu.segment import segment_image_batch
+
+    segs = segment_image_batch(disps, seg_cfg)
 
     # Mirror the single-image path's wrong-prediction warning (reference
     # raises at bayesian_active_learning_imagenet.py:221); the predicted
