@@ -255,7 +255,22 @@ def saliency_sweep(
         batch = list(pending)
         pending.clear()
         try:
-            idxs, imgs, segs, ss, widths, firsts, labels, t0s = zip(*batch)
+            idxs, imgs, disps, labels, t0s = zip(*batch)
+            # Segment the whole flush at once (SLIC: one vmapped device
+            # dispatch instead of a serialized round trip per image).
+            with log.phase("segment_batch", count=len(batch)):
+                segs = [
+                    np.asarray(s, np.int32)
+                    for s in segment_image_batch(disps, seg_cfg)
+                ]
+            ss = [int(s.max()) + 1 for s in segs]
+            widths = [int(window_fraction * s) for s in ss]
+            firsts = [
+                masking.sample_window_starts_host(
+                    seed + idxs[j], num_mask_samples, ss[j], widths[j]
+                )
+                for j in range(len(batch))
+            ]
             images_np = np.stack(imgs)
             # pow-2 padded predict: the tail flush reuses a compiled shape
             logits_dev = engine.predict_logits_device(images_np)
@@ -312,6 +327,14 @@ def saliency_sweep(
             disp = aggregate.normalize_to_uint8_np(image)
             if disp.ndim == 3 and disp.shape[2] == 1:
                 disp = disp[:, :, 0]
+            if image_batch > 1:
+                # No per-image segment/predict here — flush_pending batch-
+                # segments and runs ONE batched predict; the skip decision
+                # defers to collect.
+                pending.append((i, np.asarray(image), disp, label, t0))
+                if len(pending) >= image_batch:
+                    flush_pending()
+                continue
             with log.phase("segment", index=i):
                 seg = np.asarray(segment_image(disp, seg_cfg), np.int32)
             s = int(seg.max()) + 1
@@ -339,14 +362,6 @@ def saliency_sweep(
                 )
                 while len(inflight) > 1:
                     collect_one()
-                continue
-            if image_batch > 1:
-                # No per-image predict here — flush_pending runs ONE batched
-                # predict per flush and defers the skip decision to collect.
-                pending.append((i, np.asarray(image), seg, s, width, firsts,
-                                label, t0))
-                if len(pending) >= image_batch:
-                    flush_pending()
                 continue
             pred, _ = engine.predict_one(image)
             if label is not None and pred != int(label):
