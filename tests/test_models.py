@@ -81,3 +81,25 @@ def test_bf16_compute_dtype():
     # Params stay f32
     leaf = jax.tree_util.tree_leaves(variables["params"])[0]
     assert leaf.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("arch", [
+    "resnet34", "resnet152", "resnext101_32x8d", "wide_resnet101_2",
+    "shufflenet_v2_x0_5", "shufflenet_v2_x2_0", "mnasnet0_5", "mnasnet1_3",
+    "densenet169", "densenet201", "vgg11", "squeezenet1_0", "googlenet",
+    "mobilenet_v2", "alexnet",
+])
+def test_zoo_arch_constructs_and_runs(arch):
+    """Every torchvision-era arch name builds and produces [B, 1000] logits
+    (the reference dispatches any zoo name via models.__dict__[arch])."""
+    import jax
+
+    bundle = create_model(arch, "imagenet")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    # native resolution: fixed-head families (VGG/AlexNet flatten, DenseNet
+    # 7x7 pool) only accept it
+    size = bundle.input_size
+    x = jnp.zeros((1, size, size, 3), jnp.float32)
+    logits = bundle.logits(variables, x)
+    assert logits.shape == (1, 1000)
+    assert bool(jnp.all(jnp.isfinite(logits)))
