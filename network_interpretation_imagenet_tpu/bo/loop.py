@@ -100,22 +100,32 @@ _HOST_PROPOSE_CACHE: dict = {}
 
 
 def _host_propose_fn(upper: int, lengthscale_grid: tuple, alpha: float):
-    key = (int(upper), lengthscale_grid, alpha)
+    """Jitted EI-argmax proposer; cached per POW-2 candidate bucket.
+
+    ``upper`` varies per image (segment count), so keying the cache on it
+    would grow one closure + executables per distinct S for the process
+    lifetime. Instead the candidate row is padded to the next power of two
+    and ``upper`` becomes a traced operand masking the pad — the cache holds
+    O(log S) entries and repeat sweeps hit compiled code."""
+    bucket = next_pow2(int(upper) + 1)
+    key = (bucket, lengthscale_grid, alpha)
     if key not in _HOST_PROPOSE_CACHE:
-        candidates = jnp.arange(upper + 1, dtype=jnp.float32)[:, None]
+        candidates = jnp.arange(bucket, dtype=jnp.float32)[:, None]
         ls_grid = jnp.asarray(lengthscale_grid, jnp.float32)
 
         @jax.jit
-        def propose(x_obs, y_obs):
+        def propose(x_obs, y_obs, upper):
             fit = exact.fit_lengthscale_sweep(
                 x_obs[:, None], y_obs, ls_grid, noise=alpha, normalize_y=True
             )
             ei = ei_over_candidates(fit, candidates, y_obs,
                                     greater_is_better=True)
+            ei = jnp.where(candidates[:, 0] <= upper, ei, -jnp.inf)
             return jnp.argmax(ei)
 
         _HOST_PROPOSE_CACHE[key] = propose
-    return _HOST_PROPOSE_CACHE[key]
+    fn = _HOST_PROPOSE_CACHE[key]
+    return lambda x_obs, y_obs: fn(x_obs, y_obs, jnp.float32(upper))
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,15 @@ def summed_superpixel_labels(
     # s_cap is the jit-static bound on segment IDs. Callers that know S must
     # pass s_cap >= S (pow-2 bucketed to bound compiled shapes) — IDs above
     # the cap would silently lose heat and gather-clamp to the top row.
+    # Outside a trace the inputs are concrete, so over-cap IDs fail loudly
+    # here instead of producing a silently-truncated heatmap.
+    if not isinstance(segments, jax.core.Tracer):
+        s_max = int(jnp.max(segments))
+        if s_max >= int(s_cap):
+            raise ValueError(
+                f"summed_superpixel_labels: segment id {s_max} >= s_cap "
+                f"{int(s_cap)}; pass s_cap >= num_segments (pow-2 bucketed)"
+            )
     seg_ids = jnp.arange(int(s_cap), dtype=jnp.int32)
     # in_window[k, s] = first[k] <= s < first[k]+width
     in_window = (seg_ids[None, :] >= firsts[:, None]) & (

@@ -176,6 +176,7 @@ def bo_window_saliency_multi(
     mesh=None,
     data_axis: str = "data",
     proposals_per_iter: int = 1,
+    per_image_seeds=None,
 ):
     """Fused BO saliency over N same-shape images in ONE program.
 
@@ -186,9 +187,12 @@ def bo_window_saliency_multi(
     With ``mesh``, the image axis additionally shards over the mesh's data
     axis (each chip runs its slice of loops — no collectives).
 
-    Returns a list of N (SaliencyOutput, BOResult) pairs, identical to N
-    independent :func:`bo_window_saliency` calls with seeds derived from
-    ``jax.random.split(PRNGKey(seed), N)``.
+    Returns a list of N (SaliencyOutput, BOResult) pairs. With
+    ``per_image_seeds`` (int[N]), image j's key is ``PRNGKey(seeds[j])`` —
+    bit-identical to N independent :func:`bo_window_saliency` calls with
+    those seeds, and invariant to how a sweep batches images into flushes
+    (derive the seeds from dataset indices). Without it, keys derive from
+    ``jax.random.split(PRNGKey(seed), N)`` (position-dependent).
     """
     segs = [np.asarray(s, np.int32) for s in segments_list]
     n = len(segs)
@@ -225,7 +229,13 @@ def bo_window_saliency_multi(
     )
     # Keys derive from the ORIGINAL image count so results are invariant to
     # padding (and to whether a mesh widened the pad).
-    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+    if per_image_seeds is not None:
+        assert len(per_image_seeds) == n
+        keys = jnp.stack(
+            [jax.random.PRNGKey(int(s)) for s in per_image_seeds]
+        )
+    else:
+        keys = jax.random.split(jax.random.PRNGKey(seed), n)
     if n_pad > n:
         keys = jnp.concatenate(
             [keys, jnp.repeat(keys[:1], n_pad - n, axis=0)]

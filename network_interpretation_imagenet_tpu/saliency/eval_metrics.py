@@ -107,9 +107,12 @@ def pointing_game(
     heatmap = np.asarray(heatmap)
     y, x = np.unravel_index(int(np.argmax(heatmap)), heatmap.shape)
     bx, by, bw, bh = [float(v) for v in gt_bbox_xywh]
-    # Inclusive-width convention (ops.metrics: w = x1 - x0 + 1): the box's
-    # last covered column/row is bx+bw-1 / by+bh-1.
+    # Half-open convention (x in [bx, bx+bw)): correct for BOTH producers —
+    # transform_gt_bbox's float boxes are exclusive-width (w = x1·r − x0·r),
+    # while ops.metrics' integer boxes are inclusive-width (w = x1 − x0 + 1,
+    # so x < bx+bw still admits the last covered column x1). The previous
+    # inclusive test shrank float boxes by ~1px at the right/bottom edges.
     return (
-        bx - tolerance <= x <= bx + bw - 1 + tolerance
-        and by - tolerance <= y <= by + bh - 1 + tolerance
+        bx - tolerance <= x < bx + bw + tolerance
+        and by - tolerance <= y < by + bh + tolerance
     )

@@ -416,6 +416,13 @@ def bo_saliency_sweep(
 
     Misclassified images are skipped BEFORE dispatch (one batched predict
     per flush), so no BO budget is wasted on them.
+
+    NOTE on ``p50_latency_s``: per-image "seconds" rows span enqueue→flush-
+    finalize, so with ``image_batch`` > 1 they include the whole flush's
+    batched BO program — an upper bound shared by up to ``image_batch``
+    images, NOT isolated per-image latency (bench.py measures that; ~120 ms
+    for ResNet-101). Throughput (``evals_per_sec``, or images/s from
+    ``images_explained``/wall) is this sweep's primary metric.
     """
     from network_interpretation_imagenet_tpu.config import BOConfig
     from network_interpretation_imagenet_tpu.ops import aggregate
@@ -463,10 +470,14 @@ def bo_saliency_sweep(
                               "pred": int(preds[j]), "label": int(labels[j])})
             if not keep:
                 return
+            # Per-image seeds derive from DATASET indices, so each image's
+            # PRNG stream is invariant to flush composition (--image-batch
+            # value, skip patterns) and matches a single-image
+            # bo_window_saliency(seed=seed+index) call exactly.
             results = bo_window_saliency_multi(
                 engine, [imgs[j] for j in keep], [segs[j] for j in keep],
                 bo_cfg, window_fraction=window_fraction,
-                seed=seed + idxs[keep[0]],
+                per_image_seeds=[seed + int(idxs[j]) for j in keep],
                 targets=[int(preds[j]) for j in keep], mesh=mesh,
                 proposals_per_iter=proposals_per_iter,
             )

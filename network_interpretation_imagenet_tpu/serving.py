@@ -57,6 +57,7 @@ def export_engine(
     batch_sizes: Sequence[int] = (1024, 256, 32),
     include_weights: bool = True,
     host_variables: Any = None,
+    input_size: int = None,
 ) -> dict:
     """Serialize the engine's window-mask forward for serving.
 
@@ -68,6 +69,12 @@ def export_engine(
     e.g. straight from ``convert_checkpoint``) to skip fetching weights back
     off the device — on remote-tunnel TPU setups that readback runs at
     ~1 MB/s and dominates the export.
+
+    ``input_size`` overrides the bundle's native resolution — StableHLO is
+    lowered for ONE static shape, so an inception_v3 engine (native 299²)
+    serving a 224² data pipeline must export at 224 (every zoo model is
+    global-pooled, so any resolution traces). The chosen size is recorded in
+    the manifest and enforced by the loader at call time.
     """
     import jax
     import jax.numpy as jnp
@@ -86,7 +93,7 @@ def export_engine(
         return apply_fn(variables, imgs).astype(jnp.float32)
 
     os.makedirs(out_dir, exist_ok=True)
-    h = w = bundle.input_size
+    h = w = int(input_size) if input_size else bundle.input_size
     c = bundle.input_channels
     var_spec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), engine.variables
@@ -119,7 +126,10 @@ def export_engine(
     manifest = {
         "arch": bundle.name,
         "num_classes": bundle.num_classes,
-        "input_size": bundle.input_size,
+        # The size the artifact was LOWERED for (may differ from the arch's
+        # native resolution when input_size= overrode it at export time).
+        "input_size": h,
+        "native_input_size": bundle.input_size,
         "input_channels": bundle.input_channels,
         "compute_dtype": np.dtype(compute_dtype).name,
         "batch_sizes": sorted(files, key=int, reverse=True),
@@ -218,18 +228,23 @@ class ExportedSaliencyServer:
 
         return np.concatenate(jax.device_get(outs))[:k]
 
-    def eval_window_masks(
-        self, image, segments, firsts, width: int, target: int
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    def eval_window_masks(self, image, segments, firsts, width: int, target: int):
+        """Drop-in substitute for ``SaliencyEngine.eval_window_masks``:
+        returns the same :class:`MaskEvalResult` dataclass (attribute access
+        — ``.survived``, ``.prob_target`` — works on either object)."""
+        from network_interpretation_imagenet_tpu.saliency.engine import (
+            MaskEvalResult,
+        )
+
         logits = self.logits_for_windows(image, segments, firsts, width)
         z = logits - logits.max(axis=-1, keepdims=True)
         probs = np.exp(z) / np.exp(z).sum(axis=-1, keepdims=True)
         preds = logits.argmax(axis=-1).astype(np.int32)
-        return (
-            preds == target,
-            preds,
-            probs[:, target].astype(np.float32),
-            probs.max(axis=-1).astype(np.float32),
+        return MaskEvalResult(
+            survived=preds == target,
+            preds=preds,
+            prob_target=probs[:, target].astype(np.float32),
+            prob_max=probs.max(axis=-1).astype(np.float32),
         )
 
 

@@ -224,6 +224,62 @@ def test_bo_saliency_sweep_end_to_end():
     assert len(iou_rows) == 1 and np.isfinite(iou_rows[0]["iou"])
 
 
+def test_bo_sweep_invariant_to_flush_composition():
+    """Per-image BO results must not depend on --image-batch or on which
+    images share a flush (seeds derive from dataset indices, r3 fix): the
+    same dataset swept at image_batch=2 and image_batch=4 — and with a
+    misclassified image perturbing the flush packing — yields bit-identical
+    per-image heatmaps."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.saliency.sweep import bo_saliency_sweep
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=8,
+                            compute_dtype=jnp.float32)
+    rng = np.random.RandomState(4)
+    imgs = [rng.rand(28, 28, 1).astype(np.float32) for _ in range(4)]
+    pred0, _ = engine.predict_one(imgs[0])
+
+    def dataset(with_skip):
+        for i, img in enumerate(imgs):
+            if with_skip and i == 1:
+                yield img, (engine.predict_one(img)[0] + 1) % 10, None
+            else:
+                yield img, None, None
+
+    cfg = SegmentConfig(method="slic", n_segments=9, slic_iters=4)
+    bo = BOConfig(n_iters=2, n_pre_samples=2)
+    kw = dict(bo_cfg=bo, seed=11, keep_heatmaps=True)
+    res_b2 = bo_saliency_sweep(engine, dataset(False), cfg, image_batch=2, **kw)
+    res_b4 = bo_saliency_sweep(engine, dataset(False), cfg, image_batch=4, **kw)
+    res_skip = bo_saliency_sweep(engine, dataset(True), cfg, image_batch=2, **kw)
+    assert res_b2.images_explained == res_b4.images_explained == 4
+    for i in range(4):
+        np.testing.assert_array_equal(res_b2.heatmaps[i], res_b4.heatmaps[i])
+    # Image 1 skipped → images 0,2,3 keep their streams regardless of packing.
+    assert res_skip.images_skipped_misclassified == 1
+    for i in (0, 2, 3):
+        np.testing.assert_array_equal(res_b2.heatmaps[i], res_skip.heatmaps[i])
+
+    # And each batched result equals the single-image flagship call with the
+    # same derived seed (per_image_seeds = seed + index).
+    from network_interpretation_imagenet_tpu.saliency.bo_pipeline import (
+        bo_window_saliency,
+    )
+    from network_interpretation_imagenet_tpu.ops import aggregate
+    from network_interpretation_imagenet_tpu.segment import segment_image
+
+    disp = aggregate.normalize_to_uint8_np(imgs[2])[:, :, 0]
+    seg = np.asarray(segment_image(disp, cfg), np.int32)
+    tgt, _ = engine.predict_one(imgs[2])
+    out_single, _ = bo_window_saliency(
+        engine, imgs[2], seg, bo, seed=11 + 2, target=int(tgt)
+    )
+    np.testing.assert_allclose(res_b2.heatmaps[2], out_single.heatmap,
+                               atol=1e-5)
+
+
 def test_bo_sweep_dispatch_failure_counts_once():
     """When the batched BO dispatch throws, skipped-misclassified images must
     not ALSO be counted as failed (regression: failed += len(batch))."""

@@ -32,21 +32,51 @@ def test_export_load_matches_engine(tmp_path, rng):
     target = 5
 
     ref = engine.eval_window_masks(image, segments, firsts, width, target)
-    surv, preds, p_t, p_m = server.eval_window_masks(
-        image, segments, firsts, width, target
-    )
-    np.testing.assert_array_equal(preds, ref.preds)
-    np.testing.assert_array_equal(surv, ref.survived)
-    np.testing.assert_allclose(p_t, ref.prob_target, atol=1e-5)
-    np.testing.assert_allclose(p_m, ref.prob_max, atol=1e-5)
+    # Same typed contract as the live engine (drop-in substitute).
+    srv = server.eval_window_masks(image, segments, firsts, width, target)
+    assert type(srv) is type(ref)
+    np.testing.assert_array_equal(srv.preds, ref.preds)
+    np.testing.assert_array_equal(srv.survived, ref.survived)
+    np.testing.assert_allclose(srv.prob_target, ref.prob_target, atol=1e-5)
+    np.testing.assert_allclose(srv.prob_max, ref.prob_max, atol=1e-5)
 
     # K=0 honors the engine contract (empty typed result, no crash).
     empty = server.logits_for_windows(image, segments, np.zeros(0, np.int32), width)
     assert empty.shape == (0, manifest["num_classes"])
-    surv0, preds0, _, _ = server.eval_window_masks(
+    r0 = server.eval_window_masks(
         image, segments, np.zeros(0, np.int32), width, target
     )
-    assert surv0.shape == (0,) and preds0.shape == (0,)
+    assert r0.survived.shape == (0,) and r0.preds.shape == (0,)
+
+
+def test_export_at_explicit_input_size(tmp_path, rng):
+    """input_size= lowers the artifact for a non-native resolution (the
+    inception-299-vs-pipeline-224 case, ADVICE r2) — every zoo model is
+    global-pooled so any resolution traces; the manifest records both."""
+    import jax.numpy as jnp
+
+    from network_interpretation_imagenet_tpu.models import create_model
+
+    bundle = create_model("resnet18", "imagenet", num_classes=10)
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=4,
+                            compute_dtype=jnp.float32)
+    path = str(tmp_path / "artifact32")
+    manifest = serving.export_engine(
+        engine, path, batch_sizes=(4,), input_size=32
+    )
+    assert manifest["input_size"] == 32
+    assert manifest["native_input_size"] == 224
+    server = serving.load_exported(path)
+    image = rng.rand(32, 32, 3).astype(np.float32)
+    segments = rng.randint(0, 6, (32, 32)).astype(np.int32)
+    logits = server.logits_for_windows(
+        image, segments, np.arange(4, dtype=np.int32), 2
+    )
+    ref = engine.predict(
+        image[None] * (segments >= 0)[None, :, :, None]
+    )  # sanity: shapes agree with a live 32² forward
+    assert logits.shape == (4, 10) and ref.shape == (1, 10)
 
 
 def test_export_without_weights_requires_variables(tmp_path, rng):
