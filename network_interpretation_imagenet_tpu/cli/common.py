@@ -102,11 +102,24 @@ def build_parser(description: str, dataset_default: str = "imagenet") -> argpars
     g.add_argument("--no-compilation-cache", dest="compilation_cache",
                    action="store_const", const="off",
                    help="disable the persistent compilation cache")
+    g.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the JAX backend (jax.config, applied before "
+                        "first backend use — works even where the "
+                        "environment pre-selects a platform plugin)")
+    g.add_argument("--local-devices", type=int, default=None,
+                   help="(--platform cpu) number of virtual local CPU "
+                        "devices, e.g. to emulate a multi-chip host")
     return p
 
 
 def apply_debug_flags(args) -> None:
     """Apply runtime toggles that must run before any jit executes."""
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+        if getattr(args, "local_devices", None) and args.platform == "cpu":
+            jax.config.update("jax_num_cpu_devices", int(args.local_devices))
     if getattr(args, "debug_nans", False):
         import jax
 

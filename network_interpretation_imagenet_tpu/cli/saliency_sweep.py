@@ -51,8 +51,28 @@ def main(argv=None):
     common.add_bo_flags(p)
     p.add_argument("--proposals-per-iter", type=int, default=1,
                    help="(--bo) q-batched BO proposals per GP refit")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-process (DCN) sweep: initialize "
+                        "jax.distributed from the environment (or the "
+                        "--coordinator/--num-processes/--process-id flags), "
+                        "stride the image axis across processes, write "
+                        "per-rank results, and merge on rank 0")
+    p.add_argument("--coordinator", default=None,
+                   help="(--multihost) coordinator address host:port")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
     common.apply_debug_flags(args)
+
+    multihost_mod = None
+    if args.multihost:
+        from network_interpretation_imagenet_tpu.parallel import (
+            multihost as multihost_mod,
+        )
+
+        multihost_mod.initialize_distributed(
+            args.coordinator, args.num_processes, args.process_id
+        )
 
     from network_interpretation_imagenet_tpu.config import DATASETS
 
@@ -76,6 +96,21 @@ def main(argv=None):
             dataset = iter(ImageFolderDataset(args.data))
     else:
         dataset = _synthetic_dataset(args, spec, args.num_images)
+
+    dataset_indices = None
+    if args.multihost:
+        import jax
+
+        # Image-axis DCN split: this process sweeps a disjoint stride; only
+        # merged scalar metrics/rows cross hosts (via the shared filesystem).
+        dataset_indices = list(
+            multihost_mod.process_strided_indices(args.num_images)
+        )
+        stride_set = set(dataset_indices)
+        dataset = (
+            item for i, item in enumerate(dataset)
+            if i in stride_set
+        )
 
     mesh = None
     if args.data_parallel:
@@ -104,6 +139,7 @@ def main(argv=None):
             mesh=mesh,
             proposals_per_iter=args.proposals_per_iter,
             keep_heatmaps=args.gp_heatmaps,
+            dataset_indices=dataset_indices,
         )
     else:
         res = saliency_sweep(
@@ -119,6 +155,7 @@ def main(argv=None):
             mesh=mesh,
             image_batch=args.image_batch,
             keep_heatmaps=args.gp_heatmaps,
+            dataset_indices=dataset_indices,
         )
     # Scalar fields only — dataclasses.asdict would deep-copy every retained
     # heatmap and per-image row just to discard them.
@@ -173,6 +210,48 @@ def main(argv=None):
             "seconds": round(gp_seconds, 3),
             "artifact": "gp_heatmaps.npz",
         }
+
+    if args.multihost:
+        import jax
+
+        if jax.process_count() > 1:
+            # Per-rank result (full rows) → shared filesystem; rank 0 waits
+            # for every rank's file and writes the merged sweep_result.json.
+            import json as _json
+            import os
+            import time as _time
+
+            os.makedirs(args.out, exist_ok=True)
+            rank, nprocs = jax.process_index(), jax.process_count()
+            rank_payload = multihost_mod.sweep_result_to_dict(res)
+            rank_payload["process_id"] = rank
+            mine = os.path.join(args.out, f"sweep_result.rank{rank}.json")
+            with open(mine + ".tmp", "w") as f:
+                _json.dump(rank_payload, f)
+            os.replace(mine + ".tmp", mine)  # atomic: readers never see partials
+            if rank != 0:
+                return 0
+            paths = [os.path.join(args.out, f"sweep_result.rank{r}.json")
+                     for r in range(nprocs)]
+            deadline = _time.time() + 600
+            while not all(os.path.exists(p) for p in paths):
+                if _time.time() > deadline:
+                    raise TimeoutError(f"missing rank results: "
+                                       f"{[p for p in paths if not os.path.exists(p)]}")
+                _time.sleep(0.5)
+            parts = []
+            for p in paths:
+                with open(p) as f:
+                    parts.append(multihost_mod.sweep_result_from_dict(_json.load(f)))
+            merged = multihost_mod.merge_sweep_metrics(parts)
+            payload = {
+                f.name: getattr(merged, f.name)
+                for f in dataclasses.fields(merged)
+                if f.name not in ("per_image", "heatmaps")
+            }
+            payload["per_image_count"] = merged.images_explained
+            payload["process_count"] = nprocs
+
     common.emit_result(args.out, "sweep_result.json", payload)
 
 

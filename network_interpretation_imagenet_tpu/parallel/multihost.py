@@ -55,6 +55,35 @@ def process_strided_indices(total: int) -> range:
     return range(jax.process_index(), total, jax.process_count())
 
 
+def sweep_result_to_dict(res) -> dict:
+    """JSON-safe dict of a SweepResult (heatmaps excluded — per-host sweep
+    artifacts stay on their host; only metrics and rows cross DCN/disk)."""
+    return {
+        "images_total": int(res.images_total),
+        "images_explained": int(res.images_explained),
+        "images_skipped_misclassified": int(res.images_skipped_misclassified),
+        "images_failed": int(res.images_failed),
+        "mean_iou": float(res.mean_iou),
+        "mean_survival": float(res.mean_survival),
+        "p50_latency_s": float(res.p50_latency_s),
+        "evals_per_sec": float(res.evals_per_sec),
+        "per_image": [
+            {k: (v.item() if hasattr(v, "item") else v) for k, v in row.items()}
+            for row in res.per_image
+        ],
+    }
+
+
+def sweep_result_from_dict(d: dict):
+    """Inverse of :func:`sweep_result_to_dict`."""
+    from network_interpretation_imagenet_tpu.saliency.sweep import SweepResult
+
+    res = SweepResult()
+    for k, v in d.items():
+        setattr(res, k, v)
+    return res
+
+
 def merge_sweep_metrics(results):
     """Reduce per-host SweepResult objects (host 0 gathers via any transport
     — typically a tiny allgather of the scalar dict)."""

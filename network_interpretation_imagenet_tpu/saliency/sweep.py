@@ -122,6 +122,7 @@ def saliency_sweep(
     mesh=None,
     image_batch: int = 1,
     keep_heatmaps: bool = False,
+    dataset_indices=None,
 ) -> SweepResult:
     """Sweep (image, label, gt_bbox?) triples; returns aggregate metrics.
 
@@ -132,6 +133,12 @@ def saliency_sweep(
     mask banks evaluate in ONE forward (``eval_window_masks_multi``) so small
     per-image K still fills the chip. Both together compose: the flat N·K
     grid shards over the mesh (``sharded_window_eval_multi``).
+
+    ``dataset_indices`` maps enumerate position → GLOBAL dataset index
+    (per-image seeds, result rows). A multi-host run passes its
+    ``process_strided_indices`` stride here so every process derives the
+    SAME per-image PRNG streams a single-process sweep would, and merged
+    rows keep their dataset identity.
     """
     import collections
 
@@ -312,9 +319,10 @@ def saliency_sweep(
         mesh is None or np.prod(list(mesh.shape.values())) <= 1
     )
 
-    for i, item in enumerate(dataset):
-        if max_images is not None and i >= max_images:
+    for pos, item in enumerate(dataset):
+        if max_images is not None and pos >= max_images:
             break
+        i = int(dataset_indices[pos]) if dataset_indices is not None else pos
         res.images_total += 1
         t0 = time.perf_counter()
         try:
@@ -407,6 +415,7 @@ def bo_saliency_sweep(
     mesh=None,
     proposals_per_iter: int = 1,
     keep_heatmaps: bool = False,
+    dataset_indices=None,
 ) -> SweepResult:
     """Val-set sweep driven by the FLAGSHIP path: GP-EI BO per image
     (``bayesian_active_learning_imagenet.py:379-498``), batched — every
@@ -515,9 +524,10 @@ def bo_saliency_sweep(
                 log.emit({"event": "image_failed", "index": idxs[j],
                           "error": repr(e)})
 
-    for i, item in enumerate(dataset):
-        if max_images is not None and i >= max_images:
+    for pos, item in enumerate(dataset):
+        if max_images is not None and pos >= max_images:
             break
+        i = int(dataset_indices[pos]) if dataset_indices is not None else pos
         res.images_total += 1
         t0 = time.perf_counter()
         try:

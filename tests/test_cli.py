@@ -175,6 +175,52 @@ def test_cli_saliency_sweep(tmp_path):
     assert r["images_failed"] == 0
 
 
+def test_cli_saliency_sweep_multihost_two_processes(tmp_path):
+    """End-to-end --multihost CLI: two spawned CPU-backend ranks stride the
+    synthetic image axis, rank 0 merges rank files into sweep_result.json."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    out = str(tmp_path)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    common_args = [
+        sys.executable, "-m",
+        "network_interpretation_imagenet_tpu.cli.saliency_sweep",
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num-images", "4", "--num_mask_samples", "8", "--mask-batch", "8",
+        "--dtype", "float32", "--segmenter", "slic", "--n_segments", "9",
+        "--platform", "cpu", "--local-devices", "1",
+        "--no-compilation-cache", "--out", out,
+        "--multihost", "--coordinator", f"127.0.0.1:{port}",
+        "--num-processes", "2",
+    ]
+    procs = [
+        subprocess.Popen(common_args + ["--process-id", str(i)], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"rank {i} failed:\n{logs[i]}"
+
+    for rank in range(2):
+        rp = _json(os.path.join(out, f"sweep_result.rank{rank}.json"))
+        assert rp["images_total"] == 2  # its stride of the 4 images
+    merged = _json(os.path.join(out, "sweep_result.json"))
+    assert merged["process_count"] == 2
+    assert merged["images_total"] == 4
+    assert merged["images_failed"] == 0
+
+
 def test_cli_gp_classification_ckpt_roundtrip(tmp_path):
     """Train saves the variational GP state; eval restores it (reference
     gp_classification.py:217,222-228 semantics)."""

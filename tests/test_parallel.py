@@ -261,3 +261,94 @@ def test_sharded_eval_no_retrace_across_targets():
             compute_dtype=jnp.float32,
         )
     assert len(traces) == 1, f"expected 1 trace, got {len(traces)}"
+
+
+def test_two_process_dcn_sweep_matches_single_process(tmp_path):
+    """ACTUALLY run the multi-process (DCN) path: spawn two CPU-backend
+    workers with jax.distributed.initialize against a localhost coordinator,
+    each sweeping its process_strided_indices stride of a 6-image synthetic
+    set; prove a real cross-process collective ran (process_allgather);
+    merge via merge_sweep_metrics and assert metric equality with an
+    in-process single-process sweep. Closes SURVEY §5's last unproven
+    subsystem (the reference's distributed flags were dead code,
+    /root/reference/bayesian_active_learning_imagenet.py:78-83)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from network_interpretation_imagenet_tpu.config import SegmentConfig
+    from network_interpretation_imagenet_tpu.parallel import multihost
+    from network_interpretation_imagenet_tpu.saliency.engine import SaliencyEngine
+    from network_interpretation_imagenet_tpu.saliency.sweep import saliency_sweep
+
+    # A free localhost port for the coordinator.
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    repo_root = os.path.dirname(os.path.dirname(worker))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    # The workers self-configure (cpu platform, 2 local devices); scrub any
+    # test-harness device forcing so they start clean.
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    outs = [str(tmp_path / f"rank{i}.json") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, "--coordinator", coordinator,
+             "--num-processes", "2", "--process-id", str(i), "--out", outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"rank {i} failed:\n{logs[i]}"
+
+    ranks = []
+    for path in outs:
+        with open(path) as f:
+            ranks.append(json.load(f))
+    # Both processes saw the 2-process world and the collective completed.
+    for r in ranks:
+        assert r["process_count"] == 2
+        assert r["global_devices"] == 4
+        assert sorted(r["allgather"]) == [0, 1]
+    assert ranks[0]["indices"] == [0, 2, 4]
+    assert ranks[1]["indices"] == [1, 3, 5]
+
+    merged = multihost.merge_sweep_metrics(
+        [multihost.sweep_result_from_dict(r) for r in ranks]
+    )
+
+    # Single-process reference sweep over the same deterministic dataset.
+    import multihost_worker
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=8,
+                            compute_dtype=jnp.float32)
+    dataset = multihost_worker.build_dataset(list(range(6)), engine)
+    cfg = SegmentConfig(method="slic", n_segments=9, slic_iters=4)
+    single = saliency_sweep(engine, dataset, cfg, num_mask_samples=8, seed=5)
+
+    assert merged.images_total == single.images_total == 6
+    assert merged.images_explained == single.images_explained
+    assert (merged.images_skipped_misclassified
+            == single.images_skipped_misclassified == 1)
+    assert merged.images_failed == single.images_failed == 0
+    np.testing.assert_allclose(merged.mean_survival, single.mean_survival,
+                               atol=1e-6)
+    np.testing.assert_allclose(merged.mean_iou, single.mean_iou, atol=1e-6)
+    rows_m = {r["index"]: r for r in merged.per_image}
+    rows_s = {r["index"]: r for r in single.per_image}
+    assert set(rows_m) == set(rows_s)
+    for idx in rows_s:
+        np.testing.assert_allclose(rows_m[idx]["survival"],
+                                   rows_s[idx]["survival"], atol=1e-6)
+        assert rows_m[idx]["num_segments"] == rows_s[idx]["num_segments"]
