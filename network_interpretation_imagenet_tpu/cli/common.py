@@ -65,7 +65,9 @@ def build_parser(description: str, dataset_default: str = "imagenet") -> argpars
     g.add_argument("--compression", type=float, default=0.5,
                    help="DenseNet compression ratio")
     g.add_argument("--ckpt", default=None,
-                   help=".pth.tar (torch) or orbax dir to load weights from")
+                   help=".pth.tar (torch), a torch-free artifact dir/"
+                        ".msgpack from cli.convert_checkpoint, or an orbax "
+                        "dir to load weights from")
     g.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     g.add_argument("--mask-batch", type=int, default=1024)
 
@@ -281,7 +283,16 @@ def build_engine(args, num_classes: Optional[int] = None):
         bn_size=getattr(args, "bn_size", 4),
         compression=getattr(args, "compression", 0.5),
     )
-    if args.ckpt and args.ckpt.endswith((".pth.tar", ".pth", ".tar")):
+    if args.ckpt and convert.is_weights_artifact(args.ckpt):
+        # Torch-free path: artifact written once by cli.convert_checkpoint
+        # (weights.msgpack + meta.json); inference hosts never import torch.
+        variables, meta = convert.load_weights_artifact(args.ckpt)
+        if meta.get("arch") and meta["arch"] != args.arch:
+            raise ValueError(
+                f"--ckpt artifact was converted for arch {meta['arch']!r} "
+                f"but --arch is {args.arch!r}"
+            )
+    elif args.ckpt and args.ckpt.endswith((".pth.tar", ".pth", ".tar")):
         variables = convert.convert_checkpoint(
             args.ckpt, args.arch, depth=args.depth,
             bn_size=getattr(args, "bn_size", 4),

@@ -445,3 +445,76 @@ def convert_checkpoint(path: str, arch: str, depth: int = 56, bn_size: int = 4):
     if arch.startswith("mnasnet"):
         return convert_mnasnet(sd)
     raise ValueError(f"no converter for arch {arch}")
+
+
+# ---------------------------------------------------------------------------
+# Torch-free weights artifact
+# ---------------------------------------------------------------------------
+#
+# The reference gets pretrained weights implicitly at every run
+# (``models.__dict__[arch](pretrained=True)``,
+# ``bayesian_active_learning_imagenet.py:391``), which drags torch +
+# torchvision + network into every process. Here the torch pickle is read
+# ONCE, offline (``cli.convert_checkpoint``), into a directory artifact —
+# ``weights.msgpack`` (the same flax-serialization blob serving.py bundles)
+# plus ``meta.json`` — and every inference CLI/serving host loads it with
+# zero torch dependency.
+
+WEIGHTS_FILE = "weights.msgpack"
+META_FILE = "meta.json"
+
+
+def save_weights_artifact(variables, out_dir: str, meta: Dict[str, Any] = None) -> Dict[str, Any]:
+    """Write a torch-free weights artifact (msgpack + meta.json)."""
+    import json
+    import os
+
+    from flax import serialization
+
+    os.makedirs(out_dir, exist_ok=True)
+    host_vars = _tree_map_np(variables)
+    with open(os.path.join(out_dir, WEIGHTS_FILE), "wb") as f:
+        f.write(serialization.msgpack_serialize(host_vars))
+    meta = dict(meta or {})
+    meta.setdefault("format", "nit-weights-v1")
+    with open(os.path.join(out_dir, META_FILE), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+def _tree_map_np(variables):
+    import jax
+
+    return jax.tree.map(np.asarray, variables)
+
+
+def is_weights_artifact(path: str) -> bool:
+    import os
+
+    if path.endswith(".msgpack"):
+        return os.path.isfile(path)
+    return os.path.isdir(path) and os.path.isfile(os.path.join(path, WEIGHTS_FILE))
+
+
+def load_weights_artifact(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Load (variables, meta) from an artifact dir or a bare ``.msgpack``.
+
+    Pure flax/numpy — importable and runnable on hosts without torch.
+    """
+    import json
+    import os
+
+    from flax import serialization
+
+    if os.path.isdir(path):
+        weights_path = os.path.join(path, WEIGHTS_FILE)
+        meta_path = os.path.join(path, META_FILE)
+    else:
+        weights_path, meta_path = path, None
+    with open(weights_path, "rb") as f:
+        variables = serialization.msgpack_restore(f.read())
+    meta = {}
+    if meta_path and os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return variables, meta
