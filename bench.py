@@ -215,6 +215,17 @@ def tpu_rate_and_latency():
                                seg_cfg, num_mask_samples=MASK_BATCH, seed=1)
     log(f"sweep: {SWEEP_IMAGES} images -> {sweep_res.evals_per_sec:.0f} evals/s")
 
+    # --- knockout-mode sweep (reference MNIST/CIFAR mask family, r3) -----
+    # Same engine/shape as the window sweep so the comparison is direct;
+    # the reference's 1000-mask workload rides the same executables.
+    saliency_sweep(engine, sweep_dataset(2, 13), seg_cfg,
+                   num_mask_samples=MASK_BATCH, seed=0, mode="knockout")  # warm
+    ko_res = saliency_sweep(engine, sweep_dataset(SWEEP_IMAGES, 17), seg_cfg,
+                            num_mask_samples=MASK_BATCH, seed=1,
+                            mode="knockout")
+    log(f"knockout sweep: {SWEEP_IMAGES} images -> "
+        f"{ko_res.evals_per_sec:.0f} evals/s")
+
     # --- DenseNet ImageNet sweep (BASELINE config 5's model family) ------
     dn_bundle = create_model("densenet121", "imagenet", dtype=jnp.bfloat16)
     dn_engine = SaliencyEngine(
@@ -295,13 +306,14 @@ def tpu_rate_and_latency():
     log(f"bo sweep (warm): {bo_sweep_res.images_explained} images, "
         f"{bo_sweep_res.evals_per_sec:.1f} BO evals/s")
     return (rate, p50, sweep_res.evals_per_sec, bo_p50,
-            dn_res.evals_per_sec, bo_batched_ms, bo_sweep_res.evals_per_sec)
+            dn_res.evals_per_sec, bo_batched_ms, bo_sweep_res.evals_per_sec,
+            ko_res.evals_per_sec)
 
 
 def main():
     cpu_rate = cpu_reference_rate()
     (rate, p50, sweep_rate, bo_p50, dn_rate,
-     bo_batched_ms, bo_sweep_rate) = tpu_rate_and_latency()
+     bo_batched_ms, bo_sweep_rate, ko_rate) = tpu_rate_and_latency()
     print(
         json.dumps(
             {
@@ -317,6 +329,7 @@ def main():
                     "densenet121_sweep_evals_per_sec": round(dn_rate, 1),
                     "bo_batched_ms_per_image": round(bo_batched_ms, 1),
                     "bo_sweep_evals_per_sec": round(bo_sweep_rate, 1),
+                    "knockout_sweep_evals_per_sec": round(ko_rate, 1),
                     "mfu_pct": round(rate * RESNET101_FLOPS / V5E_PEAK_FLOPS * 100, 1),
                     "mask_batch": MASK_BATCH,
                     "dtype": "bfloat16",

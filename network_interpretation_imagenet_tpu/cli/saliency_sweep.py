@@ -39,6 +39,13 @@ def main(argv=None):
                    help="shard each image's mask batch over all devices")
     p.add_argument("--image-batch", type=int, default=1,
                    help="fuse this many images' mask banks into one forward")
+    p.add_argument("--mode", default="window", choices=["window", "knockout"],
+                   help="mask family: contiguous windows (ImageNet reference "
+                        "semantics) or random-segment knockouts (MNIST/CIFAR "
+                        "reference semantics, 1000 masks/image)")
+    p.add_argument("--num-knockout", type=int, default=1,
+                   help="(--mode knockout) segments zeroed per mask "
+                        "(reference: 1 for MNIST, 5 for CIFAR)")
     common.add_gp_flags(p)
     p.add_argument("--gp-heatmaps", action="store_true",
                    help="fit an exact Kronecker pixel-GP to every explained "
@@ -156,6 +163,8 @@ def main(argv=None):
             image_batch=args.image_batch,
             keep_heatmaps=args.gp_heatmaps,
             dataset_indices=dataset_indices,
+            mode=args.mode,
+            num_knockout=args.num_knockout,
         )
     # Scalar fields only — dataclasses.asdict would deep-copy every retained
     # heatmap and per-image row just to discard them.

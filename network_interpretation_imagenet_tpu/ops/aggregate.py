@@ -146,3 +146,37 @@ def threshold_mask(heat: Array, threshold: Array) -> Array:
     keeps pixels whose summed label meets the threshold.
     """
     return heat >= threshold
+
+
+def summed_knockout_labels_np(segments, knock_ids, labels):
+    """Host twin of ``summed_label_heatmap(knockout_masks(...), labels)``
+    without materializing the [K, H, W] bank.
+
+    A knockout mask keeps every pixel except its knocked segments, so pixel
+    p in segment s accumulates ``total − Σ_{k: s ∈ ids_k} labels[k]``.
+    O(K·M + H·W) — the knockout sweep's collect path.
+    """
+    import numpy as np
+
+    segments = np.asarray(segments, np.int64)
+    knock_ids = np.asarray(knock_ids, np.int64)
+    labels = np.asarray(labels, np.float32)
+    s = int(segments.max()) + 1
+    minus = np.zeros(s, np.float32)
+    k, m = knock_ids.shape
+    w = np.repeat(labels, m)
+    flat = knock_ids.reshape(-1)
+    # Duplicate ids within one mask (degenerate-image padding) must count
+    # once — dedupe per row before the scatter-add.
+    if m > 1:
+        first_occurrence = np.ones((k, m), bool)
+        sorted_idx = np.argsort(knock_ids, axis=1, kind="stable")
+        sorted_ids = np.take_along_axis(knock_ids, sorted_idx, axis=1)
+        dup = np.zeros((k, m), bool)
+        dup[:, 1:] = sorted_ids[:, 1:] == sorted_ids[:, :-1]
+        np.put_along_axis(first_occurrence, sorted_idx, ~dup, axis=1)
+        keep = first_occurrence.reshape(-1)
+        flat, w = flat[keep], w[keep]
+    valid = (flat >= 0) & (flat < s)
+    np.add.at(minus, flat[valid], w[valid])
+    return (labels.sum() - minus)[segments]

@@ -172,3 +172,36 @@ def sample_knockout_ids(
     # knocking out fewer segments) instead of returning phantom IDs.
     picked = jnp.minimum(picked, hi - 1)
     return picked.astype(jnp.int32)
+
+
+def sample_knockout_ids_host(
+    seed: int, num: int, m: int, total_segments: int
+):
+    """Host-side (numpy) twin of :func:`sample_knockout_ids` — the knockout
+    sweep's dispatch path samples here so it never blocks on a device round
+    trip (mirrors :func:`sample_window_starts_host` for the window sweep).
+
+    Same distribution: M distinct IDs uniform over ``[0, S-1)`` per mask
+    (reference ``generate_gp_training_data_mnist.py:215`` /
+    ``generate_gp_training_data_cifar.py:308`` — the last segment is never
+    knocked out).
+
+    Returns int32[num, m].
+    """
+    import numpy as np
+
+    hi = max(int(total_segments) - 1, 1)
+    rng = np.random.RandomState(seed)
+    if m == 1:
+        return rng.randint(0, hi, size=(num, 1)).astype(np.int32)
+    m_eff = min(m, hi)  # degenerate images: fewer eligible segments than M
+    ids = np.empty((num, m), np.int32)
+    # argpartition of per-mask uniform scores = without-replacement draw,
+    # vectorized over the K axis (K can be 1000+; a Python sample() loop
+    # would serialize the sweep's host side).
+    scores = rng.rand(num, hi)
+    picked = np.argpartition(scores, m_eff - 1, axis=1)[:, :m_eff]
+    ids[:, :m_eff] = picked
+    if m_eff < m:  # pad with duplicates (same effect as fewer knockouts)
+        ids[:, m_eff:] = picked[:, :1]
+    return ids

@@ -20,6 +20,8 @@ from network_interpretation_imagenet_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
 )
 from network_interpretation_imagenet_tpu.parallel.sharded_engine import (  # noqa: F401
+    sharded_knockout_eval,
+    sharded_knockout_eval_multi,
     sharded_window_eval,
     sharded_window_eval_multi,
 )

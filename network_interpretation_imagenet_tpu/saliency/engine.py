@@ -157,6 +157,34 @@ class SaliencyEngine:
 
         self._eval_window_flat = _eval_window_flat
 
+        @jax.jit
+        def _eval_knockout_flat(variables, images, segments, rows, targets):
+            """Flat (image_idx, m knock ids) rows → one batched forward.
+
+            The knockout twin of `_eval_window_flat`: rows[:, 0] selects the
+            image/segment map, rows[:, 1:] are the M segment IDs each mask
+            zeros (reference MNIST M=1 / CIFAR M=5 semantics,
+            ``generate_gp_training_data_mnist.py:218-223``). Same pow-2
+            chunking and one-fetch contract as the window grid.
+            """
+            img_idx = rows[:, 0]
+            ids = rows[:, 1:]                                  # [B, M]
+            seg = segments[img_idx]                            # [B,H,W]
+            hit = jnp.any(
+                seg[:, None, :, :] == ids[:, :, None, None], axis=1
+            )
+            imgs = (
+                images[img_idx] * (~hit)[..., None].astype(images.dtype)
+            ).astype(compute_dtype)
+            logits = apply_fn(variables, imgs).astype(jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1)
+            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            t = targets[img_idx]
+            p_t = jnp.take_along_axis(probs, t[:, None], axis=1)[:, 0]
+            return preds == t, preds, p_t, jnp.max(probs, axis=-1)
+
+        self._eval_knockout_flat = _eval_knockout_flat
+
     def _chunk_sizes(self, k: int):
         """Cover k masks with as few forwards as possible: full `mask_batch`
         chunks, then one power-of-two-bucketed remainder (min 32) so repeat
@@ -276,14 +304,88 @@ class SaliencyEngine:
     ) -> MaskEvalResult:
         """Evaluate K knockout masks (reference MNIST/CIFAR semantics,
         ``generate_gp_training_data_mnist.py:218-223``)."""
-        outs = self._run_chunked(
+        return self.collect(
+            self.eval_knockout_masks_async(image, segments, knock_ids, target)
+        )
+
+    def eval_knockout_masks_async(
+        self, image: Array, segments: Array, knock_ids: np.ndarray, target
+    ):
+        """Enqueue K knockout-mask evaluations; returns a handle for
+        :meth:`collect` — the knockout twin of
+        :meth:`eval_window_masks_async` (dispatch never blocks, so a sweep
+        segments image i+1 during image i's forwards)."""
+        return self._dispatch_chunked(
             self._eval_knockout,
             np.asarray(knock_ids, np.int32),
             -1,
             (self.variables, jnp.asarray(image), jnp.asarray(segments)),
             (jnp.int32(target),),
         )
-        return self._wrap(outs)
+
+    def eval_knockout_masks_multi_async(
+        self, images, segments, knock_ids, targets
+    ):
+        """Enqueue the N·K knockout grid; returns (handle, n, k) for
+        :meth:`collect_multi`.
+
+        Args: images [N,H,W,C] f32, segments [N,H,W] int32, knock_ids
+        [N,K,M] int32, targets int32[N] (host or device — the batched sweep
+        passes a device argmax so dispatch never blocks on a fetch).
+        """
+        images = np.asarray(images, np.float32)
+        segments = np.asarray(segments, np.int32)
+        knock_ids = np.asarray(knock_ids, np.int32)
+        n, k, m = knock_ids.shape
+
+        n_pad = 1
+        while n_pad < n:
+            n_pad *= 2
+        if n_pad > n:
+            zpad = lambda a: np.concatenate(
+                [a, np.zeros((n_pad - n,) + a.shape[1:], a.dtype)]
+            )
+            images, segments = zpad(images), zpad(segments)
+        if isinstance(targets, jax.Array):
+            if n_pad > n:
+                targets = jnp.concatenate(
+                    [targets, jnp.zeros(n_pad - n, targets.dtype)]
+                )
+        else:
+            targets = np.asarray(targets, np.int32)
+            if n_pad > n:
+                targets = np.concatenate(
+                    [targets, np.zeros(n_pad - n, np.int32)]
+                )
+            targets = jnp.asarray(targets)
+
+        # rows[:, 0] = image index, rows[:, 1:] = M knock ids; chunk padding
+        # fills rows with -1 (image -1 wraps to the last padded image; ids
+        # -1 knock nothing) — outputs trim to the true N·K anyway.
+        rows = np.concatenate(
+            [
+                np.repeat(np.arange(n, dtype=np.int32), k)[:, None],
+                knock_ids.reshape(n * k, m),
+            ],
+            axis=1,
+        )
+        handle = self._dispatch_chunked(
+            self._eval_knockout_flat,
+            rows,
+            -1,
+            (self.variables, jnp.asarray(images), jnp.asarray(segments)),
+            (targets,),
+        )
+        return handle, n, k
+
+    def eval_knockout_masks_multi(self, images, segments, knock_ids, targets):
+        """Evaluate K knockout masks for each of N images through the same
+        pow-2-bucketed flat chunks as the window grid; returns a list of N
+        MaskEvalResult."""
+        handle, n, k = self.eval_knockout_masks_multi_async(
+            images, segments, knock_ids, targets
+        )
+        return self.collect_multi(handle, n, k)
 
     def eval_window_masks_multi_async(
         self, images, segments, firsts, widths, targets

@@ -109,6 +109,38 @@ def _sharded_window_saliency(
     )
 
 
+def _sharded_knockout_saliency(
+    engine: SaliencyEngine, mesh, image, segments, knock_ids, target: int,
+):
+    """Knockout twin of :func:`_sharded_window_saliency` (reference
+    MNIST/CIFAR 1000-mask semantics over the mesh)."""
+    from network_interpretation_imagenet_tpu.ops import aggregate
+    from network_interpretation_imagenet_tpu.parallel import sharded_knockout_eval
+    from network_interpretation_imagenet_tpu.saliency.engine import MaskEvalResult
+    from network_interpretation_imagenet_tpu.saliency.pipeline import SaliencyOutput
+
+    segments = np.asarray(segments, np.int32)
+    s = int(segments.max()) + 1
+    knock_ids = np.asarray(knock_ids, np.int32)
+    survived, probs, _ = sharded_knockout_eval(
+        mesh, engine.bundle.logits, engine.variables, image, segments,
+        knock_ids, target, compute_dtype=engine.compute_dtype,
+    )
+    heat = aggregate.summed_knockout_labels_np(
+        segments, knock_ids, np.asarray(survived)
+    )
+    return SaliencyOutput(
+        segments=segments, num_segments=s,
+        eval=MaskEvalResult(
+            survived=survived,
+            preds=np.where(survived, target, -1),
+            prob_target=probs,
+            prob_max=np.full_like(probs, np.nan),
+        ),
+        heatmap=heat, knock_ids=knock_ids,
+    )
+
+
 def saliency_sweep(
     engine: SaliencyEngine,
     dataset: Iterable,
@@ -123,8 +155,17 @@ def saliency_sweep(
     image_batch: int = 1,
     keep_heatmaps: bool = False,
     dataset_indices=None,
+    mode: str = "window",
+    num_knockout: int = 1,
 ) -> SweepResult:
     """Sweep (image, label, gt_bbox?) triples; returns aggregate metrics.
+
+    ``mode="knockout"`` swaps the per-image mask family for the reference's
+    MNIST/CIFAR semantics — each of the K masks zeros ``num_knockout``
+    random segments (``generate_gp_training_data_mnist.py:218-223``, M=1;
+    ``generate_gp_training_data_cifar.py:307-342``, M=5) — through the SAME
+    machinery: async pipelined dispatch, multi-image flat N·K grids, and
+    mesh sharding.
 
     ``dataset`` yields ``(normalized f32 HWC image, int label, gt_bbox|None)``.
     With ``mesh`` (>1 device), each image's mask batch shards over the data
@@ -143,6 +184,27 @@ def saliency_sweep(
     import collections
 
     from network_interpretation_imagenet_tpu.ops import aggregate, masking
+
+    if mode not in ("window", "knockout"):
+        raise ValueError(f"unknown sweep mode {mode!r}")
+    is_knockout = mode == "knockout"
+
+    def sample_plan(seed_i: int, s: int) -> dict:
+        """Per-image mask parameters, sampled on the HOST (both families)
+        so dispatch never blocks on a device round-trip."""
+        if is_knockout:
+            return {"ids": masking.sample_knockout_ids_host(
+                seed_i, num_mask_samples, num_knockout, s)}
+        width = int(window_fraction * s)
+        return {"firsts": masking.sample_window_starts_host(
+            seed_i, num_mask_samples, s, width), "width": width}
+
+    def aggregate_plan(seg, plan: dict, survived) -> np.ndarray:
+        if is_knockout:
+            return aggregate.summed_knockout_labels_np(
+                seg, plan["ids"], survived)
+        return aggregate.summed_superpixel_labels_np(
+            seg, plan["firsts"], plan["width"], survived)
 
     log = logger or PhaseLogger(enabled=False)
     res = SweepResult()
@@ -175,7 +237,7 @@ def saliency_sweep(
         log.emit({"event": "image_done", **row})
 
     gt_by_index = {}
-    pending = []  # batched path: (i, image, seg, s, width, firsts, label, t0)
+    pending = []  # batched path: (i, image, display, label, t0)
     inflight = collections.deque()  # streaming path: dispatched, unfetched
     inflight_batch = None  # batched path: one dispatched, unfetched flush
 
@@ -198,9 +260,7 @@ def saliency_sweep(
                 log.emit({"event": "skip_misclassified", "index": fl["i"],
                           "pred": pred, "label": int(label)})
                 return
-            heat = aggregate.summed_superpixel_labels_np(
-                fl["seg"], fl["firsts"], fl["width"], r.survived
-            )
+            heat = aggregate_plan(fl["seg"], fl["plan"], r.survived)
             finish_image(fl["i"], pred, fl["seg"], fl["s"], heat,
                          r.survived, fl["t0"])
         except Exception as e:
@@ -232,7 +292,7 @@ def saliency_sweep(
                       "error": repr(e)})
             return
         for j, meta in enumerate(fb["metas"]):
-            i, seg, s, width, firsts, label, t0 = meta
+            i, seg, s, plan, label, t0 = meta
             try:
                 pred = int(preds[j])
                 if label is not None and pred != int(label):
@@ -241,9 +301,7 @@ def saliency_sweep(
                               "pred": pred, "label": int(label)})
                     continue
                 surv = survived_per_image[j]
-                heat = aggregate.summed_superpixel_labels_np(
-                    seg, firsts, width, surv
-                )
+                heat = aggregate_plan(seg, plan, surv)
                 finish_image(i, pred, seg, s, heat, surv, t0)
             except Exception as e:  # per-image: never double-count the rest
                 res.images_failed += 1
@@ -271,40 +329,56 @@ def saliency_sweep(
                     for s in segment_image_batch(disps, seg_cfg)
                 ]
             ss = [int(s.max()) + 1 for s in segs]
-            widths = [int(window_fraction * s) for s in ss]
-            firsts = [
-                masking.sample_window_starts_host(
-                    seed + idxs[j], num_mask_samples, ss[j], widths[j]
-                )
-                for j in range(len(batch))
-            ]
+            plans = [sample_plan(seed + idxs[j], ss[j])
+                     for j in range(len(batch))]
             images_np = np.stack(imgs)
             # pow-2 padded predict: the tail flush reuses a compiled shape
             logits_dev = engine.predict_logits_device(images_np)
             targets_dev = jnp.argmax(logits_dev, axis=1).astype(jnp.int32)
-            metas = list(zip(idxs, segs, ss, widths, firsts, labels, t0s))
-            if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+            metas = list(zip(idxs, segs, ss, plans, labels, t0s))
+            on_mesh = mesh is not None and np.prod(list(mesh.shape.values())) > 1
+            if on_mesh:
                 # Image-batching AND mask-sharding compose: the flat N·K grid
                 # shards over the mesh's data axis (synchronous — the mesh
                 # path's collectives already keep every chip busy).
                 from network_interpretation_imagenet_tpu.parallel import (
+                    sharded_knockout_eval_multi,
                     sharded_window_eval_multi,
                 )
 
-                survived_nk, _ = sharded_window_eval_multi(
-                    mesh, engine.bundle.logits, engine.variables,
-                    images_np, np.stack(segs), np.stack(firsts),
-                    np.asarray(widths, np.int32),
-                    np.asarray(targets_dev, np.int32),
-                    compute_dtype=engine.compute_dtype,
-                )
-                fb = {"handle": None, "n": len(batch), "k": len(firsts[0]),
+                if is_knockout:
+                    survived_nk, _ = sharded_knockout_eval_multi(
+                        mesh, engine.bundle.logits, engine.variables,
+                        images_np, np.stack(segs),
+                        np.stack([p["ids"] for p in plans]),
+                        np.asarray(targets_dev, np.int32),
+                        compute_dtype=engine.compute_dtype,
+                    )
+                else:
+                    survived_nk, _ = sharded_window_eval_multi(
+                        mesh, engine.bundle.logits, engine.variables,
+                        images_np, np.stack(segs),
+                        np.stack([p["firsts"] for p in plans]),
+                        np.asarray([p["width"] for p in plans], np.int32),
+                        np.asarray(targets_dev, np.int32),
+                        compute_dtype=engine.compute_dtype,
+                    )
+                fb = {"handle": None, "n": len(batch), "k": num_mask_samples,
                       "logits": logits_dev, "metas": metas,
                       "survived_per_image": list(survived_nk)}
+            elif is_knockout:
+                handle, n, k = engine.eval_knockout_masks_multi_async(
+                    images_np, np.stack(segs),
+                    np.stack([p["ids"] for p in plans]), targets_dev,
+                )
+                fb = {"handle": handle, "n": n, "k": k,
+                      "logits": logits_dev, "metas": metas}
             else:
                 handle, n, k = engine.eval_window_masks_multi_async(
-                    images_np, np.stack(segs), np.stack(firsts),
-                    np.asarray(widths, np.int32), targets_dev,
+                    images_np, np.stack(segs),
+                    np.stack([p["firsts"] for p in plans]),
+                    np.asarray([p["width"] for p in plans], np.int32),
+                    targets_dev,
                 )
                 fb = {"handle": handle, "n": n, "k": k,
                       "logits": logits_dev, "metas": metas}
@@ -347,10 +421,7 @@ def saliency_sweep(
                 seg = np.asarray(segment_image(disp, seg_cfg), np.int32)
             s = int(seg.max()) + 1
 
-            width = int(window_fraction * s)
-            firsts = masking.sample_window_starts_host(
-                seed + i, num_mask_samples, s, width
-            )
+            plan = sample_plan(seed + i, s)
             if streaming:
                 # Dispatch everything — unmasked forward, argmax (stays a
                 # device scalar so the mask batch needn't wait for a fetch),
@@ -360,12 +431,17 @@ def saliency_sweep(
                     engine.variables, jnp.asarray(np.asarray(image))[None]
                 )
                 target_dev = jnp.argmax(logits_dev[0]).astype(jnp.int32)
-                handle = engine.eval_window_masks_async(
-                    image, seg, firsts, width, target_dev
-                )
+                if is_knockout:
+                    handle = engine.eval_knockout_masks_async(
+                        image, seg, plan["ids"], target_dev
+                    )
+                else:
+                    handle = engine.eval_window_masks_async(
+                        image, seg, plan["firsts"], plan["width"], target_dev
+                    )
                 inflight.append(
                     {"i": i, "label": label, "logits": logits_dev,
-                     "seg": seg, "s": s, "width": width, "firsts": firsts,
+                     "seg": seg, "s": s, "plan": plan,
                      "handle": handle, "t0": t0}
                 )
                 while len(inflight) > 1:
@@ -379,10 +455,15 @@ def saliency_sweep(
                 continue
             target = int(label) if label is not None else pred
             with log.phase("masked_forwards", index=i, k=num_mask_samples):
-                out = _sharded_window_saliency(
-                    engine, mesh, image, seg, num_mask_samples,
-                    window_fraction, seed + i, target, firsts,
-                )
+                if is_knockout:
+                    out = _sharded_knockout_saliency(
+                        engine, mesh, image, seg, plan["ids"], target,
+                    )
+                else:
+                    out = _sharded_window_saliency(
+                        engine, mesh, image, seg, num_mask_samples,
+                        window_fraction, seed + i, target, plan["firsts"],
+                    )
             finish_image(i, target, seg, out.num_segments, out.heatmap,
                          out.eval.survived, t0)
         except Exception as e:  # per-image failure isolation
