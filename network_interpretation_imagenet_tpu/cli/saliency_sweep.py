@@ -192,10 +192,15 @@ def main(argv=None):
         # for full flushes; a val-set-scale sweep must not stack 50k grids
         # into a single program.
         chunk = 32
+        if mesh is not None:
+            # Image axis shards over the mesh (eigenbases replicate) —
+            # scale the chunk so each device still sees ~32 grids/program.
+            chunk *= int(mesh.shape["data"])
         params, means_l, vars_l = [], [], []
         for lo in range(0, len(heats), chunk):
             p_c, m_c, v_c, _ = kron.fit_posterior_batch(
-                heats[lo:lo + chunk], iters=args.gp_iters, lr=args.gp_lr
+                heats[lo:lo + chunk], iters=args.gp_iters, lr=args.gp_lr,
+                mesh=mesh,
             )
             params.extend(p_c)
             means_l.append(np.asarray(m_c))

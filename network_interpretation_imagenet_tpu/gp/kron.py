@@ -300,11 +300,48 @@ def _posterior_batch_core(qh_all, qw_all, lam_all, best, y, os_, noise, mc):
     return jax.vmap(one)(best, y, os_, noise, mc)
 
 
+@functools.lru_cache(maxsize=8)
+def _fit_posterior_sharded(iters: int, lr: float, mesh, data_axis: str):
+    """shard_map'd fit+posterior: the image axis of the batch shards over
+    the mesh's data axis while the per-lengthscale eigenbases REPLICATE
+    (``in_specs=P()`` — they are image-independent and tiny next to the
+    per-image scans). Each device runs its slice's vmapped sweep + Adam
+    scan + posterior in ONE program; no collectives are needed."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    run = _build_fit_run(iters, lr)
+
+    def local(qh_all, qw_all, lam_all, y_local):
+        best, (log_os, log_noise, mean), losses = jax.vmap(
+            run, in_axes=(None, None, None, 0)
+        )(qh_all, qw_all, lam_all, y_local)
+        os_, noise = jnp.exp(log_os), jnp.exp(log_noise)
+
+        def one(bi, yi, osi, ni, mi):
+            return _posterior_core(
+                qh_all[bi], qw_all[bi], lam_all[bi], yi, osi, ni, mi
+            )
+
+        means, vars_ = jax.vmap(one)(best, y_local, os_, noise, mean)
+        return best, log_os, log_noise, mean, losses, means, vars_
+
+    return jax.jit(shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(data_axis)),
+        out_specs=tuple(P(data_axis) for _ in range(7)),
+        check_vma=False,
+    ))
+
+
 def fit_posterior_batch(
     y_grids: Array,
     iters: int = 20,
     lr: float = 0.1,
     lengthscale_grid: Tuple[float, ...] = (2.0, 4.0, 8.0, 16.0, 32.0, 64.0),
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Fit N pixel-GPs and compute their exact posteriors in TWO programs.
 
@@ -314,10 +351,15 @@ def fit_posterior_batch(
     (sweep + Adam scan) over the image axis — N fits cost ~one fit's wall
     time plus N tiny scans, and compile once per (iters, lr).
 
+    With ``mesh`` (>1 device on ``data_axis``), the image axis additionally
+    shards over the mesh (eigenbases replicate) — an N-image GP-heatmap
+    pass scales with devices. N pads to a multiple of the axis size with
+    repeats of the first grid; outputs trim.
+
     Returns (params_list[N], means [N,H,W], vars [N,H,W], losses [N,iters]).
     """
     y = jnp.asarray(y_grids, jnp.float32)
-    _, h, w = y.shape
+    n, h, w = y.shape
     qh_all, qw_all, lam_all = zip(
         *[_host_factored(float(ls), h, w) for ls in lengthscale_grid]
     )
@@ -325,12 +367,27 @@ def fit_posterior_batch(
     qw_all = jnp.asarray(np.stack(qw_all))
     lam_all = jnp.asarray(np.stack(lam_all))
 
-    vrun = _fit_core_batch(int(iters), float(lr))
-    best, (log_os, log_noise, mean), losses = vrun(qh_all, qw_all, lam_all, y)
-    means, vars_ = _posterior_batch_core(
-        qh_all, qw_all, lam_all, best,
-        y, jnp.exp(log_os), jnp.exp(log_noise), mean,
-    )
+    if mesh is not None and int(mesh.shape[data_axis]) > 1:
+        n_data = int(mesh.shape[data_axis])
+        pad = (-n) % n_data
+        if pad:
+            y = jnp.concatenate([y, jnp.repeat(y[:1], pad, axis=0)])
+        srun = _fit_posterior_sharded(int(iters), float(lr), mesh, data_axis)
+        best, log_os, log_noise, mean, losses, means, vars_ = srun(
+            qh_all, qw_all, lam_all, y
+        )
+        best, log_os, log_noise = best[:n], log_os[:n], log_noise[:n]
+        mean, losses = mean[:n], losses[:n]
+        means, vars_ = means[:n], vars_[:n]
+    else:
+        vrun = _fit_core_batch(int(iters), float(lr))
+        best, (log_os, log_noise, mean), losses = vrun(
+            qh_all, qw_all, lam_all, y
+        )
+        means, vars_ = _posterior_batch_core(
+            qh_all, qw_all, lam_all, best,
+            y, jnp.exp(log_os), jnp.exp(log_noise), mean,
+        )
     ls_grid_np = np.asarray(lengthscale_grid, np.float32)
     best_np = np.asarray(best)
     params = [
@@ -338,6 +395,6 @@ def fit_posterior_batch(
             jnp.log(jnp.asarray(ls_grid_np[int(best_np[i])], jnp.float32)),
             log_os[i], log_noise[i], mean[i],
         )
-        for i in range(y.shape[0])
+        for i in range(n)
     ]
     return params, means, vars_, losses

@@ -191,3 +191,36 @@ def test_kron_fit_posterior_batch_matches_per_image():
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(vars_b)[i], np.asarray(var_i),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_kron_fit_posterior_batch_sharded_matches_single_device():
+    """mesh= shards the image axis of the batched pixel-GP fit over the
+    8-device mesh (eigenbases replicated); results must equal the
+    single-device vmapped path, including a non-divisible N (pad+trim)."""
+    from network_interpretation_imagenet_tpu.gp import kron
+    from network_interpretation_imagenet_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(7)
+    # N=5 is NOT a multiple of the 8-device data axis — exercises padding.
+    ys = np.stack([
+        np.outer(np.sin(np.arange(20) / (3 + i)), np.cos(np.arange(20) / 5))
+        + 0.1 * rng.rand(20, 20)
+        for i in range(5)
+    ]).astype(np.float32)
+
+    p_ref, m_ref, v_ref, l_ref = kron.fit_posterior_batch(ys, iters=6)
+    p_sh, m_sh, v_sh, l_sh = kron.fit_posterior_batch(
+        ys, iters=6, mesh=make_mesh()
+    )
+    assert len(p_sh) == len(p_ref) == 5
+    np.testing.assert_allclose(np.asarray(m_sh), np.asarray(m_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_sh), np.asarray(v_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(l_sh), np.asarray(l_ref),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(p_sh, p_ref):
+        np.testing.assert_allclose(float(a.log_lengthscale),
+                                   float(b.log_lengthscale), atol=1e-6)
+        np.testing.assert_allclose(float(a.log_noise), float(b.log_noise),
+                                   rtol=1e-4, atol=1e-5)
