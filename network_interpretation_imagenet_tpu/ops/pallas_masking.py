@@ -2,15 +2,21 @@
 
 Produces the masked bf16 image batch the classifier consumes directly from
 ``(image, segments, firsts)`` — one kernel instead of XLA's
-broadcast-compare → broadcast-multiply → convert chain. The mask bank is
-never materialized as a separate [K, H, W] array in HBM; each grid step
-computes its mask on the VPU from the segment map resident in VMEM and
-writes only the final bf16 block.
+broadcast-compare → broadcast-multiply → convert chain.
 
-This op is bandwidth-trivial next to the conv stack (the true hot op, which
-XLA owns), but it keeps the masking stage off the HBM round-trip and is the
-template for custom fusions in this framework. Falls back to the pure-XLA
-formulation off-TPU (``interpret=True`` for CPU tests).
+**NOT used on the hot path — measured and retired (r3).** On a real v5e
+chip feeding ResNet-101 the kernel LOSES to the plain-XLA formulation
+end-to-end: 3.7k vs 5.9k evals/s at K=512, 4.1k vs 6.8k at K=1024, and it
+fails to allocate at K≥2048 — its ``[K, H, W, 3]`` output buffer is laid
+out with C=3 lane-padded to 128 (T(8,128)(2,1) tiling → 52 GB at K=4096,
+42× the logical bytes), which the consuming conv then re-reads. XLA's own
+fusion of compare→multiply→convert into the conv input pipeline is already
+optimal here; the masking stage is bandwidth-trivial next to the conv
+stack either way. The kernel stays as a correctness-tested Pallas template
+(scalar prefetch, VMEM row tiling) for fusions where a custom layout
+actually pays. Numbers recorded in docs/PERFORMANCE.md.
+
+Falls back to ``interpret=True`` for CPU tests.
 """
 
 from __future__ import annotations

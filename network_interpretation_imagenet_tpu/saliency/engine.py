@@ -58,12 +58,10 @@ class SaliencyEngine:
         variables: Any,
         mask_batch: int = 1024,
         compute_dtype: Any = jnp.bfloat16,
-        use_pallas_masking: bool = False,
     ) -> None:
         self.bundle = bundle
         self.mask_batch = int(mask_batch)
         self.compute_dtype = compute_dtype
-        self.use_pallas_masking = use_pallas_masking
         # Keep a by-reference handle to host-resident weight trees (e.g.
         # straight from convert_checkpoint): serving.export_engine reuses it
         # to avoid a device→host readback that runs at ~1 MB/s on
@@ -95,21 +93,15 @@ class SaliencyEngine:
                 jnp.max(probs, axis=-1),
             )
 
-        use_pallas = use_pallas_masking
-
+        # The masking stage is deliberately plain XLA: a Pallas fused
+        # build+mask+cast kernel was measured 36-40% SLOWER end-to-end on
+        # v5e (its [K,H,W,3] output lane-pads C 3→128, 42× the bytes, and
+        # OOMs outright at K≥2048) — see ops/pallas_masking.py and
+        # docs/PERFORMANCE.md for the numbers.
         @jax.jit
         def _eval_window(variables, image, segments, firsts, width, target):
-            if use_pallas:
-                from network_interpretation_imagenet_tpu.ops.pallas_masking import (
-                    masked_batch_pallas,
-                )
-
-                imgs = masked_batch_pallas(
-                    image, segments, firsts, width, out_dtype=compute_dtype
-                )
-            else:
-                masks = masking.window_masks(segments, firsts, width)
-                imgs = masking.apply_masks(image, masks).astype(compute_dtype)
+            masks = masking.window_masks(segments, firsts, width)
+            imgs = masking.apply_masks(image, masks).astype(compute_dtype)
             return _outcomes(apply_fn(variables, imgs), target)
 
         self._eval_window = _eval_window
