@@ -37,3 +37,35 @@ def _assert_cpu_backend():
         )
         assert len(jax.devices()) == 8
     yield
+
+
+# ---------------------------------------------------------------------------
+# Test tiers (r3): `-m fast` = quick unit tier (<60 s total on one core);
+# everything else is `slow` (compile-heavy zoo/CLI/parallel/subprocess
+# tests). `-m tpu_smoke` is the subset recorded running on a real chip via
+# NIT_TEST_TPU=1 (see docs/profiles/tpu_test_run.txt).
+# ---------------------------------------------------------------------------
+
+_FAST_MODULES = {
+    "test_masking", "test_metrics", "test_data", "test_preprocess",
+    "test_segment", "test_pallas", "test_weights_artifact", "test_gp",
+}
+
+_TPU_SMOKE = (
+    "test_masking.py",
+    "test_segment.py",
+    "test_knockout_machinery.py::test_knockout_async_matches_sync",
+    "test_serving.py::test_export_load_matches_engine",
+    "test_bo.py::test_bo_window_saliency_end_to_end",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        module = item.nodeid.split("::")[0].rsplit("/", 1)[-1]
+        tier = "fast" if module[:-3] in _FAST_MODULES else "slow"
+        item.add_marker(getattr(pytest.mark, tier))
+        rel = item.nodeid.rsplit("/", 1)[-1]
+        if any(rel == p or rel.startswith(p + "::") or rel.startswith(p + "[")
+               for p in _TPU_SMOKE):
+            item.add_marker(pytest.mark.tpu_smoke)
