@@ -171,6 +171,16 @@ def fit_adam(
        because Q and λ̂ do not depend on those parameters, and XLA never has
        to differentiate (or even compile) an eigendecomposition.
 
+    Selection caveat (deliberate): the step-1 sweep scores each candidate
+    at INITIAL outputscale/noise/mean — var(y), 0.1·var(y), mean(y) — not
+    at per-candidate optima, so a pathological y scaling biases only the
+    amount of residual the Adam phase must absorb, not correctness: init at
+    data moments makes the comparison scale-equivariant (multiplying y by c
+    scales every candidate's quad and logdet terms identically), which
+    ``tests/test_gp.py::test_kron_lengthscale_selection_scale_invariant``
+    pins at y×100 / y×0.01. Reference analogue: the sklearn loop's
+    ``normalize_y=True`` + restarts (``BayesianOptimization.py:156-159``).
+
     Returns (params, per-Adam-iter loss history).
     """
     del params  # lengthscale comes from the sweep

@@ -224,3 +224,26 @@ def test_kron_fit_posterior_batch_sharded_matches_single_device():
                                    float(b.log_lengthscale), atol=1e-6)
         np.testing.assert_allclose(float(a.log_noise), float(b.log_noise),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_kron_lengthscale_selection_scale_invariant():
+    """The fit_adam lengthscale sweep scores candidates at data-moment
+    initial hyperparameters (var(y), 0.1 var(y), mean(y)) — deliberately
+    NOT per-candidate optima. That init makes selection scale-equivariant:
+    a grossly mis-scaled y must pick the SAME lengthscale, with Adam
+    absorbing the scale into outputscale/noise."""
+    from network_interpretation_imagenet_tpu.gp import kron
+
+    y = (np.outer(np.sin(np.arange(24) / 5), np.cos(np.arange(24) / 6))
+         + 0.05 * np.random.RandomState(0).rand(24, 24)).astype(np.float32)
+
+    p_ref, _ = kron.fit_adam(y, iters=8)
+    for scale in (100.0, 0.01):
+        p_s, _ = kron.fit_adam(y * scale, iters=8)
+        np.testing.assert_allclose(float(p_s.log_lengthscale),
+                                   float(p_ref.log_lengthscale), atol=1e-6)
+        # Adam absorbed the scale: outputscale ratio tracks scale² to
+        # within half a nat (the init carries var(y·c) = c²·var(y); the 8
+        # Adam steps fine-tune differently per run).
+        log_ratio = float(p_s.log_outputscale - p_ref.log_outputscale)
+        assert abs(log_ratio - 2 * np.log(scale)) < 0.5, log_ratio
