@@ -17,7 +17,20 @@ BatchNorm folding (inference): w' = wÂ·Î³/âˆš(ÏƒÂ²+Îµ), b' = Î² âˆ’ Î¼Â·Î³/âˆš(Ï
 applied on host by :func:`fold_bn` â€” the reference's eval-mode BN semantics
 exactly.
 
-Measured results and the integration decision live in docs/PERFORMANCE.md.
+**Measured on v5e and NOT integrated (r3).** B=2048, vs the flax stage's
+per-block share of the committed per-stage profile:
+
+  * stage1 blocks 1-2 (C=256, P=64):  32.7 ms vs ~34.5 ms â€” 1.06Ã—
+  * stage2 blocks 1-3 (C=512, P=128): 44.9 ms vs ~35 ms  â€” 0.78Ã— (loses)
+
+and Mosaic compile runs ~8 s (2-block) to ~16 min (3-block chain). The
+VMEM-residency saving is real but the in-kernel serial structure (the
+nine-shifted-matmul 3Ã—3, sub-128-lane matmuls in stage1, no cross-step
+software pipelining beyond Mosaic's default double buffering) gives back
+more than the saved HBM trips â€” XLA's conv pipelines were already at the
+measured bandwidth roofline (docs/PERFORMANCE.md "Why ~60% MFU IS the
+ceiling"). Kept as a correctness-tested experiment: beating XLA here needs
+a true pipelined Mosaic conv schedule, not op-level fusion.
 """
 
 from __future__ import annotations
@@ -128,6 +141,14 @@ def fused_bottleneck_chain(
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_chain_kernel, n_blocks)
+    kwargs = {}
+    if not interpret:
+        # The chain's in-kernel temporaries (tile + padded t1 + f32 acc)
+        # exceed Mosaic's default 16 MB scoped-VMEM budget; raise it â€” the
+        # whole point of the kernel is trading VMEM residency for HBM trips.
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -135,6 +156,7 @@ def fused_bottleneck_chain(
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16),
         interpret=interpret,
+        **kwargs,
     )(x.astype(jnp.bfloat16), *weights)
 
 
