@@ -47,6 +47,9 @@ def build_parser(description: str, dataset_default: str = "imagenet") -> argpars
                    help="use a deterministic synthetic image (no dataset needed)")
     g.add_argument("--eval_img_index", type=int, default=1,
                    help="index of the evaluation image (reference flag)")
+    g.add_argument("--workers", "-j", type=int, default=4,
+                   help="decode/prefetch threads for real-data sweeps "
+                        "(reference DataLoader num_workers; 0 = serial)")
 
     g = p.add_argument_group("model")
     g.add_argument("--arch", "-a", default="resnet18",

@@ -94,13 +94,13 @@ def main(argv=None):
                 ImagenetLocalizationDataset,
             )
 
-            dataset = iter(ImagenetLocalizationDataset(args.data))
+            dataset = ImagenetLocalizationDataset(args.data)
         else:  # plain ImageFolder layout (no gt boxes → no IOU column)
             from network_interpretation_imagenet_tpu.data.image_folder import (
                 ImageFolderDataset,
             )
 
-            dataset = iter(ImageFolderDataset(args.data))
+            dataset = ImageFolderDataset(args.data)
     else:
         dataset = _synthetic_dataset(args, spec, args.num_images)
 
@@ -113,10 +113,25 @@ def main(argv=None):
         dataset_indices = list(
             multihost_mod.process_strided_indices(args.num_images)
         )
+
+    # Decode-ahead: worker threads keep `buffer` dataset[i] calls in flight
+    # (reference DataLoader num_workers); serial for synthetic/iterables.
+    from network_interpretation_imagenet_tpu.data.prefetch import prefetch
+
+    if hasattr(dataset, "__getitem__"):
+        n_total = min(len(dataset), args.num_images)
+        if dataset_indices is not None:
+            dataset_indices = [i for i in dataset_indices if i < n_total]
+        dataset = prefetch(
+            dataset, num_workers=args.workers,
+            indices=(dataset_indices
+                     if dataset_indices is not None
+                     else range(n_total)),
+        )
+    elif dataset_indices is not None:
         stride_set = set(dataset_indices)
         dataset = (
-            item for i, item in enumerate(dataset)
-            if i in stride_set
+            item for i, item in enumerate(dataset) if i in stride_set
         )
 
     mesh = None

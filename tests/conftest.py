@@ -49,6 +49,7 @@ def _assert_cpu_backend():
 _FAST_MODULES = {
     "test_masking", "test_metrics", "test_data", "test_preprocess",
     "test_segment", "test_pallas", "test_weights_artifact", "test_gp",
+    "test_prefetch",
 }
 
 _TPU_SMOKE = (
