@@ -163,6 +163,7 @@ class TrainConfig:
     seed: int = 0
     decay_rate: float = 0.1
     decay_epochs: Tuple[int, ...] = (30, 60)  # lr schedule (ref adjust_learning_rate)
+    print_freq: int = 0              # per-batch meter line every N steps (stock main.py -p)
 
 
 # ---------------------------------------------------------------------------

@@ -116,6 +116,11 @@ def make_sharded_train_step(
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         top1 = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        k = min(5, logits.shape[-1])
+        topk_idx = jax.lax.top_k(logits, k)[1]
+        top5 = jnp.mean(
+            jnp.any(topk_idx == labels[:, None], axis=-1).astype(jnp.float32)
+        )
         new_state = TrainState(
             params=new_params,
             batch_stats=new_stats,
@@ -123,6 +128,6 @@ def make_sharded_train_step(
             step=state.step + 1,
             rng=rng,
         )
-        return new_state, {"loss": loss, "top1": top1}
+        return new_state, {"loss": loss, "top1": top1, "top5": top5}
 
     return init_fn, step_fn

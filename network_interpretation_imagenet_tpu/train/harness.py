@@ -73,6 +73,7 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(jax.devices()[:1])
         self.save_dir = save_dir
         self.log = logger or PhaseLogger(enabled=False)
+        self.print_freq = getattr(cfg, "print_freq", 0)
         self.optimizer = make_optimizer(cfg, steps_per_epoch)
         self.init_fn, self.step_fn = make_sharded_train_step(
             bundle, self.mesh, self.optimizer
@@ -94,7 +95,12 @@ class Trainer:
                 optax.softmax_cross_entropy_with_integer_labels(logits, labels)
             )
             top1 = jnp.sum((jnp.argmax(logits, -1) == labels).astype(jnp.int32))
-            return loss, top1
+            k = min(5, logits.shape[-1])
+            topk_idx = jax.lax.top_k(logits, k)[1]
+            top5 = jnp.sum(
+                jnp.any(topk_idx == labels[:, None], axis=-1).astype(jnp.int32)
+            )
+            return loss, top1, top5
 
         self._eval_step = eval_step
 
@@ -175,23 +181,52 @@ class Trainer:
 
     # -- loops --------------------------------------------------------------
 
-    def train_epoch(self, loader) -> Tuple[float, float]:
-        loss_m, top1_m = AverageMeter(), AverageMeter()
-        for images, labels in loader:
+    def train_epoch(
+        self, loader, epoch: int = 0, print_freq: int = 0
+    ) -> Tuple[float, float]:
+        """One pass over ``loader``. ``print_freq > 0`` prints the stock
+        ImageNet trainer's per-batch line (Time/Data/Loss/Prec@1/Prec@5
+        meters — the reference's AverageMeter logging shape,
+        ``generate_gp_training_data_imagenet.py:281-296``). Note each
+        metric read forces a device sync; at print_freq=0 this is one
+        sync per step on scalar metrics (negligible next to the step)."""
+        import time
+
+        loss_m, top1_m, top5_m = AverageMeter(), AverageMeter(), AverageMeter()
+        batch_t, data_t = AverageMeter(), AverageMeter()
+        steps = len(loader) if hasattr(loader, "__len__") else None
+        end = time.time()
+        for i, (images, labels) in enumerate(loader):
+            data_t.update(time.time() - end)
             self.state, metrics = self.step_fn(
                 self.state, jnp.asarray(images), jnp.asarray(labels)
             )
             n = len(labels)
             loss_m.update(float(metrics["loss"]), n)
             top1_m.update(float(metrics["top1"]), n)
+            top5_m.update(float(metrics.get("top5", metrics["top1"])), n)
+            batch_t.update(time.time() - end)
+            end = time.time()
+            if print_freq and i % print_freq == 0:
+                total = f"/{steps}" if steps is not None else ""
+                print(
+                    f"Epoch: [{epoch}][{i}{total}]\t"
+                    f"Time {batch_t.val:.3f} ({batch_t.avg:.3f})\t"
+                    f"Data {data_t.val:.3f} ({data_t.avg:.3f})\t"
+                    f"Loss {loss_m.val:.4f} ({loss_m.avg:.4f})\t"
+                    f"Prec@1 {100 * top1_m.val:.3f} ({100 * top1_m.avg:.3f})\t"
+                    f"Prec@5 {100 * top5_m.val:.3f} ({100 * top5_m.avg:.3f})"
+                )
         return loss_m.avg, 100.0 * (1.0 - top1_m.avg)
 
-    def evaluate(self, loader) -> Tuple[float, float]:
+    def evaluate(self, loader) -> Tuple[float, float, float]:
+        """Returns (loss, top-1 error %, top-5 error %)."""
         loss_m = AverageMeter()
         correct = 0
+        correct5 = 0
         total = 0
         for images, labels in loader:
-            loss, top1 = self._eval_step(
+            loss, top1, top5 = self._eval_step(
                 self.state.params,
                 self.state.batch_stats,
                 jnp.asarray(images),
@@ -200,9 +235,11 @@ class Trainer:
             n = len(labels)
             loss_m.update(float(loss), n)
             correct += int(top1)
+            correct5 += int(top5)
             total += n
         err1 = 100.0 * (1.0 - correct / max(total, 1))
-        return loss_m.avg, err1
+        err5 = 100.0 * (1.0 - correct5 / max(total, 1))
+        return loss_m.avg, err1, err5
 
     def fit(self, train_loader, val_loader, epochs: Optional[int] = None) -> List[Dict]:
         """Run the epoch loop; returns per-epoch history rows (also written
@@ -212,10 +249,15 @@ class Trainer:
         history: List[Dict] = []
         since_best = 0
         for epoch in range(self.start_epoch, epochs):
+            # A callable train_loader is an epoch->iterable factory (e.g.
+            # `data.imagenet_train.epoch_batches` reshuffling per epoch).
+            loader = train_loader(epoch) if callable(train_loader) else train_loader
             with self.log.phase("train_epoch", epoch=epoch):
-                train_loss, train_err = self.train_epoch(train_loader)
+                train_loss, train_err = self.train_epoch(
+                    loader, epoch=epoch, print_freq=self.print_freq
+                )
             with self.log.phase("val_epoch", epoch=epoch):
-                val_loss, val_err = self.evaluate(val_loader)
+                val_loss, val_err, val_err5 = self.evaluate(val_loader)
             is_best = val_err < self.best_err1
             if is_best:
                 self.best_err1 = val_err
@@ -229,6 +271,7 @@ class Trainer:
                 "train_err1": round(train_err, 3),
                 "val_loss": round(val_loss, 5),
                 "val_err1": round(val_err, 3),
+                "val_err5": round(val_err5, 3),
                 "best_err1": round(self.best_err1, 3),
                 "best_epoch": self.best_epoch,
             }

@@ -1,0 +1,183 @@
+"""ImageNet training surface (`cli.main` + `data.imagenet_train`):
+RandomResizedCrop semantics, worker-invariant determinism, top-5 metrics,
+and the end-to-end trainer CLI on a tiny on-disk ImageFolder."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from network_interpretation_imagenet_tpu.data.imagenet_train import (
+    TrainImageFolder,
+    epoch_batches,
+    pil_train_transform,
+    random_resized_crop_box,
+)
+
+def _rng(seed=0):
+    return np.random.Generator(np.random.PCG64(seed))
+
+
+def test_random_resized_crop_box_bounds_and_area():
+    rng = _rng(0)
+    for _ in range(200):
+        w, h = int(rng.integers(30, 500)), int(rng.integers(30, 500))
+        top, left, ch, cw = random_resized_crop_box(rng, w, h)
+        assert 0 <= top and top + ch <= h
+        assert 0 <= left and left + cw <= w
+        assert ch > 0 and cw > 0
+        frac = (ch * cw) / (w * h)
+        # 10-attempt path keeps area in [0.08, 1.0] (up to int rounding);
+        # the fallback is a center crop that can only be the full ratio-
+        # clamped frame, also within these bounds.
+        assert 0.05 <= frac <= 1.0 + 1e-6
+
+
+def test_random_resized_crop_fallback_clamps_ratio():
+    # A 10x400 strip fails every aspect attempt -> fallback clamps to 4/3.
+    rng = _rng(1)
+    top, left, ch, cw = random_resized_crop_box(rng, 400, 10)
+    assert ch == 10 and cw == round(10 * 4.0 / 3.0)
+    assert top == 0 and left == (400 - cw) // 2
+
+
+def test_train_transform_shape_and_determinism():
+    from PIL import Image
+
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(80, 120, 3) * 255).astype(np.uint8)
+    )
+    a = pil_train_transform(img, _rng(7), crop=32)
+    b = pil_train_transform(img, _rng(7), crop=32)
+    c = pil_train_transform(img, _rng(8), crop=32)
+    assert a.shape == (32, 32, 3) and a.dtype == np.float32
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def _write_image_folder(root, classes=2, per_class=4, size=48):
+    from PIL import Image
+
+    rs = np.random.RandomState(0)
+    for c in range(classes):
+        d = os.path.join(root, f"class_{c}")
+        os.makedirs(d, exist_ok=True)
+        for i in range(per_class):
+            arr = rs.randint(0, 255, (size, size, 3), np.uint8)
+            # Make classes trivially separable: class c gets stripe c maxed.
+            arr[:, c * 8 : c * 8 + 8] = 255 if c else 0
+            Image.fromarray(arr).save(os.path.join(d, f"img_{i}.png"))
+
+
+def test_epoch_batches_worker_invariant_and_epoch_varying(tmp_path):
+    _write_image_folder(str(tmp_path))
+    ds = TrainImageFolder(str(tmp_path), crop=32, seed=3)
+
+    def collect(workers, epoch):
+        return list(
+            epoch_batches(ds, 4, epoch=epoch, seed=3, workers=workers)
+        )
+
+    serial = collect(0, 0)
+    threaded = collect(3, 0)
+    assert len(serial) == 2
+    for (xs, ys), (xt, yt) in zip(serial, threaded):
+        np.testing.assert_array_equal(xs, xt)
+        np.testing.assert_array_equal(ys, yt)
+    # A different epoch reshuffles and re-augments.
+    other = collect(0, 1)
+    assert any(
+        not np.array_equal(a[0], b[0]) for a, b in zip(serial, other)
+    )
+
+
+def test_epoch_batches_drop_last_and_indices(tmp_path):
+    _write_image_folder(str(tmp_path))
+    ds = TrainImageFolder(str(tmp_path), crop=32)
+    full = list(epoch_batches(ds, 3, shuffle=False, workers=0))
+    assert [len(y) for _, y in full] == [3, 3, 2]
+    dropped = list(
+        epoch_batches(ds, 3, shuffle=False, workers=0, drop_last=True)
+    )
+    assert [len(y) for _, y in dropped] == [3, 3]
+    strided = list(
+        epoch_batches(ds, 2, shuffle=False, workers=0, indices=[0, 2, 4, 6])
+    )
+    assert sum(len(y) for _, y in strided) == 4
+
+
+def test_train_step_top5_metric_matches_numpy():
+    import jax
+
+    from network_interpretation_imagenet_tpu.config import TrainConfig
+    from network_interpretation_imagenet_tpu.data import (
+        synthetic_classification_batch,
+    )
+    from network_interpretation_imagenet_tpu.data.loaders import ArrayLoader
+    from network_interpretation_imagenet_tpu.models import create_model
+    from network_interpretation_imagenet_tpu.train import Trainer
+
+    x, y = synthetic_classification_batch(0, 32, 32, 3, 8)
+    bundle = create_model("mnist_cnn", "mnist", num_classes=8)
+    # mnist_cnn expects 1 channel; use grayscale of the synthetic batch.
+    xg = x.mean(-1, keepdims=True)
+    cfg = TrainConfig(optimizer="sgd", lr=0.05, epochs=1, batch_size=16)
+    t = Trainer(bundle, cfg, steps_per_epoch=2)
+    loader = ArrayLoader(xg, y, 16)
+    loss, err1, err5 = t.evaluate(loader)
+    assert 0.0 <= err5 <= err1 <= 100.0
+
+    # Cross-check top5 against numpy on the same logits.
+    variables = {"params": t.state.params}
+    if t.state.batch_stats:
+        variables["batch_stats"] = t.state.batch_stats
+    logits = np.asarray(bundle.logits(variables, xg))
+    top5_np = np.mean(
+        [y[i] in np.argsort(-logits[i])[:5] for i in range(len(y))]
+    )
+    assert err5 == pytest.approx(100.0 * (1.0 - top5_np), abs=1e-6)
+
+
+def test_cli_main_trains_and_writes_artifacts(tmp_path):
+    from network_interpretation_imagenet_tpu.cli import main as main_cli
+
+    data = tmp_path / "imagenet"
+    _write_image_folder(str(data / "train"), classes=2, per_class=6)
+    _write_image_folder(str(data / "val"), classes=2, per_class=2)
+    save = tmp_path / "out"
+    rc = main_cli.main([
+        str(data), "-a", "resnet18", "--crop", "48", "-b", "4",
+        "--epochs", "2", "--lr", "0.01", "-j", "2", "-p", "1",
+        "--save", str(save), "--seed", "0",
+    ])
+    assert rc == 0
+    res = json.load(open(save / "imagenet_train_result.json"))
+    assert res["mode"] == "train" and res["epochs_run"] == 2
+    assert {"val_err5", "val_err1"} <= set(res["history"][0])
+    scores = open(os.path.join(res["save_dir"], "scores.tsv")).read()
+    assert "val_err5" in scores.splitlines()[0]
+    assert os.path.isdir(os.path.join(res["save_dir"], "model_best"))
+
+    # -e evaluates using the resumed checkpoint.
+    rc = main_cli.main([
+        str(data), "-a", "resnet18", "--crop", "48", "-b", "4", "-e",
+        "--resume", res["save_dir"], "--save", str(save), "-j", "0",
+    ])
+    assert rc == 0
+    res2 = json.load(open(save / "imagenet_train_result.json"))
+    assert res2["mode"] == "evaluate" and 0 <= res2["top5"] <= 100
+
+
+def test_cli_main_synthetic_smoke(tmp_path):
+    from network_interpretation_imagenet_tpu.cli import main as main_cli
+
+    save = tmp_path / "out"
+    rc = main_cli.main([
+        "--synthetic", "-a", "resnet18", "--crop", "32", "-b", "8",
+        "--epochs", "1", "--limit-images", "32", "--lr", "0.01",
+        "--save", str(save), "-p", "0",
+    ])
+    assert rc == 0
+    res = json.load(open(save / "imagenet_train_result.json"))
+    assert res["epochs_run"] == 1
