@@ -135,9 +135,17 @@ def main(argv=None):
         if args.limit_images:
             train_indices = list(range(min(args.limit_images, len(train_set))))
             val_indices = list(range(min(args.limit_images, len(val_set))))
-        steps_per_epoch = max(
-            1, (len(train_indices or train_set)) // args.batch_size
-        )
+        n_train = len(train_indices or train_set)
+        if n_train < args.batch_size and not args.evaluate:
+            # drop_last discards the lone partial batch → every "epoch"
+            # would run zero steps while reporting loss 0.0.
+            print(
+                f"error: train set has {n_train} images (after "
+                f"--limit-images) but --batch-size is {args.batch_size}; "
+                f"lower -b so at least one full batch exists "
+                f"(partial batches are dropped)", file=sys.stderr)
+            return 2
+        steps_per_epoch = max(1, n_train // args.batch_size)
 
         train_factory = partial(
             _train_epoch_loader, train_set, args, train_indices
@@ -229,6 +237,13 @@ def _load_pretrained(t, bundle, args):
                 f"--arch is {args.arch!r}")
     else:
         variables = convert.convert_checkpoint(args.pretrained, args.arch)
+    # Shapes must match the initialized model BEFORE the swap — a head
+    # trained for a different num_classes would otherwise surface as an
+    # opaque optimizer-state shape crash on the first train step.
+    _check_tree_shapes(variables["params"], t.state.params,
+                       args.pretrained, "params")
+    _check_tree_shapes(variables.get("batch_stats", {}), t.state.batch_stats,
+                       args.pretrained, "batch_stats")
     # Place onto the shardings init established (same rule as resume).
     put = lambda new, like: jax.tree.map(
         lambda n, l: jax.device_put(n, getattr(l, "sharding", None)), new, like
@@ -238,6 +253,28 @@ def _load_pretrained(t, bundle, args):
         batch_stats=put(variables.get("batch_stats", {}), t.state.batch_stats),
     )
     print(f"=> initialized from pretrained weights '{args.pretrained}'")
+
+
+def _check_tree_shapes(new, like, source, what):
+    """Raise a clear error if ``new``'s pytree structure or leaf shapes
+    disagree with the initialized model's (``like``)."""
+    import jax
+
+    ts_new = jax.tree_util.tree_structure(new)
+    ts_like = jax.tree_util.tree_structure(like)
+    if ts_new != ts_like:
+        raise ValueError(
+            f"--pretrained '{source}': {what} tree structure does not match "
+            f"the initialized model (different arch variant?)")
+    new_leaves = jax.tree_util.tree_flatten_with_path(new)[0]
+    like_leaves = jax.tree_util.tree_flatten_with_path(like)[0]
+    for (kp, n), (_, l) in zip(new_leaves, like_leaves):
+        if tuple(n.shape) != tuple(l.shape):
+            raise ValueError(
+                f"--pretrained '{source}': {what}"
+                f"{jax.tree_util.keystr(kp)} has shape {tuple(n.shape)} but "
+                f"the model expects {tuple(l.shape)} — wrong num_classes "
+                f"(dataset class count) or arch variant?")
 
 
 def _emit(args, payload):

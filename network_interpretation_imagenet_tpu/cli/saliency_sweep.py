@@ -80,6 +80,13 @@ def main(argv=None):
         multihost_mod.initialize_distributed(
             args.coordinator, args.num_processes, args.process_id
         )
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            # initialize() is a barrier, so clearing each rank's own stale
+            # file HERE guarantees rank 0's merge never reads a leftover
+            # sweep_result.rank*.json from a previous run in the same --out.
+            multihost_mod.clear_stale_rank_result(args.out)
 
     from network_interpretation_imagenet_tpu.config import DATASETS
 
@@ -224,8 +231,18 @@ def main(argv=None):
         vars_ = np.concatenate(vars_l)
         gp_seconds = time.perf_counter() - t0
         os.makedirs(args.out, exist_ok=True)
+        gp_artifact = "gp_heatmaps.npz"
+        if args.multihost:
+            import jax as _jax
+
+            if _jax.process_count() > 1:
+                # Every rank runs this block over ITS stride; a shared
+                # filename would have ranks racing on one npz. The `indices`
+                # field carries each rank's dataset indices, so the per-rank
+                # artifacts concatenate trivially offline.
+                gp_artifact = f"gp_heatmaps.rank{_jax.process_index()}.npz"
         np.savez_compressed(
-            os.path.join(args.out, "gp_heatmaps.npz"),
+            os.path.join(args.out, gp_artifact),
             indices=np.asarray(idxs),
             heatmaps=heats,
             gp_mean=np.asarray(means),
@@ -237,7 +254,7 @@ def main(argv=None):
         payload["gp_heatmaps"] = {
             "images": len(idxs),
             "seconds": round(gp_seconds, 3),
-            "artifact": "gp_heatmaps.npz",
+            "artifact": gp_artifact,
         }
 
     if args.multihost:
@@ -246,40 +263,19 @@ def main(argv=None):
         if jax.process_count() > 1:
             # Per-rank result (full rows) → shared filesystem; rank 0 waits
             # for every rank's file and writes the merged sweep_result.json.
-            import json as _json
-            import os
-            import time as _time
-
-            os.makedirs(args.out, exist_ok=True)
-            rank, nprocs = jax.process_index(), jax.process_count()
-            rank_payload = multihost_mod.sweep_result_to_dict(res)
-            rank_payload["process_id"] = rank
-            mine = os.path.join(args.out, f"sweep_result.rank{rank}.json")
-            with open(mine + ".tmp", "w") as f:
-                _json.dump(rank_payload, f)
-            os.replace(mine + ".tmp", mine)  # atomic: readers never see partials
-            if rank != 0:
+            multihost_mod.write_rank_result(args.out, res)
+            if jax.process_index() != 0:
                 return 0
-            paths = [os.path.join(args.out, f"sweep_result.rank{r}.json")
-                     for r in range(nprocs)]
-            deadline = _time.time() + 600
-            while not all(os.path.exists(p) for p in paths):
-                if _time.time() > deadline:
-                    raise TimeoutError(f"missing rank results: "
-                                       f"{[p for p in paths if not os.path.exists(p)]}")
-                _time.sleep(0.5)
-            parts = []
-            for p in paths:
-                with open(p) as f:
-                    parts.append(multihost_mod.sweep_result_from_dict(_json.load(f)))
-            merged = multihost_mod.merge_sweep_metrics(parts)
+            merged = multihost_mod.merge_rank_results(
+                args.out, jax.process_count()
+            )
             payload = {
                 f.name: getattr(merged, f.name)
                 for f in dataclasses.fields(merged)
                 if f.name not in ("per_image", "heatmaps")
             }
             payload["per_image_count"] = merged.images_explained
-            payload["process_count"] = nprocs
+            payload["process_count"] = jax.process_count()
 
     common.emit_result(args.out, "sweep_result.json", payload)
 

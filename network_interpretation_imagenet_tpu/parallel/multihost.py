@@ -84,6 +84,64 @@ def sweep_result_from_dict(d: dict):
     return res
 
 
+def rank_result_path(out_dir: str, rank: int) -> str:
+    return os.path.join(out_dir, f"sweep_result.rank{rank}.json")
+
+
+def clear_stale_rank_result(out_dir: str, rank: Optional[int] = None) -> None:
+    """Remove THIS rank's result file from any previous run in ``out_dir``.
+
+    Call immediately after ``initialize_distributed`` — initialize() is a
+    barrier, so every rank passes here before any rank can finish a sweep
+    and write, which means rank 0's merge never sees a stale
+    ``sweep_result.rank*.json`` left by an earlier invocation (or by a rank
+    that died mid-run last time).
+    """
+    rank = jax.process_index() if rank is None else rank
+    path = rank_result_path(out_dir, rank)
+    if os.path.exists(path):
+        os.remove(path)
+
+
+def write_rank_result(out_dir: str, res, rank: Optional[int] = None) -> str:
+    """Atomically write this rank's SweepResult JSON (readers never see a
+    partial file: write to .tmp then rename)."""
+    import json
+
+    rank = jax.process_index() if rank is None else rank
+    os.makedirs(out_dir, exist_ok=True)
+    payload = sweep_result_to_dict(res)
+    payload["process_id"] = rank
+    path = rank_result_path(out_dir, rank)
+    with open(path + ".tmp", "w") as f:
+        json.dump(payload, f)
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def merge_rank_results(out_dir: str, num_processes: int,
+                       timeout_s: float = 600.0):
+    """Rank 0's side of the shared-filesystem merge: wait for every rank's
+    file (bounded by ``timeout_s`` — a dead rank raises, naming the missing
+    files), then reduce with :func:`merge_sweep_metrics`."""
+    import json
+    import time
+
+    paths = [rank_result_path(out_dir, r) for r in range(num_processes)]
+    deadline = time.time() + timeout_s
+    while not all(os.path.exists(p) for p in paths):
+        if time.time() > deadline:
+            raise TimeoutError(
+                f"missing rank results after {timeout_s:.0f}s: "
+                f"{[p for p in paths if not os.path.exists(p)]}")
+        time.sleep(0.5)
+    parts = []
+    for p in paths:
+        with open(p) as f:
+            parts.append(sweep_result_from_dict(json.load(f)))
+    return merge_sweep_metrics(parts)
+
+
 def merge_sweep_metrics(results):
     """Reduce per-host SweepResult objects (host 0 gathers via any transport
     — typically a tiny allgather of the scalar dict)."""

@@ -187,10 +187,12 @@ class Trainer:
         """One pass over ``loader``. ``print_freq > 0`` prints the stock
         ImageNet trainer's per-batch line (Time/Data/Loss/Prec@1/Prec@5
         meters — the reference's AverageMeter logging shape,
-        ``generate_gp_training_data_imagenet.py:281-296``). Note each
-        metric read forces a device sync; at print_freq=0 this is one
-        sync per step on scalar metrics (negligible next to the step)."""
+        ``generate_gp_training_data_imagenet.py:281-296``). Metric scalars
+        are fetched with ONE batched ``device_get`` per step — on a
+        tunnel-attached chip each separate fetch costs a full RTT."""
         import time
+
+        import jax
 
         loss_m, top1_m, top5_m = AverageMeter(), AverageMeter(), AverageMeter()
         batch_t, data_t = AverageMeter(), AverageMeter()
@@ -202,6 +204,7 @@ class Trainer:
                 self.state, jnp.asarray(images), jnp.asarray(labels)
             )
             n = len(labels)
+            metrics = jax.device_get(metrics)
             loss_m.update(float(metrics["loss"]), n)
             top1_m.update(float(metrics["top1"]), n)
             top5_m.update(float(metrics.get("top5", metrics["top1"])), n)
@@ -225,13 +228,15 @@ class Trainer:
         correct = 0
         correct5 = 0
         total = 0
+        import jax
+
         for images, labels in loader:
-            loss, top1, top5 = self._eval_step(
+            loss, top1, top5 = jax.device_get(self._eval_step(
                 self.state.params,
                 self.state.batch_stats,
                 jnp.asarray(images),
                 jnp.asarray(labels),
-            )
+            ))
             n = len(labels)
             loss_m.update(float(loss), n)
             correct += int(top1)

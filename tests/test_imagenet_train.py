@@ -181,3 +181,49 @@ def test_cli_main_synthetic_smoke(tmp_path):
     assert rc == 0
     res = json.load(open(save / "imagenet_train_result.json"))
     assert res["epochs_run"] == 1
+
+
+def test_cli_main_rejects_trainset_smaller_than_batch(tmp_path, capsys):
+    """drop_last + tiny --limit-images would train ZERO steps per epoch while
+    reporting loss 0.0; the CLI must refuse loudly instead."""
+    from network_interpretation_imagenet_tpu.cli import main as main_cli
+
+    data = tmp_path / "imagenet"
+    _write_image_folder(str(data / "train"), classes=2, per_class=6)
+    _write_image_folder(str(data / "val"), classes=2, per_class=2)
+    rc = main_cli.main([
+        str(data), "-a", "resnet18", "--crop", "48", "-b", "256",
+        "--limit-images", "8", "--save", str(tmp_path / "out"),
+    ])
+    assert rc == 2
+    assert "batch-size" in capsys.readouterr().err
+
+
+def test_cli_main_pretrained_shape_mismatch_is_loud(tmp_path):
+    """A --pretrained artifact whose head was trained for a different
+    num_classes must fail with a clear head-shape error, not an opaque
+    optimizer crash on the first step."""
+    import pytest
+
+    from network_interpretation_imagenet_tpu.cli import main as main_cli
+    from network_interpretation_imagenet_tpu.models import create_model
+    from network_interpretation_imagenet_tpu.utils import convert
+
+    # Artifact with a 1000-way head...
+    import jax
+
+    bundle = create_model("resnet18", "imagenet", num_classes=1000)
+    variables = jax.device_get(bundle.init(jax.random.PRNGKey(0)))
+    art = str(tmp_path / "weights")
+    convert.save_weights_artifact(variables, art, meta={"arch": "resnet18"})
+
+    # ...loaded into a 2-class training run.
+    data = tmp_path / "imagenet"
+    _write_image_folder(str(data / "train"), classes=2, per_class=6)
+    _write_image_folder(str(data / "val"), classes=2, per_class=2)
+    with pytest.raises(ValueError, match="num_classes|shape"):
+        main_cli.main([
+            str(data), "-a", "resnet18", "--crop", "48", "-b", "4",
+            "--epochs", "1", "--pretrained", art,
+            "--save", str(tmp_path / "out"),
+        ])

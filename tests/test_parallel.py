@@ -352,3 +352,32 @@ def test_two_process_dcn_sweep_matches_single_process(tmp_path):
         np.testing.assert_allclose(rows_m[idx]["survival"],
                                    rows_s[idx]["survival"], atol=1e-6)
         assert rows_m[idx]["num_segments"] == rows_s[idx]["num_segments"]
+
+
+def test_rank_result_protocol_roundtrip_and_stale_cleanup(tmp_path):
+    """write_rank_result/merge_rank_results reproduce merge_sweep_metrics
+    through the shared-filesystem protocol, and clear_stale_rank_result
+    removes a leftover rank file so a re-run can't silently merge a
+    previous run's metrics (the merge then times out NAMING the missing
+    rank instead)."""
+    from network_interpretation_imagenet_tpu.parallel import multihost
+    from network_interpretation_imagenet_tpu.saliency.sweep import SweepResult
+
+    out = str(tmp_path)
+    a = SweepResult(images_total=2, images_explained=2, mean_survival=0.5,
+                    per_image=[{"seconds": 0.1, "survival": 1.0},
+                               {"seconds": 0.3, "survival": 0.0}])
+    b = SweepResult(images_total=1, images_explained=1, mean_survival=1.0,
+                    per_image=[{"seconds": 0.2, "survival": 1.0}])
+    multihost.write_rank_result(out, a, rank=0)
+    multihost.write_rank_result(out, b, rank=1)
+    merged = multihost.merge_rank_results(out, 2, timeout_s=5)
+    expect = multihost.merge_sweep_metrics([a, b])
+    assert merged.images_total == expect.images_total == 3
+    assert merged.images_explained == 3
+    np.testing.assert_allclose(merged.p50_latency_s, expect.p50_latency_s)
+    np.testing.assert_allclose(merged.mean_survival, expect.mean_survival)
+
+    multihost.clear_stale_rank_result(out, rank=1)
+    with pytest.raises(TimeoutError, match="rank1"):
+        multihost.merge_rank_results(out, 2, timeout_s=0.1)
