@@ -165,7 +165,7 @@ def bo_window_saliency(
     return _assemble_output(segments, s, width, target, bo_res), bo_res
 
 
-def bo_window_saliency_multi(
+def bo_window_saliency_multi_async(
     engine: SaliencyEngine,
     images,
     segments_list,
@@ -178,7 +178,14 @@ def bo_window_saliency_multi(
     proposals_per_iter: int = 1,
     per_image_seeds=None,
 ):
-    """Fused BO saliency over N same-shape images in ONE program.
+    """Dispatch :func:`bo_window_saliency_multi`'s fused program and return
+    a ``collect()`` closure that blocks on the results.
+
+    JAX dispatch is asynchronous — the N vmapped active-learning loops run
+    on device between the dispatch and the ``collect()`` call, so a sweep
+    can finalize flush i-1 (heatmaps, IOU, rows — host work) and decode
+    flush i+1 while flush i's BO program churns (the same depth-2 pipeline
+    the window sweep uses).
 
     TPU-first extension of the reference's one-image flagship path
     (``bayesian_active_learning_imagenet.py:379-498``): the whole
@@ -187,7 +194,7 @@ def bo_window_saliency_multi(
     With ``mesh``, the image axis additionally shards over the mesh's data
     axis (each chip runs its slice of loops — no collectives).
 
-    Returns a list of N (SaliencyOutput, BOResult) pairs. With
+    ``collect()`` returns a list of N (SaliencyOutput, BOResult) pairs. With
     ``per_image_seeds`` (int[N]), image j's key is ``PRNGKey(seeds[j])`` —
     bit-identical to N independent :func:`bo_window_saliency` calls with
     those seeds, and invariant to how a sweep batches images into flushes
@@ -240,21 +247,55 @@ def bo_window_saliency_multi(
         keys = jnp.concatenate(
             [keys, jnp.repeat(keys[:1], n_pad - n, axis=0)]
         )
-    xs, ys, survived, counts = run(
+    xs_d, ys_d, survived_d, counts_d = run(
         engine.variables, jnp.asarray(images), jnp.asarray(segs_arr),
         jnp.asarray(widths), jnp.asarray(targets), jnp.asarray(uppers), keys,
     )
-    xs, ys = np.asarray(xs), np.asarray(ys)
-    survived, counts = np.asarray(survived), np.asarray(counts)
 
-    outs = []
-    for i in range(n):
-        c = int(counts[i])
-        bo_res = BOResult(
-            xp=xs[i, :c].astype(int), yp=ys[i, :c], survived=survived[i, :c]
+    def collect():
+        # ONE batched fetch — four separate np.asarray calls would each pay
+        # a device→host round trip.
+        xs, ys, survived, counts = jax.device_get(
+            (xs_d, ys_d, survived_d, counts_d)
         )
-        out = _assemble_output(
-            segs[i], ss[i], int(widths[i]), int(targets[i]), bo_res
-        )
-        outs.append((out, bo_res))
-    return outs
+        outs = []
+        for i in range(n):
+            c = int(counts[i])
+            bo_res = BOResult(
+                xp=np.asarray(xs[i, :c]).astype(int),
+                yp=np.asarray(ys[i, :c]),
+                survived=np.asarray(survived[i, :c]),
+            )
+            out = _assemble_output(
+                segs[i], ss[i], int(widths[i]), int(targets[i]), bo_res
+            )
+            outs.append((out, bo_res))
+        return outs
+
+    return collect
+
+
+def bo_window_saliency_multi(
+    engine: SaliencyEngine,
+    images,
+    segments_list,
+    cfg: BOConfig = BOConfig(),
+    window_fraction: float = 0.4,
+    seed: int = 0,
+    targets=None,
+    mesh=None,
+    data_axis: str = "data",
+    proposals_per_iter: int = 1,
+    per_image_seeds=None,
+):
+    """Fused BO saliency over N same-shape images in ONE program —
+    dispatch + immediate collect (see :func:`bo_window_saliency_multi_async`
+    for the semantics and the pipelined variant). Returns a list of N
+    (SaliencyOutput, BOResult) pairs."""
+    return bo_window_saliency_multi_async(
+        engine, images, segments_list, cfg,
+        window_fraction=window_fraction, seed=seed, targets=targets,
+        mesh=mesh, data_axis=data_axis,
+        proposals_per_iter=proposals_per_iter,
+        per_image_seeds=per_image_seeds,
+    )()

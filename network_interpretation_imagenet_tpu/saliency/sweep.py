@@ -509,15 +509,17 @@ def bo_saliency_sweep(
 
     NOTE on ``p50_latency_s``: per-image "seconds" rows span enqueue→flush-
     finalize, so with ``image_batch`` > 1 they include the whole flush's
-    batched BO program — an upper bound shared by up to ``image_batch``
-    images, NOT isolated per-image latency (bench.py measures that; ~120 ms
-    for ResNet-101). Throughput (``evals_per_sec``, or images/s from
-    ``images_explained``/wall) is this sweep's primary metric.
+    batched BO program (and, since the flushes pipeline depth-2, up to one
+    additional in-flight flush) — an upper bound shared by up to
+    ``image_batch`` images, NOT isolated per-image latency (bench.py
+    measures that; ~120 ms for ResNet-101). Throughput (``evals_per_sec``,
+    or images/s from ``images_explained``/wall) is this sweep's primary
+    metric.
     """
     from network_interpretation_imagenet_tpu.config import BOConfig
     from network_interpretation_imagenet_tpu.ops import aggregate
     from network_interpretation_imagenet_tpu.saliency.bo_pipeline import (
-        bo_window_saliency_multi,
+        bo_window_saliency_multi_async,
     )
 
     bo_cfg = bo_cfg or BOConfig()
@@ -529,9 +531,53 @@ def bo_saliency_sweep(
     total_evals = 0
     t_start = time.perf_counter()
     pending = []  # (i, image, display, label, gt, t0)
+    # Depth-2 flush pipeline: `inflight` holds at most one dispatched (but
+    # not yet fetched) fused-BO program — its finalize (heatmaps, IOU,
+    # rows: host work) runs while the NEXT flush's program churns on
+    # device. Each entry: (collect_fn, keep, idxs, preds, ss, gts, t0s).
+    inflight = []
+
+    def finalize():
+        nonlocal total_evals
+        if not inflight:
+            return
+        collect_fn, keep, idxs, preds, ss, gts, t0s = inflight.pop(0)
+        try:
+            results = collect_fn()
+        except Exception as e:
+            # Errors inside the fused program surface at fetch time; only
+            # the dispatched (kept) images count as failed.
+            failed = [idxs[j] for j in keep]
+            res.images_failed += len(failed)
+            log.emit({"event": "batch_failed", "indices": failed,
+                      "error": repr(e)})
+            return
+        for j, (out, trace) in zip(keep, results):
+            try:
+                total_evals += evals_per_image
+                row = {"index": idxs[j], "target": int(preds[j]),
+                       "num_segments": ss[j],
+                       "survival": float(np.mean(out.eval.survived)),
+                       "best_start": int(trace.xp[np.argmax(trace.yp)])}
+                surv_m.update(row["survival"])
+                if gts[j] is not None:
+                    iou, _ = localization_score(out.heatmap, gts[j],
+                                                bbox_threshold)
+                    row["iou"] = float(iou)
+                    iou_m.update(float(iou))
+                res.images_explained += 1
+                if keep_heatmaps:
+                    res.heatmaps[idxs[j]] = np.asarray(out.heatmap)
+                latencies.append(time.perf_counter() - t0s[j])
+                row["seconds"] = round(latencies[-1], 4)
+                res.per_image.append(row)
+                log.emit({"event": "image_done", **row})
+            except Exception as e:
+                res.images_failed += 1
+                log.emit({"event": "image_failed", "index": idxs[j],
+                          "error": repr(e)})
 
     def flush():
-        nonlocal total_evals
         if not pending:
             return
         batch = list(pending)
@@ -564,7 +610,7 @@ def bo_saliency_sweep(
             # PRNG stream is invariant to flush composition (--image-batch
             # value, skip patterns) and matches a single-image
             # bo_window_saliency(seed=seed+index) call exactly.
-            results = bo_window_saliency_multi(
+            collect_fn = bo_window_saliency_multi_async(
                 engine, [imgs[j] for j in keep], [segs[j] for j in keep],
                 bo_cfg, window_fraction=window_fraction,
                 per_image_seeds=[seed + int(idxs[j]) for j in keep],
@@ -580,30 +626,10 @@ def bo_saliency_sweep(
             log.emit({"event": "batch_failed", "indices": failed,
                       "error": repr(e)})
             return
-        for j, (out, trace) in zip(keep, results):
-            try:
-                total_evals += evals_per_image
-                row = {"index": idxs[j], "target": int(preds[j]),
-                       "num_segments": ss[j],
-                       "survival": float(np.mean(out.eval.survived)),
-                       "best_start": int(trace.xp[np.argmax(trace.yp)])}
-                surv_m.update(row["survival"])
-                if gts[j] is not None:
-                    iou, _ = localization_score(out.heatmap, gts[j],
-                                                bbox_threshold)
-                    row["iou"] = float(iou)
-                    iou_m.update(float(iou))
-                res.images_explained += 1
-                if keep_heatmaps:
-                    res.heatmaps[idxs[j]] = np.asarray(out.heatmap)
-                latencies.append(time.perf_counter() - t0s[j])
-                row["seconds"] = round(latencies[-1], 4)
-                res.per_image.append(row)
-                log.emit({"event": "image_done", **row})
-            except Exception as e:
-                res.images_failed += 1
-                log.emit({"event": "image_failed", "index": idxs[j],
-                          "error": repr(e)})
+        inflight.append((collect_fn, keep, idxs, preds, ss, gts, t0s))
+        # Finalize the PREVIOUS flush now that this one is on the device.
+        while len(inflight) > 1:
+            finalize()
 
     for pos, item in enumerate(dataset):
         if max_images is not None and pos >= max_images:
@@ -623,6 +649,8 @@ def bo_saliency_sweep(
             res.images_failed += 1
             log.emit({"event": "image_failed", "index": i, "error": repr(e)})
     flush()
+    while inflight:
+        finalize()
 
     wall = time.perf_counter() - t_start
     res.mean_iou = iou_m.avg

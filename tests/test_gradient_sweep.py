@@ -303,8 +303,8 @@ def test_bo_sweep_dispatch_failure_counts_once():
 
     # bo_saliency_sweep imports the symbol from bo_pipeline at call time.
     import network_interpretation_imagenet_tpu.saliency.bo_pipeline as bp
-    real = bp.bo_window_saliency_multi
-    bp.bo_window_saliency_multi = boom
+    real = bp.bo_window_saliency_multi_async
+    bp.bo_window_saliency_multi_async = boom
     try:
         cfg = SegmentConfig(method="slic", n_segments=9, slic_iters=4)
         res = bo_saliency_sweep(
@@ -312,7 +312,7 @@ def test_bo_sweep_dispatch_failure_counts_once():
             bo_cfg=BOConfig(n_iters=2, n_pre_samples=2), image_batch=2,
         )
     finally:
-        bp.bo_window_saliency_multi = real
+        bp.bo_window_saliency_multi_async = real
     assert res.images_total == 2
     assert res.images_skipped_misclassified == 1
     assert res.images_failed == 1  # only the dispatched image
@@ -362,3 +362,44 @@ def test_sweep_cli_bo_mode(tmp_path):
     assert r["images_total"] == 2
     assert r["images_explained"] == 2
     assert r["images_failed"] == 0
+
+
+def test_bo_sweep_collect_failure_counts_dispatched_only():
+    """With the depth-2 flush pipeline, an error that surfaces at FETCH time
+    (inside collect()) must fail only the dispatched images of that flush —
+    and must not kill the sweep or double-count skipped images."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.saliency.sweep import bo_saliency_sweep
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=8,
+                            compute_dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    img = rng.rand(28, 28, 1).astype(np.float32)
+    pred, _ = engine.predict_one(img)
+
+    def dataset():
+        yield img, pred, None                 # dispatched → fails at collect
+        yield img, (pred + 1) % 10, None      # misclassified → skipped only
+
+    def fake_async(*a, **k):
+        def collect():
+            raise RuntimeError("boom at fetch")
+        return collect
+
+    import network_interpretation_imagenet_tpu.saliency.bo_pipeline as bp
+    real = bp.bo_window_saliency_multi_async
+    bp.bo_window_saliency_multi_async = fake_async
+    try:
+        cfg = SegmentConfig(method="slic", n_segments=9, slic_iters=4)
+        res = bo_saliency_sweep(
+            engine, dataset(), cfg,
+            bo_cfg=BOConfig(n_iters=2, n_pre_samples=2), image_batch=2,
+        )
+    finally:
+        bp.bo_window_saliency_multi_async = real
+    assert res.images_total == 2
+    assert res.images_skipped_misclassified == 1
+    assert res.images_failed == 1
+    assert res.images_explained == 0
