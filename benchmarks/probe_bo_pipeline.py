@@ -59,9 +59,17 @@ def main():
     run(engine, cfg, bo_cfg, 16, 61, sync=True)
 
     n = 64
-    for mode in ("sync", "pipelined", "sync", "pipelined"):
-        wall = run(engine, cfg, bo_cfg, n, 77, sync=(mode == "sync"))
-        print(f"{mode:10s}: {n} images in {wall:.2f}s = {n/wall:.1f} img/s",
+    walls = {"sync": [], "pipelined": []}
+    for _ in range(6):  # alternate: tunnel RTT drifts minute-to-minute
+        for mode in ("sync", "pipelined"):
+            wall = run(engine, cfg, bo_cfg, n, 77, sync=(mode == "sync"))
+            walls[mode].append(wall)
+            print(f"{mode:10s}: {n} images in {wall:.2f}s = {n/wall:.1f} img/s",
+                  flush=True)
+    for mode, ws in walls.items():
+        ws = sorted(ws)
+        med = ws[len(ws) // 2]
+        print(f"{mode:10s} median: {n/med:.1f} img/s  best: {n/ws[0]:.1f}",
               flush=True)
 
 

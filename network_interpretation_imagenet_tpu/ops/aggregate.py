@@ -105,6 +105,22 @@ def normalize_to_uint8(x: Array) -> Array:
     return (x / denom * 255.0).astype(jnp.uint8)
 
 
+_NORM_U8_BATCH = None
+
+
+def normalize_to_uint8_batch(x: Array) -> Array:
+    """Per-image :func:`normalize_to_uint8` over a batch, ON DEVICE (jitted
+    vmap). Sweeps use this to derive SLIC's display input from an
+    already-uploaded image batch instead of uploading a second host-built
+    uint8 copy (each flush-sized upload costs ~100 ms through a tunnel)."""
+    global _NORM_U8_BATCH
+    if _NORM_U8_BATCH is None:
+        import jax
+
+        _NORM_U8_BATCH = jax.jit(jax.vmap(normalize_to_uint8))
+    return _NORM_U8_BATCH(x)
+
+
 def normalize_to_uint8_np(x) -> "np.ndarray":
     """Host twin of :func:`normalize_to_uint8` — used on latency-critical
     paths where a device dispatch+fetch would cost a tunnel round-trip."""

@@ -206,7 +206,14 @@ def bo_window_saliency_multi_async(
     ss = [int(s.max()) + 1 for s in segs]
     widths = np.asarray([int(window_fraction * s) for s in ss], np.int32)
     uppers = np.asarray([int(0.6 * s) for s in ss], np.int32)
-    images = np.asarray(np.stack(images), np.float32)
+    if isinstance(images, jax.Array):
+        # Already-stacked device batch (sweeps upload a flush ONCE and reuse
+        # it for SLIC display, predict, and this program — a second 16-image
+        # f32 upload costs ~240 ms through a tunnel). Stays on device.
+        images = images.astype(jnp.float32)
+        assert images.shape[0] == n, (images.shape, n)
+    else:
+        images = np.asarray(np.stack(images), np.float32)
     if targets is None:
         targets = np.asarray(engine.predict(images).argmax(axis=1), np.int32)
     else:
@@ -222,10 +229,10 @@ def bo_window_saliency_multi_async(
         n_pad = math.lcm(n_pad, int(mesh.shape[data_axis]))
     if n_pad > n:
         reps = n_pad - n
+        xp = jnp if isinstance(images, jax.Array) else np
+        images = xp.concatenate([images, xp.repeat(images[:1], reps, axis=0)])
         pad = lambda a: np.concatenate([a, np.repeat(a[:1], reps, axis=0)])
-        images, targets, widths, uppers = (
-            pad(images), pad(targets), pad(widths), pad(uppers)
-        )
+        targets, widths, uppers = pad(targets), pad(widths), pad(uppers)
         segs_arr = pad(np.stack(segs))
     else:
         segs_arr = np.stack(segs)

@@ -325,7 +325,10 @@ class SaliencyEngine:
         [N,K,M] int32, targets int32[N] (host or device — the batched sweep
         passes a device argmax so dispatch never blocks on a fetch).
         """
-        images = np.asarray(images, np.float32)
+        if isinstance(images, jax.Array):
+            images = images.astype(jnp.float32)  # device-resident: no fetch
+        else:
+            images = np.asarray(images, np.float32)
         segments = np.asarray(segments, np.int32)
         knock_ids = np.asarray(knock_ids, np.int32)
         n, k, m = knock_ids.shape
@@ -337,7 +340,14 @@ class SaliencyEngine:
             zpad = lambda a: np.concatenate(
                 [a, np.zeros((n_pad - n,) + a.shape[1:], a.dtype)]
             )
-            images, segments = zpad(images), zpad(segments)
+            if isinstance(images, jax.Array):
+                images = jnp.concatenate(
+                    [images,
+                     jnp.zeros((n_pad - n,) + images.shape[1:], images.dtype)]
+                )
+            else:
+                images = zpad(images)
+            segments = zpad(segments)
         if isinstance(targets, jax.Array):
             if n_pad > n:
                 targets = jnp.concatenate(
@@ -389,7 +399,10 @@ class SaliencyEngine:
         just-dispatched batched predict) — the batched sweep path uses that
         so dispatch never blocks on a prediction fetch.
         """
-        images = np.asarray(images, np.float32)
+        if isinstance(images, jax.Array):
+            images = images.astype(jnp.float32)  # device-resident: no fetch
+        else:
+            images = np.asarray(images, np.float32)
         segments = np.asarray(segments, np.int32)
         firsts = np.asarray(firsts, np.int32)
         widths = np.asarray(widths, np.int32)
@@ -404,7 +417,14 @@ class SaliencyEngine:
             zpad = lambda a: np.concatenate(
                 [a, np.zeros((n_pad - n,) + a.shape[1:], a.dtype)]
             )
-            images, segments = zpad(images), zpad(segments)
+            if isinstance(images, jax.Array):
+                images = jnp.concatenate(
+                    [images,
+                     jnp.zeros((n_pad - n,) + images.shape[1:], images.dtype)]
+                )
+            else:
+                images = zpad(images)
+            segments = zpad(segments)
             widths = zpad(widths)
         if isinstance(targets, jax.Array):
             if n_pad > n:

@@ -320,20 +320,33 @@ def saliency_sweep(
         batch = list(pending)
         pending.clear()
         try:
+            import jax
+
             idxs, imgs, disps, labels, t0s = zip(*batch)
+            # ONE image upload per flush, reused by the SLIC display, the
+            # predict, and the masked-forward grid (a second flush-sized
+            # f32 upload costs ~240 ms through a tunnel).
+            images_np = np.stack(imgs)
+            imgs_dev = jax.device_put(images_np.astype(np.float32))
             # Segment the whole flush at once (SLIC: one vmapped device
             # dispatch instead of a serialized round trip per image).
             with log.phase("segment_batch", count=len(batch)):
+                if seg_cfg.method == "slic":
+                    disp_dev = aggregate.normalize_to_uint8_batch(imgs_dev)
+                    if disp_dev.ndim == 4 and disp_dev.shape[-1] == 1:
+                        disp_dev = disp_dev[..., 0]
+                    seg_in = disp_dev
+                else:
+                    seg_in = disps
                 segs = [
                     np.asarray(s, np.int32)
-                    for s in segment_image_batch(disps, seg_cfg)
+                    for s in segment_image_batch(seg_in, seg_cfg)
                 ]
             ss = [int(s.max()) + 1 for s in segs]
             plans = [sample_plan(seed + idxs[j], ss[j])
                      for j in range(len(batch))]
-            images_np = np.stack(imgs)
             # pow-2 padded predict: the tail flush reuses a compiled shape
-            logits_dev = engine.predict_logits_device(images_np)
+            logits_dev = engine.predict_logits_device(imgs_dev)
             targets_dev = jnp.argmax(logits_dev, axis=1).astype(jnp.int32)
             metas = list(zip(idxs, segs, ss, plans, labels, t0s))
             on_mesh = mesh is not None and np.prod(list(mesh.shape.values())) > 1
@@ -368,14 +381,14 @@ def saliency_sweep(
                       "survived_per_image": list(survived_nk)}
             elif is_knockout:
                 handle, n, k = engine.eval_knockout_masks_multi_async(
-                    images_np, np.stack(segs),
+                    imgs_dev, np.stack(segs),
                     np.stack([p["ids"] for p in plans]), targets_dev,
                 )
                 fb = {"handle": handle, "n": n, "k": k,
                       "logits": logits_dev, "metas": metas}
             else:
                 handle, n, k = engine.eval_window_masks_multi_async(
-                    images_np, np.stack(segs),
+                    imgs_dev, np.stack(segs),
                     np.stack([p["firsts"] for p in plans]),
                     np.asarray([p["width"] for p in plans], np.int32),
                     targets_dev,
@@ -584,17 +597,31 @@ def bo_saliency_sweep(
         pending.clear()
         keep = None  # None until the skip decision lands (predict can fail)
         try:
+            import jax
+            import jax.numpy as jnp
+
             idxs, imgs, disps, labels, gts, t0s = zip(*batch)
-            # Segment the whole flush at once: SLIC batches N k-means runs
-            # into ONE device dispatch (per-image calls each pay a tunnel
-            # round trip); FH loops on host.
+            # ONE image upload per flush, reused by the SLIC display, the
+            # predict, and the fused-BO program (through a tunnel each
+            # 16-image f32 upload costs ~240 ms; this path previously paid
+            # it twice plus a separate uint8 display upload).
+            imgs_dev = jax.device_put(np.stack(imgs).astype(np.float32))
             with log.phase("segment_batch", count=len(batch)):
+                if seg_cfg.method == "slic":
+                    # Display batch derived ON DEVICE (vmapped twin of the
+                    # host normalize_to_uint8_np used at enqueue time).
+                    disp_dev = aggregate.normalize_to_uint8_batch(imgs_dev)
+                    if disp_dev.ndim == 4 and disp_dev.shape[-1] == 1:
+                        disp_dev = disp_dev[..., 0]
+                    seg_in = disp_dev
+                else:
+                    seg_in = disps  # Felzenszwalb is host work anyway
                 segs = [
                     np.asarray(s, np.int32)
-                    for s in segment_image_batch(disps, seg_cfg)
+                    for s in segment_image_batch(seg_in, seg_cfg)
                 ]
             ss = [int(s.max()) + 1 for s in segs]
-            preds = engine.predict(np.stack(imgs)).argmax(axis=1)
+            preds = engine.predict(imgs_dev).argmax(axis=1)
             keep = [
                 j for j in range(len(batch))
                 if labels[j] is None or int(preds[j]) == int(labels[j])
@@ -610,8 +637,10 @@ def bo_saliency_sweep(
             # PRNG stream is invariant to flush composition (--image-batch
             # value, skip patterns) and matches a single-image
             # bo_window_saliency(seed=seed+index) call exactly.
+            keep_imgs = (imgs_dev if len(keep) == len(batch) else
+                         jnp.take(imgs_dev, jnp.asarray(keep), axis=0))
             collect_fn = bo_window_saliency_multi_async(
-                engine, [imgs[j] for j in keep], [segs[j] for j in keep],
+                engine, keep_imgs, [segs[j] for j in keep],
                 bo_cfg, window_fraction=window_fraction,
                 per_image_seeds=[seed + int(idxs[j]) for j in keep],
                 targets=[int(preds[j]) for j in keep], mesh=mesh,

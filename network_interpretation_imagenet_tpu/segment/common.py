@@ -63,9 +63,17 @@ def segment_image_batch(displays, cfg: SegmentConfig):
     round trip); the host postpasses (connectivity, relabel) stay per image.
     Felzenszwalb is host work and simply loops.
     """
-    displays = list(displays)
-    if cfg.method != "slic" or not displays:
-        return [segment_image(d, cfg) for d in displays]
+    import jax
+
+    if isinstance(displays, jax.Array):
+        # Device-resident [N, H, W(, C)] batch: SLIC consumes it in place
+        # (no host round trip); the host-only Felzenszwalb fetches once.
+        if cfg.method != "slic":
+            return [segment_image(d, cfg) for d in np.asarray(displays)]
+    else:
+        displays = list(displays)
+        if cfg.method != "slic" or not displays:
+            return [segment_image(d, cfg) for d in displays]
 
     import importlib
 

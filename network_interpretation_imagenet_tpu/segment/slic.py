@@ -229,7 +229,12 @@ def slic_batch(
     (~0.3-0.6 s/image through a remote tunnel); the batch amortizes that to
     one. Returns int32[N, H, W] labels (same per-image results as ``slic``).
     """
-    imgs = jnp.asarray(np.stack([np.asarray(im) for im in images]))
+    import jax
+
+    if isinstance(images, jax.Array):
+        imgs = images  # already stacked AND device-resident: no host round trip
+    else:
+        imgs = jnp.asarray(np.stack([np.asarray(im) for im in images]))
     if imgs.ndim == 3:
         imgs = imgs[:, :, :, None]
     if imgs.dtype == jnp.uint8:
