@@ -1,0 +1,50 @@
+"""Serve an exported saliency artifact over HTTP (stdlib only).
+
+Completes the deployment loop the reference never had: export once with
+``cli.export_serving [--bo]``, then on any matching-backend host::
+
+    python -m network_interpretation_imagenet_tpu.cli.serve \
+        --artifact ./artifact --port 8000
+
+    curl localhost:8000/healthz
+    curl -X POST localhost:8000/explain -d '{"image": [[[...]]]}'
+
+Endpoints and the array wire format are documented in
+``network_interpretation_imagenet_tpu.serving_http``. The process needs
+the package + the artifact — no model zoo, no torch, no web framework.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--artifact", required=True,
+                   help="directory from cli.export_serving (engine or --bo)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000,
+                   help="0 picks a free port (printed on startup)")
+    args = p.parse_args(argv)
+
+    from network_interpretation_imagenet_tpu.serving_http import (
+        make_http_server,
+    )
+
+    httpd = make_http_server(args.artifact, args.host, args.port)
+    host, port = httpd.server_address[:2]
+    print(f"serving {args.artifact} ({httpd.service.kind} artifact) on "
+          f"http://{host}:{port}  endpoints: /healthz /explain /eval_windows",
+          flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,249 @@
+"""Explanation-as-a-service: a stdlib HTTP/JSON endpoint over exported
+serving artifacts.
+
+The reference has no serving story at all (its layers communicate through
+PNG files on disk — SURVEY §1). This module closes the loop on the AOT
+path: ``serving.export_engine`` / ``export_bo_engine`` produce StableHLO
+artifacts, and this server exposes them over HTTP with zero framework
+dependencies (``http.server`` only), so a deployment host needs the
+package, the artifact, and nothing else — no model zoo, no torch, no web
+framework.
+
+Endpoints (JSON in/out):
+
+* ``GET /healthz`` — artifact kind + manifest.
+* ``POST /explain`` — one image → saliency explanation.
+  - BO artifact: runs the AOT fused active-learning loop
+    (``ExportedBOServer.explain`` — bit-parity with ``bo_window_saliency``).
+  - Engine artifact: random-window saliency (K = ``num_samples`` masks in
+    bucketed batched forwards + the host-twin summed heatmap).
+* ``POST /eval_windows`` — engine artifact only: explicit ``firsts``/
+  ``width``/``target`` → per-mask survive/prob arrays (the raw
+  ``eval_window_masks`` contract).
+
+Arrays travel either as nested JSON lists (``"image": [[[...]]]``) or —
+preferred, ~4× smaller and lossless — as base64 raw little-endian bytes:
+``"image_b64": ..., "image_shape": [H, W, C]`` (f32 for images, int32 for
+segments). Responses return ``heatmap_b64`` (f32) + ``heatmap_shape``.
+``"segments"`` is optional: when absent the server segments with the
+artifact-independent default (Felzenszwalb scale=100 sigma=0.5
+min_size=50, the reference's setting) or the request's ``"segment"``
+config dict.
+
+Device calls serialize behind one lock (one TPU context per process);
+the HTTP layer itself is threaded so health checks never queue behind a
+long explain.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from network_interpretation_imagenet_tpu import serving as serving_mod
+
+
+def _decode_array(body: dict, key: str, dtype) -> "np.ndarray | None":
+    """Array from ``key`` (nested lists) or ``key_b64`` + ``key_shape``."""
+    if f"{key}_b64" in body:
+        raw = base64.b64decode(body[f"{key}_b64"])
+        arr = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder("<"))
+        shape = body.get(f"{key}_shape")
+        return arr.reshape(shape) if shape is not None else arr
+    if key in body:
+        return np.asarray(body[key], dtype)
+    return None
+
+
+def _encode_array(arr: np.ndarray) -> dict:
+    arr = np.ascontiguousarray(arr)
+    return {
+        "b64": base64.b64encode(
+            arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+        ).decode("ascii"),
+        "shape": list(arr.shape),
+        "dtype": str(arr.dtype),
+    }
+
+
+def _segment_for(body: dict, image: np.ndarray) -> np.ndarray:
+    from network_interpretation_imagenet_tpu.config import SegmentConfig
+    from network_interpretation_imagenet_tpu.ops.aggregate import (
+        normalize_to_uint8_np,
+    )
+    from network_interpretation_imagenet_tpu.segment import segment_image
+
+    cfg = SegmentConfig(**body.get("segment", {}))
+    disp = normalize_to_uint8_np(image)
+    if disp.ndim == 3 and disp.shape[2] == 1:
+        disp = disp[:, :, 0]
+    return segment_image(disp, cfg)
+
+
+class SaliencyService:
+    """Artifact wrapper the HTTP handler delegates to (also usable
+    directly in tests — the transport layer stays trivially thin)."""
+
+    def __init__(self, artifact_dir: str):
+        import os
+
+        self._lock = threading.Lock()
+        if os.path.isfile(os.path.join(artifact_dir, serving_mod.BO_MANIFEST)):
+            self.kind = "bo"
+            self.server = serving_mod.load_exported_bo(artifact_dir)
+        elif os.path.isfile(os.path.join(artifact_dir, serving_mod.MANIFEST)):
+            self.kind = "engine"
+            self.server = serving_mod.load_exported(artifact_dir)
+        else:
+            raise FileNotFoundError(
+                f"no {serving_mod.MANIFEST} or {serving_mod.BO_MANIFEST} "
+                f"in {artifact_dir!r} — export one with cli.export_serving"
+            )
+
+    def healthz(self) -> dict:
+        return {"status": "ok", "kind": self.kind,
+                "manifest": self.server.manifest}
+
+    def explain(self, body: dict) -> dict:
+        image = _decode_array(body, "image", np.float32)
+        if image is None:
+            raise ValueError("missing 'image' (or 'image_b64'+'image_shape')")
+        segments = _decode_array(body, "segments", np.int32)
+        if segments is None:
+            segments = _segment_for(body, image)
+        seed = int(body.get("seed", 0))
+        wf = float(body.get("window_fraction", 0.4))
+        target = body.get("target")
+
+        if self.kind == "bo":
+            with self._lock:
+                if target is None:
+                    import jax.numpy as jnp
+
+                    logits = np.asarray(self.server._predict.call(
+                        self.server.variables, jnp.asarray(image, jnp.float32)
+                    ))
+                    target = int(logits.argmax())
+                out, bo_res = self.server.explain(
+                    image, segments, window_fraction=wf, seed=seed,
+                    target=target,
+                )
+            resp = {
+                "target": int(target),
+                "num_segments": int(out.num_segments),
+                "best_start": int(bo_res.xp[int(np.argmax(bo_res.yp))]),
+                "survival": float(np.mean(bo_res.survived)),
+                "xp": [int(x) for x in bo_res.xp],
+                "yp": [float(y) for y in bo_res.yp],
+            }
+            heat = out.heatmap
+        else:
+            from network_interpretation_imagenet_tpu.ops.aggregate import (
+                summed_superpixel_labels_np,
+            )
+            from network_interpretation_imagenet_tpu.ops.masking import (
+                sample_window_starts_host,
+            )
+
+            s = int(segments.max()) + 1
+            width = int(wf * s)
+            k = int(body.get("num_samples", 100))
+            firsts = sample_window_starts_host(seed, k, s, width)
+            with self._lock:
+                if target is None:
+                    # One full-width window (keeps every segment) IS the
+                    # unmasked forward — the engine artifact has no separate
+                    # predict head.
+                    logits = self.server.logits_for_windows(
+                        image, segments, np.zeros(1, np.int32), s
+                    )
+                    target = int(logits[0].argmax())
+                res = self.server.eval_window_masks(
+                    image, segments, firsts, width, int(target)
+                )
+            heat = summed_superpixel_labels_np(
+                segments, firsts, width, np.asarray(res.survived)
+            )
+            resp = {
+                "target": int(target),
+                "num_segments": s,
+                "num_samples": k,
+                "survival": float(np.mean(res.survived)),
+            }
+        enc = _encode_array(np.asarray(heat, np.float32))
+        resp["heatmap_b64"] = enc["b64"]
+        resp["heatmap_shape"] = enc["shape"]
+        if body.get("json_arrays"):
+            resp["heatmap"] = np.asarray(heat, np.float32).tolist()
+        return resp
+
+    def eval_windows(self, body: dict) -> dict:
+        if self.kind != "engine":
+            raise ValueError("/eval_windows needs an engine artifact "
+                             "(this one is a fused-BO artifact)")
+        image = _decode_array(body, "image", np.float32)
+        segments = _decode_array(body, "segments", np.int32)
+        if image is None or segments is None:
+            raise ValueError("missing 'image' or 'segments'")
+        firsts = _decode_array(body, "firsts", np.int32)
+        if firsts is None:
+            raise ValueError("missing 'firsts'")
+        with self._lock:
+            res = self.server.eval_window_masks(
+                image, segments, firsts, int(body["width"]),
+                int(body["target"]),
+            )
+        return {
+            "survived": [bool(v) for v in res.survived],
+            "preds": [int(v) for v in res.preds],
+            "prob_target": [float(v) for v in res.prob_target],
+            "prob_max": [float(v) for v in res.prob_max],
+        }
+
+
+def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
+                     port: int = 0) -> ThreadingHTTPServer:
+    """Build (but do not start) the HTTP server; ``.server_address`` holds
+    the bound (host, port) — port 0 picks a free one."""
+    service = SaliencyService(artifact_dir)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, payload: dict):
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, service.healthz())
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/explain":
+                    self._send(200, service.explain(body))
+                elif self.path == "/eval_windows":
+                    self._send(200, service.eval_windows(body))
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+            except (ValueError, KeyError) as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # surface, don't kill the server
+                self._send(500, {"error": repr(e)})
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    httpd.service = service  # for tests/introspection
+    return httpd

@@ -1,0 +1,185 @@
+"""HTTP serving endpoint (serving_http.py): JSON wire format, parity with
+the underlying exported servers, error paths."""
+
+import base64
+import json
+import threading
+from http.client import HTTPConnection
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from network_interpretation_imagenet_tpu import serving
+from network_interpretation_imagenet_tpu.models import create_model
+from network_interpretation_imagenet_tpu.saliency import SaliencyEngine
+from network_interpretation_imagenet_tpu.serving_http import make_http_server
+
+
+def _engine():
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    return SaliencyEngine(bundle, variables, mask_batch=16,
+                          compute_dtype=jnp.float32)
+
+
+def _b64(arr):
+    return base64.b64encode(np.ascontiguousarray(arr).tobytes()).decode()
+
+
+def _post(conn, path, body):
+    conn.request("POST", path, json.dumps(body),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    return r.status, json.loads(r.read())
+
+
+@pytest.fixture
+def http_engine_server(tmp_path):
+    engine = _engine()
+    path = str(tmp_path / "artifact")
+    serving.export_engine(engine, path, batch_sizes=(16, 4))
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield engine, httpd
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_http_explain_matches_direct_service(http_engine_server, rng):
+    engine, httpd = http_engine_server
+    host, port = httpd.server_address[:2]
+    image = rng.rand(28, 28, 1).astype(np.float32)
+    segments = (np.arange(784).reshape(28, 28) % 8).astype(np.int32)
+
+    conn = HTTPConnection(host, port)
+    conn.request("GET", "/healthz")
+    health = json.loads(conn.getresponse().read())
+    assert health["status"] == "ok" and health["kind"] == "engine"
+
+    body = {
+        "image_b64": _b64(image), "image_shape": [28, 28, 1],
+        "segments_b64": _b64(segments), "segments_shape": [28, 28],
+        "num_samples": 12, "seed": 3,
+    }
+    status, resp = _post(conn, "/explain", body)
+    assert status == 200
+    heat = np.frombuffer(
+        base64.b64decode(resp["heatmap_b64"]), np.float32
+    ).reshape(resp["heatmap_shape"])
+    assert heat.shape == (28, 28)
+    assert resp["num_segments"] == 8
+    assert 0.0 <= resp["survival"] <= 1.0
+
+    # Deterministic: a repeat request returns the identical heatmap.
+    status2, resp2 = _post(conn, "/explain", body)
+    assert status2 == 200 and resp2["heatmap_b64"] == resp["heatmap_b64"]
+
+    # Parity with the live engine fed the SAME host-sampled windows (the
+    # service uses the sweep's host PRNG twin + host heatmap twin).
+    from network_interpretation_imagenet_tpu.ops.aggregate import (
+        summed_superpixel_labels_np,
+    )
+    from network_interpretation_imagenet_tpu.ops.masking import (
+        sample_window_starts_host,
+    )
+
+    width = int(0.4 * 8)
+    firsts = sample_window_starts_host(3, 12, 8, width)
+    ref = engine.eval_window_masks(image, segments, firsts, width,
+                                   resp["target"])
+    heat_ref = summed_superpixel_labels_np(segments, firsts, width,
+                                           np.asarray(ref.survived))
+    np.testing.assert_allclose(heat, heat_ref, atol=1e-5)
+
+
+def test_http_explain_segments_server_side(http_engine_server, rng):
+    """Omitting 'segments' segments on the server with the request's (or
+    default) SegmentConfig."""
+    _, httpd = http_engine_server
+    host, port = httpd.server_address[:2]
+    # Structured image (noise merges into ONE Felzenszwalb segment).
+    image = np.full((28, 28, 1), 0.1, np.float32)
+    image[:, 14:] = 0.9
+    image[8:14, 4:10] = 0.5
+    conn = HTTPConnection(host, port)
+    status, resp = _post(conn, "/explain", {
+        "image_b64": _b64(image), "image_shape": [28, 28, 1],
+        "num_samples": 8,
+        "segment": {"method": "felzenszwalb", "scale": 10.0, "min_size": 5},
+    })
+    assert status == 200
+    assert resp["num_segments"] >= 2
+
+
+def test_http_eval_windows_and_errors(http_engine_server, rng):
+    engine, httpd = http_engine_server
+    host, port = httpd.server_address[:2]
+    image = rng.rand(28, 28, 1).astype(np.float32)
+    segments = (np.arange(784).reshape(28, 28) % 8).astype(np.int32)
+    firsts = np.array([0, 2, 5], np.int32)
+    target, _ = engine.predict_one(image)
+
+    conn = HTTPConnection(host, port)
+    status, resp = _post(conn, "/eval_windows", {
+        "image": image.tolist(), "segments": segments.tolist(),
+        "firsts": firsts.tolist(), "width": 3, "target": int(target),
+    })
+    assert status == 200
+    ref = engine.eval_window_masks(image, segments, firsts, 3, int(target))
+    assert resp["survived"] == [bool(v) for v in ref.survived]
+    np.testing.assert_allclose(resp["prob_target"],
+                               np.asarray(ref.prob_target), atol=1e-5)
+
+    status, resp = _post(conn, "/explain", {"seed": 1})  # no image
+    assert status == 400 and "image" in resp["error"]
+    conn.request("GET", "/nope")
+    assert conn.getresponse().status == 404
+
+
+def test_http_bo_artifact_explain(tmp_path, rng):
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.saliency import bo_pipeline
+
+    engine = _engine()
+    cfg = BOConfig(n_iters=3, n_pre_samples=2)
+    image = rng.rand(28, 28, 1).astype(np.float32)
+    segments = (np.arange(784).reshape(28, 28) % 10).astype(np.int32)
+    path = str(tmp_path / "bo_artifact")
+    serving.export_bo_engine(engine, path, bo_cfg=cfg,
+                             candidate_buckets=(7,))
+
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = httpd.server_address[:2]
+        conn = HTTPConnection(host, port)
+        conn.request("GET", "/healthz")
+        assert json.loads(conn.getresponse().read())["kind"] == "bo"
+        status, resp = _post(conn, "/explain", {
+            "image_b64": _b64(image), "image_shape": [28, 28, 1],
+            "segments_b64": _b64(segments), "segments_shape": [28, 28],
+            "seed": 4, "target": 7,
+        })
+        assert status == 200
+        out_ref, trace_ref = bo_pipeline.bo_window_saliency(
+            engine, image, segments, cfg, seed=4, target=7, fused=True
+        )
+        assert resp["xp"] == [int(x) for x in trace_ref.xp]
+        heat = np.frombuffer(
+            base64.b64decode(resp["heatmap_b64"]), np.float32
+        ).reshape(resp["heatmap_shape"])
+        np.testing.assert_allclose(heat, out_ref.heatmap, atol=1e-5)
+        assert resp["best_start"] == int(trace_ref.xp[np.argmax(trace_ref.yp)])
+
+        # /eval_windows is an engine-artifact endpoint
+        status, resp = _post(conn, "/eval_windows", {})
+        assert status == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
