@@ -84,9 +84,18 @@ def segment_image_batch(displays, cfg: SegmentConfig):
         displays, n_segments=cfg.n_segments, compactness=cfg.compactness,
         num_iters=cfg.slic_iters,
     ))
-    out = []
-    for seg in segs:
+
+    def _post(seg):
         if cfg.enforce_connectivity:
             seg = slic_mod.enforce_connectivity(seg)
-        out.append(relabel_sequential(seg))
-    return out
+        return relabel_sequential(seg)
+
+    if len(segs) > 1:
+        # Per-image host postpass (~14 ms each at 224²) threads: scipy's
+        # ndimage kernels release the GIL, so a 16-image flush's ~220 ms
+        # serial tail shrinks to the slowest single image.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(segs))) as pool:
+            return list(pool.map(_post, segs))
+    return [_post(seg) for seg in segs]
