@@ -183,3 +183,34 @@ def test_http_bo_artifact_explain(tmp_path, rng):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_http_concurrent_explains_serialize_correctly(http_engine_server, rng):
+    """Parallel /explain requests must not corrupt each other (device calls
+    serialize behind the service lock; the HTTP layer is threaded)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _, httpd = http_engine_server
+    host, port = httpd.server_address[:2]
+    image = rng.rand(28, 28, 1).astype(np.float32)
+    segments = (np.arange(784).reshape(28, 28) % 8).astype(np.int32)
+
+    def call(seed):
+        conn = HTTPConnection(host, port)
+        status, resp = _post(conn, "/explain", {
+            "image_b64": _b64(image), "image_shape": [28, 28, 1],
+            "segments_b64": _b64(segments), "segments_shape": [28, 28],
+            "num_samples": 10, "seed": seed,
+        })
+        assert status == 200
+        return resp["heatmap_b64"]
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        parallel = list(pool.map(call, [1, 2, 3, 1, 2, 3]))
+    serial = [call(s) for s in (1, 2, 3)]
+    # Same seed → same heatmap, regardless of concurrency.
+    assert parallel[0] == parallel[3] == serial[0]
+    assert parallel[1] == parallel[4] == serial[1]
+    assert parallel[2] == parallel[5] == serial[2]
+    # Different seeds → different sampled windows.
+    assert len({parallel[0], parallel[1], parallel[2]}) == 3
