@@ -305,9 +305,10 @@ def tpu_rate_and_latency():
         engine, bo_sweep_dataset(48, 77), slic_cfg, bo_cfg=bo_cfg,
         image_batch=16, seed=3,
     )
+    bo_budget = bo_cfg.n_pre_samples + bo_cfg.n_iters
     log(f"bo sweep (warm): {bo_sweep_res.images_explained} images, "
         f"{bo_sweep_res.evals_per_sec:.1f} BO evals/s "
-        f"({bo_sweep_res.evals_per_sec / 13:.1f} img/s)")
+        f"({bo_sweep_res.evals_per_sec / bo_budget:.1f} img/s)")
     return (rate, p50, sweep_res.evals_per_sec, bo_p50,
             dn_res.evals_per_sec, bo_batched_ms, bo_sweep_res.evals_per_sec,
             ko_res.evals_per_sec)

@@ -269,6 +269,7 @@ def main(argv=None):
             merged = multihost_mod.merge_rank_results(
                 args.out, jax.process_count()
             )
+            gp_info = payload.get("gp_heatmaps")  # survive the rebuild below
             payload = {
                 f.name: getattr(merged, f.name)
                 for f in dataclasses.fields(merged)
@@ -276,6 +277,17 @@ def main(argv=None):
             }
             payload["per_image_count"] = merged.images_explained
             payload["process_count"] = jax.process_count()
+            if gp_info is not None:
+                # Every rank wrote its own gp_heatmaps.rank*.npz; point the
+                # merged result at all of them (each carries its `indices`).
+                import glob as _glob
+                import os as _os
+
+                gp_info["artifacts"] = sorted(
+                    _os.path.basename(p) for p in
+                    _glob.glob(_os.path.join(args.out, "gp_heatmaps.rank*.npz"))
+                )
+                payload["gp_heatmaps"] = gp_info
 
     common.emit_result(args.out, "sweep_result.json", payload)
 

@@ -418,10 +418,15 @@ def saliency_sweep(
             # Host segmentation runs FIRST so it overlaps the device
             # evaluating the in-flight image's masks (streaming path). The
             # display conversion is the numpy twin for the same reason — a
-            # device round-trip here would serialize the pipeline.
-            disp = aggregate.normalize_to_uint8_np(image)
-            if disp.ndim == 3 and disp.shape[2] == 1:
-                disp = disp[:, :, 0]
+            # device round-trip here would serialize the pipeline. SLIC
+            # flushes derive the display ON DEVICE from the flush's one
+            # image upload, so skip the dead host work there.
+            if image_batch > 1 and seg_cfg.method == "slic":
+                disp = None
+            else:
+                disp = aggregate.normalize_to_uint8_np(image)
+                if disp.ndim == 3 and disp.shape[2] == 1:
+                    disp = disp[:, :, 0]
             if image_batch > 1:
                 # No per-image segment/predict here — flush_pending batch-
                 # segments and runs ONE batched predict; the skip decision
@@ -668,9 +673,12 @@ def bo_saliency_sweep(
         t0 = time.perf_counter()
         try:
             image, label, gt_bbox = _unpack_item(item)
-            disp = aggregate.normalize_to_uint8_np(image)
-            if disp.ndim == 3 and disp.shape[2] == 1:
-                disp = disp[:, :, 0]
+            if seg_cfg.method == "slic":
+                disp = None  # flush derives the display batch ON DEVICE
+            else:
+                disp = aggregate.normalize_to_uint8_np(image)
+                if disp.ndim == 3 and disp.shape[2] == 1:
+                    disp = disp[:, :, 0]
             pending.append((i, np.asarray(image), disp, label, gt_bbox, t0))
             if len(pending) >= image_batch:
                 flush()

@@ -411,6 +411,16 @@ class ExportedBOServer:
         self.variables = jax.device_put(variables)
         self.buckets = sorted(self._fns)
 
+    def predict_logits(self, image) -> np.ndarray:
+        """f32 [num_classes] logits from the bundled batch-1 predict head
+        (the artifact's target-inference path, public for callers that need
+        the target before/without an explain — e.g. the HTTP service)."""
+        import jax.numpy as jnp
+
+        return np.asarray(
+            self._predict.call(self.variables, jnp.asarray(image, jnp.float32))
+        )
+
     def explain(
         self,
         image,
@@ -441,8 +451,7 @@ class ExportedBOServer:
         image = jnp.asarray(image, jnp.float32)
         seg_dev = jnp.asarray(segments)
         if target is None:
-            logits = np.asarray(self._predict.call(self.variables, image))
-            target = int(logits.argmax())
+            target = int(self.predict_logits(image).argmax())
         xs, ys, survived, count = self._fns[usable[0]].call(
             self.variables, image, seg_dev, jnp.int32(width),
             jnp.int32(int(target)), jnp.int32(upper),

@@ -92,23 +92,37 @@ class SaliencyService:
         import os
 
         self._lock = threading.Lock()
+        # A directory may hold BOTH artifact kinds (export_engine and
+        # export_bo_engine share the weights blob when pointed at one dir);
+        # load whatever is present — /explain prefers the fused-BO loop,
+        # /eval_windows needs the engine artifact.
+        self.bo_server = None
+        self.engine_server = None
         if os.path.isfile(os.path.join(artifact_dir, serving_mod.BO_MANIFEST)):
-            self.kind = "bo"
-            self.server = serving_mod.load_exported_bo(artifact_dir)
-        elif os.path.isfile(os.path.join(artifact_dir, serving_mod.MANIFEST)):
-            self.kind = "engine"
-            self.server = serving_mod.load_exported(artifact_dir)
-        else:
+            self.bo_server = serving_mod.load_exported_bo(artifact_dir)
+        if os.path.isfile(os.path.join(artifact_dir, serving_mod.MANIFEST)):
+            self.engine_server = serving_mod.load_exported(artifact_dir)
+        if self.bo_server is None and self.engine_server is None:
             raise FileNotFoundError(
                 f"no {serving_mod.MANIFEST} or {serving_mod.BO_MANIFEST} "
                 f"in {artifact_dir!r} — export one with cli.export_serving"
             )
+        self.kind = "+".join(
+            k for k, s in (("bo", self.bo_server), ("engine", self.engine_server))
+            if s is not None
+        )
 
     def healthz(self) -> dict:
-        return {"status": "ok", "kind": self.kind,
-                "manifest": self.server.manifest}
+        out = {"status": "ok", "kind": self.kind}
+        if self.bo_server is not None:
+            out["bo_manifest"] = self.bo_server.manifest
+        if self.engine_server is not None:
+            out["manifest"] = self.engine_server.manifest
+        return out
 
     def explain(self, body: dict) -> dict:
+        if not isinstance(body, dict):
+            raise ValueError("request body must be a JSON object")
         image = _decode_array(body, "image", np.float32)
         if image is None:
             raise ValueError("missing 'image' (or 'image_b64'+'image_shape')")
@@ -119,16 +133,11 @@ class SaliencyService:
         wf = float(body.get("window_fraction", 0.4))
         target = body.get("target")
 
-        if self.kind == "bo":
+        if self.bo_server is not None:
             with self._lock:
                 if target is None:
-                    import jax.numpy as jnp
-
-                    logits = np.asarray(self.server._predict.call(
-                        self.server.variables, jnp.asarray(image, jnp.float32)
-                    ))
-                    target = int(logits.argmax())
-                out, bo_res = self.server.explain(
+                    target = int(self.bo_server.predict_logits(image).argmax())
+                out, bo_res = self.bo_server.explain(
                     image, segments, window_fraction=wf, seed=seed,
                     target=target,
                 )
@@ -158,11 +167,11 @@ class SaliencyService:
                     # One full-width window (keeps every segment) IS the
                     # unmasked forward — the engine artifact has no separate
                     # predict head.
-                    logits = self.server.logits_for_windows(
+                    logits = self.engine_server.logits_for_windows(
                         image, segments, np.zeros(1, np.int32), s
                     )
                     target = int(logits[0].argmax())
-                res = self.server.eval_window_masks(
+                res = self.engine_server.eval_window_masks(
                     image, segments, firsts, width, int(target)
                 )
             heat = summed_superpixel_labels_np(
@@ -182,7 +191,9 @@ class SaliencyService:
         return resp
 
     def eval_windows(self, body: dict) -> dict:
-        if self.kind != "engine":
+        if not isinstance(body, dict):
+            raise ValueError("request body must be a JSON object")
+        if self.engine_server is None:
             raise ValueError("/eval_windows needs an engine artifact "
                              "(this one is a fused-BO artifact)")
         image = _decode_array(body, "image", np.float32)
@@ -193,7 +204,7 @@ class SaliencyService:
         if firsts is None:
             raise ValueError("missing 'firsts'")
         with self._lock:
-            res = self.server.eval_window_masks(
+            res = self.engine_server.eval_window_masks(
                 image, segments, firsts, int(body["width"]),
                 int(body["target"]),
             )
@@ -239,7 +250,9 @@ def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
                     self._send(200, service.eval_windows(body))
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
-            except (ValueError, KeyError) as e:
+            except (ValueError, KeyError, TypeError, AttributeError) as e:
+                # Malformed client input (wrong JSON shape, bad dtypes,
+                # unknown SegmentConfig keys) is a 400, not a 500.
                 self._send(400, {"error": str(e)})
             except Exception as e:  # surface, don't kill the server
                 self._send(500, {"error": repr(e)})

@@ -143,3 +143,25 @@ def test_summed_superpixel_labels_np_matches_device():
         )
     )
     np.testing.assert_allclose(host, dev)
+
+
+def test_normalize_to_uint8_batch_matches_host_twin():
+    """The device-derived SLIC display (vmapped normalize_to_uint8) must
+    match the host twin per image — the batched sweeps feed SLIC the device
+    version while the streaming path uses the host one, so a mismatch would
+    make segmentations depend on --image-batch. Runs on the real chip in
+    the tpu_smoke set (TPU f32 division could differ from numpy by 1 ulp at
+    a uint8 bin boundary; this pins that it doesn't for realistic inputs)."""
+    import numpy as np
+
+    from network_interpretation_imagenet_tpu.ops import aggregate
+
+    rng = np.random.RandomState(11)
+    batch = np.stack([
+        rng.rand(32, 32, 3).astype(np.float32) * rng.uniform(0.5, 4.0)
+        - rng.uniform(0.0, 2.0)
+        for _ in range(6)
+    ])
+    dev = np.asarray(aggregate.normalize_to_uint8_batch(batch))
+    host = np.stack([aggregate.normalize_to_uint8_np(im) for im in batch])
+    np.testing.assert_array_equal(dev, host)
