@@ -139,6 +139,12 @@ class _FusedState(NamedTuple):
     survived: Array  # bool[max_obs]
     count: Array     # int32 number of valid observations
     key: Array
+    # Carried inverse-Cholesky GP state, one per lengthscale-grid entry
+    # (gp/exact.py incremental_*): refitting via jnp.linalg.cholesky inside
+    # the loop cost ~24 ms/iteration of sequential small-op latency on TPU
+    # (docs/PERFORMANCE.md); the bordered append is a few batched matvecs.
+    gp_linv: Array   # f32[L, max_obs, max_obs]
+    gp_logdet: Array  # f32[L]
 
 
 def next_pow2(n: int) -> int:
@@ -251,21 +257,20 @@ def make_fused_window_bo(
             valid = (jnp.arange(max_obs) < state.count).astype(jnp.float32)
             mean, std = masked_norm(state.ys, valid)
             yn = (state.ys - mean) / std * valid
-            # Padded slots: huge noise → zero posterior influence.
-            noise_vec = jnp.where(valid > 0, alpha, 1e10)
+            gp = exact.IncrementalGPState(state.gp_linv, state.gp_logdet)
 
-            def mll(ls):
-                p = exact.GPParams(ls, jnp.asarray(1.0), noise_vec)
-                return exact.log_marginal_likelihood(
-                    p, state.xs[:, None], yn, normalize_y=False
+            mlls = jax.vmap(
+                lambda g: exact.incremental_mll(
+                    g, yn, state.count.astype(jnp.float32)
                 )
-
-            mlls = jax.vmap(mll)(ls_grid)
-            params = exact.GPParams(
-                ls_grid[jnp.nanargmax(mlls)], jnp.asarray(1.0), noise_vec
-            )
-            fit = exact.fit(params, state.xs[:, None], yn, normalize_y=False)
-            mu, sigma = exact.predict(fit, cand[:, None])
+            )(gp)
+            mu_all, sigma_all = jax.vmap(
+                lambda g, ls: exact.incremental_predict(
+                    g, state.xs, valid, yn, cand, ls
+                )
+            )(gp, ls_grid)
+            best = jnp.nanargmax(mlls)
+            mu, sigma = mu_all[best], sigma_all[best]
             y_obs_masked = jnp.where(valid > 0, yn, -jnp.inf)  # max over valid
             ei = expected_improvement(
                 mu, sigma, y_obs_masked, greater_is_better=True
@@ -280,12 +285,21 @@ def make_fused_window_bo(
 
             def put(j, st):
                 i = st.count
+                xs = st.xs.at[i].set(xs_new[j])
+                gp = jax.vmap(
+                    lambda linv, logdet, ls: exact.incremental_add(
+                        exact.IncrementalGPState(linv, logdet),
+                        xs, i, xs_new[j], ls, alpha,
+                    )
+                )(st.gp_linv, st.gp_logdet, ls_grid)
                 return _FusedState(
-                    st.xs.at[i].set(xs_new[j]),
+                    xs,
                     st.ys.at[i].set(probs[j]),
                     st.survived.at[i].set(survs[j]),
                     st.count + 1,
                     st.key,
+                    gp.linv,
+                    gp.logdet,
                 )
 
             return jax.lax.fori_loop(0, xs_new.shape[0], put, state)
@@ -294,9 +308,12 @@ def make_fused_window_bo(
         pre = jax.random.randint(
             sub, (n_pre_samples,), 0, upper.astype(jnp.int32) + 1
         ).astype(jnp.float32)
+        n_ls = ls_grid.shape[0]
         state = _FusedState(
             jnp.zeros(max_obs), jnp.zeros(max_obs),
             jnp.zeros(max_obs, bool), jnp.int32(0), key,
+            jnp.broadcast_to(jnp.eye(max_obs), (n_ls, max_obs, max_obs)),
+            jnp.zeros(n_ls),
         )
 
         state = record_batch(state, pre)  # all pre-samples: ONE forward

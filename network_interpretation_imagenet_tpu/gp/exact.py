@@ -90,6 +90,115 @@ def predict(fit_state: GPFit, x_test: Array) -> Tuple[Array, Array]:
     return mean, std
 
 
+# ---------------------------------------------------------------------------
+# Incremental (carried-inverse) exact GP — the fused-BO hot-loop variant
+# ---------------------------------------------------------------------------
+#
+# The fused BO loop (``bo/loop.py``) refits the GP every iteration. A
+# Cholesky + triangular solve at n≤23 lowers on TPU to O(n) *sequential*
+# vector steps each — measured at ~24 ms/iteration of pure per-op latency
+# inside the loop (docs/PERFORMANCE.md round-3 slope analysis). The kernel
+# matrix depends only on the observed x positions, so the loop can instead
+# carry the INVERSE CHOLESKY FACTOR L⁻¹ and log|K| per lengthscale and
+# append each new observation in closed form: the Cholesky–Banachiewicz
+# factorization builds L row by row and never revisits previous rows, so a
+# bordered append (l₂₁ = L⁻¹b via matvec, l₂₂ = √(1+α−‖l₂₁‖²), one new
+# L⁻¹ row) IS a fresh factorization numerically — a handful of batched
+# matvec/outer-product ops, no linalg primitives at all. Carrying L⁻¹
+# (norm ~ √cond(K)) instead of K⁻¹ (norm ~ cond(K)) is what keeps the
+# near-singular large-lengthscale regime (K ≈ all-ones + 1e-5·I) at the
+# f32 Cholesky's accuracy class — a carried-K⁻¹ Woodbury variant was
+# measured 100× worse there and rejected.
+#
+# Padding convention (differs from the huge-noise trick used by the
+# Cholesky path): not-yet-active buffer slots hold identity rows in K
+# (diag 1, off-diag 0) and yn = 0, so L⁻¹ is exactly identity there, the
+# padded slots contribute 0 to the MLL quadratic and log-determinant, and
+# k* columns are masked to zero. The valid-block posterior and MLL argmax
+# over a lengthscale grid match the Cholesky path to f32 tolerance
+# (pinned by tests/test_gp.py incremental-vs-Cholesky parity tests).
+
+
+class IncrementalGPState(NamedTuple):
+    """Carried inverse-Cholesky state for ONE lengthscale over a fixed-size
+    observation buffer. Batch over lengthscales (and images) with vmap."""
+
+    linv: Array     # [M, M] lower-triangular inverse Cholesky factor of the
+                    # identity-padded K + noise·I
+    logdet: Array   # scalar log|valid block of K + noise·I|
+
+
+def incremental_init(max_obs: int) -> IncrementalGPState:
+    return IncrementalGPState(jnp.eye(max_obs), jnp.asarray(0.0))
+
+
+def incremental_add(
+    state: IncrementalGPState,
+    xs: Array,          # f32[M] observation buffer (AFTER writing x_new)
+    slot: Array,        # int32 index just written
+    x_new: Array,       # scalar f32, == xs[slot]
+    lengthscale: Array,
+    noise: float,
+) -> IncrementalGPState:
+    """Activate buffer slot ``slot``: border the factorization with the RBF
+    couplings to the previously-active slots (those before ``slot`` in the
+    buffer) and diagonal 1 + noise (outputscale fixed at 1).
+
+    For block-triangular L' = [[L, 0], [l₂₁ᵀ, l₂₂]] the inverse is
+    [[L⁻¹, 0], [−l₂₁ᵀL⁻¹/l₂₂, 1/l₂₂]] — slot i's identity row of the
+    carried L⁻¹ is replaced in one outer-product update. Rounding can push
+    the Schur complement 1+α−‖l₂₁‖² negative in the near-singular regime;
+    it is clamped (≥1e-12), matching Cholesky's behavior of a tiny pivot."""
+    m = xs.shape[0]
+    idx = jnp.arange(m)
+    prior = (idx < slot).astype(xs.dtype)    # previously-active slots
+    b = jnp.exp(-0.5 * ((x_new - xs) / lengthscale) ** 2) * prior
+    e_i = (idx == slot).astype(xs.dtype)
+    l21 = state.linv @ b
+    schur = (1.0 + noise) - jnp.dot(l21, l21)
+    l22 = jnp.sqrt(jnp.maximum(schur, 1e-12))
+    new_row = (e_i - l21 @ state.linv) / l22
+    linv = state.linv + jnp.outer(e_i, new_row - e_i)
+    return IncrementalGPState(linv, state.logdet + 2.0 * jnp.log(l22))
+
+
+def incremental_mll(
+    state: IncrementalGPState, yn: Array, n_valid: Array
+) -> Array:
+    """Log marginal likelihood of the valid block (yn zero on padded
+    slots). Same argmax semantics as :func:`log_marginal_likelihood` with
+    per-point noise padding — constant offsets per observation count drop
+    out of the lengthscale selection."""
+    u = state.linv @ yn
+    return (
+        -0.5 * jnp.dot(u, u)
+        - 0.5 * state.logdet
+        - 0.5 * n_valid * jnp.log(2.0 * jnp.pi)
+    )
+
+
+def incremental_predict(
+    state: IncrementalGPState,
+    xs: Array,           # f32[M]
+    valid: Array,        # f32[M] 1/0 active mask
+    yn: Array,           # f32[M] normalized targets (0 on padding)
+    x_test: Array,       # f32[C]
+    lengthscale: Array,
+) -> Tuple[Array, Array]:
+    """Posterior mean and std at test points, in normalized-y space
+    (outputscale 1; caller de-normalizes)."""
+    k_star = (
+        jnp.exp(-0.5 * ((x_test[:, None] - xs[None, :]) / lengthscale) ** 2)
+        * valid[None, :]
+    )
+    u = state.linv @ yn
+    alpha = state.linv.T @ u                 # = K⁻¹ yn
+    mean = k_star @ alpha
+    v = k_star @ state.linv.T                # [C, M]; σ² = 1 − ‖L⁻¹k*‖²
+    var = 1.0 - jnp.sum(v * v, axis=1)
+    return mean, jnp.sqrt(jnp.maximum(var, 0.0))
+
+
 def fit_lengthscale_sweep(
     x: Array,
     y: Array,

@@ -247,3 +247,162 @@ def test_kron_lengthscale_selection_scale_invariant():
         # Adam steps fine-tune differently per run).
         log_ratio = float(p_s.log_outputscale - p_ref.log_outputscale)
         assert abs(log_ratio - 2 * np.log(scale)) < 0.5, log_ratio
+
+
+# --- incremental (carried-inverse) GP vs Cholesky path -----------------------
+
+
+def _f64_oracle(xs, yn, noise, ls, x_test, n_valid):
+    """Float64 exact-GP ground truth over the VALID prefix only."""
+    xv = xs[:n_valid].astype(np.float64)
+    yv = yn[:n_valid].astype(np.float64)
+    k = np.exp(-0.5 * ((xv[:, None] - xv[None, :]) / ls) ** 2)
+    k = k + noise * np.eye(n_valid)
+    ks = np.exp(
+        -0.5 * ((x_test[:, None].astype(np.float64) - xv[None, :]) / ls) ** 2
+    )
+    mu = ks @ np.linalg.solve(k, yv)
+    var = 1.0 - np.sum(ks.T * np.linalg.solve(k, ks.T), axis=0)
+    mll = (
+        -0.5 * yv @ np.linalg.solve(k, yv)
+        - 0.5 * np.linalg.slogdet(k)[1]
+        - 0.5 * n_valid * np.log(2 * np.pi)
+    )
+    return mu, np.sqrt(np.maximum(var, 0.0)), float(mll)
+
+
+@pytest.mark.parametrize("ls", [0.5, 2.0, 16.0, 128.0])
+def test_incremental_gp_matches_cholesky(rng, ls):
+    """Sequential bordered appends reproduce the Cholesky fit/predict/MLL at
+    every observation count, across the BO lengthscale-grid extremes.
+
+    y is drawn from THAT lengthscale's own GP prior — the regime in which
+    the MLL grid selection would pick it (a lengthscale mismatched to the
+    data gets a catastrophic data-fit term and is never selected, so its
+    posterior accuracy is irrelevant downstream; with mismatched noise-like
+    y the ill-conditioned solve amplifies f32 error in BOTH paths). At
+    ls=128 the kernel is still near-singular (K ≈ all-ones + 1e-5·I, cond
+    ~1e6) and both f32 paths drift from float64 truth — the claim pinned
+    here is that the carried-L⁻¹ path stays in the f32 Cholesky's accuracy
+    class (within 4× its error + a small floor), not bit-parity."""
+    max_obs = 13
+    noise = 1e-5
+    xs_all = rng.choice(64, size=max_obs, replace=False).astype(np.float32)
+    k_prior = np.exp(
+        -0.5 * ((xs_all[:, None] - xs_all[None, :]) / ls) ** 2
+    ).astype(np.float64) + 1e-6 * np.eye(max_obs)
+    yn_all = (
+        np.linalg.cholesky(k_prior) @ rng.randn(max_obs)
+    ).astype(np.float32)
+    x_test = np.arange(0.0, 64.0, dtype=np.float32)
+
+    state = exact.incremental_init(max_obs)
+    xs_buf = np.zeros(max_obs, np.float32)
+    yn_buf = np.zeros(max_obs, np.float32)
+    for n in range(1, max_obs + 1):
+        xs_buf[n - 1] = xs_all[n - 1]
+        yn_buf[n - 1] = yn_all[n - 1]
+        state = exact.incremental_add(
+            state, jnp.asarray(xs_buf), jnp.int32(n - 1),
+            jnp.asarray(xs_all[n - 1]), jnp.asarray(ls), noise)
+        valid = (np.arange(max_obs) < n).astype(np.float32)
+        mu, std = exact.incremental_predict(
+            state, jnp.asarray(xs_buf), jnp.asarray(valid),
+            jnp.asarray(yn_buf), jnp.asarray(x_test), jnp.asarray(ls))
+        mll = exact.incremental_mll(state, jnp.asarray(yn_buf), jnp.float32(n))
+
+        mu64, std64, mll64 = _f64_oracle(xs_buf, yn_buf, noise, ls, x_test, n)
+        params = exact.GPParams(
+            jnp.asarray(ls), jnp.asarray(1.0), jnp.asarray(noise))
+        fit = exact.fit(params, jnp.asarray(xs_buf[:n])[:, None],
+                        jnp.asarray(yn_buf[:n]), normalize_y=False)
+        mu_c, std_c = exact.predict(fit, jnp.asarray(x_test)[:, None])
+        mll_c = exact.log_marginal_likelihood(
+            params, jnp.asarray(xs_buf[:n])[:, None],
+            jnp.asarray(yn_buf[:n]), normalize_y=False)
+
+        def errs(a, ref):
+            return float(np.abs(np.asarray(a) - ref).max())
+
+        # Accuracy-class bound: within 4× the Cholesky error plus 5% of the
+        # posterior's own scale (the near-singular draws extrapolate to
+        # |mu| ~ 10+, where a few-% deviation is noise to the EI argmax).
+        mu_scale = max(1.0, float(np.abs(mu64).max()))
+        assert errs(mu, mu64) <= 4 * errs(mu_c, mu64) + 0.05 * mu_scale
+        assert errs(std, std64) <= 4 * errs(std_c, std64) + 5e-3
+        chol_mll_err = abs(float(mll_c) - mll64)
+        assert abs(float(mll) - mll64) <= 4 * chol_mll_err + max(
+            5e-2, 1e-3 * abs(mll64))
+
+
+def test_incremental_mll_selects_same_lengthscale_as_f64(rng):
+    """On BO-shaped data (smooth probability curve + noise at integer
+    starts) the incremental MLL argmax over the fused loop's lengthscale
+    grid must agree with the float64 oracle — the selection is what shields
+    the loop from ill-conditioned non-selected lengthscales."""
+    grid = [0.5, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0]
+    max_obs = 13
+    noise = 1e-5
+    xs_all = rng.choice(40, size=max_obs, replace=False).astype(np.float32)
+    y_raw = np.exp(-0.5 * ((xs_all - 17.0) / 6.0) ** 2) * 0.8 + 0.1
+    y_raw = (y_raw + 0.01 * rng.randn(max_obs)).astype(np.float32)
+    yn = ((y_raw - y_raw.mean()) / max(y_raw.std(), 1e-6)).astype(np.float32)
+
+    inc_mlls, f64_mlls = [], []
+    for ls in grid:
+        state = exact.incremental_init(max_obs)
+        xs_buf = np.zeros(max_obs, np.float32)
+        yn_buf = np.zeros(max_obs, np.float32)
+        for n in range(max_obs):
+            xs_buf[n] = xs_all[n]
+            yn_buf[n] = yn[n]
+            state = exact.incremental_add(
+                state, jnp.asarray(xs_buf), jnp.int32(n),
+                jnp.asarray(xs_all[n]), jnp.asarray(ls), noise)
+        inc_mlls.append(float(exact.incremental_mll(
+            state, jnp.asarray(yn_buf), jnp.float32(max_obs))))
+        f64_mlls.append(_f64_oracle(
+            xs_buf, yn_buf, noise, ls, xs_all, max_obs)[2])
+    assert int(np.argmax(inc_mlls)) == int(np.argmax(f64_mlls))
+
+
+def test_incremental_gp_duplicate_points():
+    """Exact duplicates (the reference's random-resample can collide) keep
+    the carried inverse finite and the posterior pinned at the data."""
+    max_obs = 6
+    noise = 1e-5
+    xs_seq = np.asarray([3.0, 10.0, 3.0, 3.0, 10.0, 7.0], np.float32)
+    yn_seq = np.asarray([1.0, -1.0, 1.0, 1.0, -1.0, 0.2], np.float32)
+    state = exact.incremental_init(max_obs)
+    xs_buf = np.zeros(max_obs, np.float32)
+    for n in range(max_obs):
+        xs_buf[n] = xs_seq[n]
+        state = exact.incremental_add(
+            state, jnp.asarray(xs_buf), jnp.int32(n),
+            jnp.asarray(xs_seq[n]), jnp.asarray(2.0), noise)
+    assert np.all(np.isfinite(np.asarray(state.linv)))
+    mu, std = exact.incremental_predict(
+        state, jnp.asarray(xs_buf), jnp.ones(max_obs, jnp.float32),
+        jnp.asarray(yn_seq), jnp.asarray([3.0, 10.0, 7.0], jnp.float32),
+        jnp.asarray(2.0))
+    np.testing.assert_allclose(np.asarray(mu), [1.0, -1.0, 0.2], atol=0.05)
+    assert np.all(np.asarray(std) < 0.05)
+
+
+def test_incremental_gp_inactive_slots_stay_identity():
+    """The bordered append must leave not-yet-active slots EXACTLY identity
+    in L⁻¹ (the padding convention MLL/predict masking relies on)."""
+    max_obs = 8
+    state = exact.incremental_init(max_obs)
+    xs_buf = np.zeros(max_obs, np.float32)
+    for n, x in enumerate([5.0, 9.0, 2.0]):
+        xs_buf[n] = x
+        state = exact.incremental_add(
+            state, jnp.asarray(xs_buf), jnp.int32(n), jnp.asarray(x),
+            jnp.asarray(4.0), 1e-5)
+    linv = np.asarray(state.linv)
+    np.testing.assert_array_equal(linv[3:, :3], 0.0)
+    np.testing.assert_array_equal(linv[:3, 3:], 0.0)
+    np.testing.assert_array_equal(linv[3:, 3:], np.eye(5))
+    # Lower-triangular invariant on the active block.
+    np.testing.assert_array_equal(np.triu(linv[:3, :3], 1), 0.0)
