@@ -146,3 +146,55 @@ def test_jax_loop_cumulative_regret_competitive():
         lambda s: sklearn_reference_bo_cached("bimodal", objective, upper, s)
     )
     assert r_jax <= r_skl + 0.05, (r_jax, r_skl)
+
+
+def _run_fused(objective, upper, seed):
+    """Drive the FUSED on-device loop on a scalar objective.
+
+    Encoding: one pixel per segment with value = its index, width 1 — the
+    masked image's sum IS the start index, so a toy ``logits_fn`` can look
+    the objective value up in a table and emit logits whose softmax
+    reproduces it exactly. This pins the fused loop's carried-L⁻¹ GP
+    numerics (gp/exact.py incremental_*) to the same statistical bar as
+    the host loop, not just the unit-level accuracy-class bounds.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from network_interpretation_imagenet_tpu.bo.loop import fused_window_bo
+
+    c = upper + 1
+    table = np.clip([objective(i) for i in range(c)], 1e-6, 1 - 1e-6)
+    table = jnp.asarray(table, jnp.float32)
+    image = np.arange(c, dtype=np.float32).reshape(1, c, 1)
+    segments = np.arange(c, dtype=np.int32).reshape(1, c)
+
+    def logits_fn(imgs):
+        idx = jnp.round(jnp.sum(imgs, axis=(1, 2, 3))).astype(jnp.int32)
+        val = jnp.take(table, jnp.clip(idx, 0, c - 1))
+        return jnp.stack([jnp.zeros_like(val), jnp.log(val / (1 - val))], 1)
+
+    _, ys, _, count = fused_window_bo(
+        logits_fn, jnp.asarray(image), jnp.asarray(segments),
+        jnp.int32(1), jnp.int32(1), jnp.int32(upper),
+        max_candidates=32, n_pre_samples=3, n_iters=10,
+        key=jax.random.PRNGKey(seed),
+    )
+    return np.asarray(ys)[: int(count)]
+
+
+@pytest.mark.parametrize("name,objective_fn,upper",
+                         [("unimodal", _unimodal, 24), ("bimodal", _bimodal, 24)])
+def test_fused_loop_matches_sklearn_reference_best_found(name, objective_fn, upper):
+    """The fused loop (incremental carried-L⁻¹ GP) must clear the same
+    statistical bar as the host loop vs the reference oracle."""
+    objective = objective_fn(upper)
+    seeds = range(8)
+    best_fused = np.array([_run_fused(objective, upper, s).max() for s in seeds])
+    best_skl = np.array(
+        [sklearn_reference_bo_cached(name, objective, upper, s).max() for s in seeds]
+    )
+    assert best_fused.mean() >= best_skl.mean() - 0.05, (
+        best_fused.mean(), best_skl.mean(),
+    )
+    assert best_fused.mean() > 0.8
