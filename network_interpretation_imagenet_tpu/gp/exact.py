@@ -24,9 +24,10 @@ class GPParams(NamedTuple):
     lengthscale: Array   # scalar
     outputscale: Array   # scalar (signal variance)
     noise: Array         # scalar or [N] (alpha — observation noise variance;
-                         # a vector enables per-point noise, e.g. masking
-                         # padded observations out of a fixed-size BO buffer
-                         # with noise=1e10)
+                         # a vector enables per-point noise, e.g. muting
+                         # padded slots of a fixed-size buffer with 1e10 —
+                         # the fused BO loop instead uses the incremental
+                         # state below with identity padding)
 
 
 class GPFit(NamedTuple):
