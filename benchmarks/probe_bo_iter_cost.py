@@ -25,8 +25,8 @@ from network_interpretation_imagenet_tpu.utils.compile_cache import (
 
 def main(n_images=16, reps=6):
     enable_compilation_cache()
-    bundle = create_model("resnet101", "imagenet")
-    variables = bundle.init_variables(jax.random.PRNGKey(0))
+    bundle = create_model("resnet101", "imagenet", dtype=jnp.bfloat16)
+    variables = bundle.init(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(n_images, 224, 224, 3), jnp.float32)
@@ -39,7 +39,7 @@ def main(n_images=16, reps=6):
     keys = jax.random.split(jax.random.PRNGKey(7), n_images)
 
     def apply_fn(v, imgs):
-        return bundle.apply(v, imgs.astype(jnp.bfloat16))
+        return bundle.logits(v, imgs.astype(jnp.bfloat16))
 
     results = {}
     for n_iters in (10, 20):

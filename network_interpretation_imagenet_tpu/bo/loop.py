@@ -11,12 +11,16 @@ Two TPU-native drivers:
     user-supplied batched objective; GP fit + vectorized EI are jitted. Fully
     general (matches the reference's callback structure).
   * :func:`fused_window_bo` — the ENTIRE active-learning loop in ONE jit:
-    observations live in a fixed-size on-device buffer (padded slots muted
-    with huge per-point noise), each `lax.fori_loop` iteration refits the GP,
-    takes an exact EI argmax over all integer candidates, applies the
-    reference's duplicate-rejection-→-random-resample rule, builds the
-    chosen window mask, and runs the classifier forward — zero host
-    round-trips between BO steps.
+    observations live in a fixed-size on-device buffer, and the GP is a
+    carried incremental inverse-Cholesky state (``gp/exact.py
+    incremental_*``; padded slots are identity rows of the carried L⁻¹ —
+    NOT the huge-noise trick the host path's padded fits use). Each
+    `lax.fori_loop` iteration appends the new observation with a bordered
+    rank-1 update (no linalg primitives inside the loop), takes an exact EI
+    argmax over all integer candidates, applies the reference's
+    duplicate-rejection-→-random-resample rule, builds the chosen window
+    mask, and runs the classifier forward — zero host round-trips between
+    BO steps.
 """
 
 from __future__ import annotations
@@ -259,16 +263,19 @@ def make_fused_window_bo(
             yn = (state.ys - mean) / std * valid
             gp = exact.IncrementalGPState(state.gp_linv, state.gp_logdet)
 
+            # One whitened-target matvec per lengthscale, shared by MLL
+            # and prediction.
+            us = jnp.einsum("lmn,n->lm", state.gp_linv, yn)
             mlls = jax.vmap(
-                lambda g: exact.incremental_mll(
-                    g, yn, state.count.astype(jnp.float32)
+                lambda g, u: exact.incremental_mll(
+                    g, yn, state.count.astype(jnp.float32), u=u
                 )
-            )(gp)
+            )(gp, us)
             mu_all, sigma_all = jax.vmap(
-                lambda g, ls: exact.incremental_predict(
-                    g, state.xs, valid, yn, cand, ls
+                lambda g, ls, u: exact.incremental_predict(
+                    g, state.xs, valid, yn, cand, ls, u=u
                 )
-            )(gp, ls_grid)
+            )(gp, ls_grid, us)
             best = jnp.nanargmax(mlls)
             mu, sigma = mu_all[best], sigma_all[best]
             y_obs_masked = jnp.where(valid > 0, yn, -jnp.inf)  # max over valid

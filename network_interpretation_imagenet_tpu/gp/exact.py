@@ -10,7 +10,7 @@ becomes a *vectorized* marginal-likelihood sweep over a lengthscale grid
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -164,13 +164,19 @@ def incremental_add(
 
 
 def incremental_mll(
-    state: IncrementalGPState, yn: Array, n_valid: Array
+    state: IncrementalGPState, yn: Array, n_valid: Array,
+    u: Optional[Array] = None,
 ) -> Array:
     """Log marginal likelihood of the valid block (yn zero on padded
     slots). Same argmax semantics as :func:`log_marginal_likelihood` with
     per-point noise padding — constant offsets per observation count drop
-    out of the lengthscale selection."""
-    u = state.linv @ yn
+    out of the lengthscale selection.
+
+    ``u`` optionally supplies the whitened targets ``linv @ yn`` when the
+    caller already computed them (the fused loop shares one per-lengthscale
+    matvec between MLL and prediction)."""
+    if u is None:
+        u = state.linv @ yn
     return (
         -0.5 * jnp.dot(u, u)
         - 0.5 * state.logdet
@@ -185,14 +191,17 @@ def incremental_predict(
     yn: Array,           # f32[M] normalized targets (0 on padding)
     x_test: Array,       # f32[C]
     lengthscale: Array,
+    u: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Posterior mean and std at test points, in normalized-y space
-    (outputscale 1; caller de-normalizes)."""
+    (outputscale 1; caller de-normalizes). ``u`` as in
+    :func:`incremental_mll`."""
     k_star = (
         jnp.exp(-0.5 * ((x_test[:, None] - xs[None, :]) / lengthscale) ** 2)
         * valid[None, :]
     )
-    u = state.linv @ yn
+    if u is None:
+        u = state.linv @ yn
     alpha = state.linv.T @ u                 # = K⁻¹ yn
     mean = k_star @ alpha
     v = k_star @ state.linv.T                # [C, M]; σ² = 1 − ‖L⁻¹k*‖²
