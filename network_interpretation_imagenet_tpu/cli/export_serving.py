@@ -29,6 +29,10 @@ def main(argv=None) -> int:
                         "explanation as one AOT program)")
     p.add_argument("--candidate-buckets", default="32,64",
                    help="pow-2 BO candidate buckets to export with --bo")
+    p.add_argument("--bo-image-batches", default="",
+                   help="comma-separated image-batch sizes: also export "
+                        "image-BATCHED fused BO programs (N vmapped loops, "
+                        "served by explain_batch; e.g. 16)")
     common.add_bo_flags(p)
     args = p.parse_args(argv)
     common.apply_debug_flags(args)
@@ -52,6 +56,10 @@ def main(argv=None) -> int:
                             n_pre_samples=args.n_pre_samples),
             candidate_buckets=tuple(
                 int(b.strip()) for b in args.candidate_buckets.split(",")
+                if b.strip()
+            ),
+            image_batches=tuple(
+                int(b.strip()) for b in args.bo_image_batches.split(",")
                 if b.strip()
             ),
             include_weights=False,  # shared variables.msgpack already written

@@ -267,6 +267,7 @@ def export_bo_engine(
     proposals_per_iter: int = 1,
     include_weights: bool = True,
     host_variables: Any = None,
+    image_batches: Sequence[int] = (),
 ) -> dict:
     """AOT-export the ENTIRE fused BO loop (GP refits + EI argmax + dedup +
     classifier forwards inside one program — the reference's flagship
@@ -274,6 +275,12 @@ def export_bo_engine(
     artifact per pow-2 candidate bucket, plus a batch-1 predict for target
     inference. A serving host can then explain images with zero model-zoo /
     flax code and no cold compile.
+
+    ``image_batches`` additionally exports image-BATCHED loop programs
+    (``make_fused_window_bo(batch_images=True)`` — N vmapped loops whose
+    per-iteration forwards batch N·q masked images on the MXU, the local
+    path's measured 5.9× per-image win at N=16) plus an N-image predict
+    head per batch size, enabling ``ExportedBOServer.explain_batch``.
     """
     import jax
     import jax.numpy as jnp
@@ -321,6 +328,47 @@ def export_bo_engine(
             f.write(exp.serialize())
         files[str(cbucket)] = fname
 
+    # Pure pow-2 ceiling (no min-8 floor — that floor is for candidate
+    # buckets); matches bo_window_saliency_multi's image-axis padding.
+    n_batches = sorted({
+        1 << (int(n) - 1).bit_length() for n in image_batches if int(n) > 0
+    })
+    batched_files: dict = {}
+    batched_predicts: dict = {}
+    for n in n_batches:
+        imgs_spec = jax.ShapeDtypeStruct((n, h, w, c), jnp.float32)
+        segs_spec = jax.ShapeDtypeStruct((n, h, w), jnp.int32)
+        vec_i32 = jax.ShapeDtypeStruct((n,), jnp.int32)
+        keys_spec = jax.ShapeDtypeStruct((n, 2), jnp.uint32)
+        per_bucket = {}
+        for cbucket in sorted({next_pow2(int(cb)) for cb in candidate_buckets}):
+            run_n = make_fused_window_bo(
+                apply_fn, cbucket,
+                n_pre_samples=bo_cfg.n_pre_samples, n_iters=bo_cfg.n_iters,
+                alpha=bo_cfg.alpha, epsilon=bo_cfg.epsilon,
+                lengthscale_grid=bo_cfg.lengthscale_grid,
+                proposals_per_iter=proposals_per_iter,
+                batch_images=True,
+            )
+            exp = jexport.export(run_n)(
+                var_spec, imgs_spec, segs_spec, vec_i32, vec_i32, vec_i32,
+                keys_spec,
+            )
+            fname = f"fused_bo_{cbucket}_n{n}.stablehlo"
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(exp.serialize())
+            per_bucket[str(cbucket)] = fname
+        batched_files[str(n)] = per_bucket
+
+        def predict_n(variables, images):
+            return apply_fn(variables, images).astype(jnp.float32)
+
+        exp_pn = jexport.export(jax.jit(predict_n))(var_spec, imgs_spec)
+        pname = f"predict_{n}.stablehlo"
+        with open(os.path.join(out_dir, pname), "wb") as f:
+            f.write(exp_pn.serialize())
+        batched_predicts[str(n)] = pname
+
     def predict1(variables, image):
         return apply_fn(variables, image[None]).astype(jnp.float32)[0]
 
@@ -352,6 +400,9 @@ def export_bo_engine(
         },
         "candidate_buckets": sorted(files, key=int),
         "files": files,
+        "image_batches": [str(n) for n in n_batches],
+        "batched_files": batched_files,
+        "batched_predicts": batched_predicts,
         "predict": "predict_1.stablehlo",
         # A weights blob already in the directory (e.g. written by a prior
         # export_engine call sharing this artifact dir) is referenced even
@@ -398,6 +449,18 @@ class ExportedBOServer:
         for cb, fname in self.manifest["files"].items():
             with open(os.path.join(path, fname), "rb") as f:
                 self._fns[int(cb)] = jexport.deserialize(f.read())
+        # Image-batched programs: {n: {cbucket: fn}} + {n: predict_fn}.
+        self._batched_fns = {}
+        for n, per_bucket in self.manifest.get("batched_files", {}).items():
+            fns = {}
+            for cb, fname in per_bucket.items():
+                with open(os.path.join(path, fname), "rb") as f:
+                    fns[int(cb)] = jexport.deserialize(f.read())
+            self._batched_fns[int(n)] = fns
+        self._batched_predicts = {}
+        for n, fname in self.manifest.get("batched_predicts", {}).items():
+            with open(os.path.join(path, fname), "rb") as f:
+                self._batched_predicts[int(n)] = jexport.deserialize(f.read())
         with open(os.path.join(path, self.manifest["predict"]), "rb") as f:
             self._predict = jexport.deserialize(f.read())
         if variables is None:
@@ -465,6 +528,122 @@ class ExportedBOServer:
             survived=np.asarray(survived)[:n],
         )
         return _assemble_output(segments, s, width, int(target), bo_res), bo_res
+
+    def explain_batch(
+        self,
+        images,
+        segments_list,
+        window_fraction: float = 0.4,
+        seed: int = 0,
+        targets=None,
+        per_image_seeds=None,
+    ):
+        """Explain N images with ONE exported image-batched BO program —
+        the serving twin of ``bo_pipeline.bo_window_saliency_multi`` (same
+        padding, key-derivation, and assembly semantics; bit-parity tested).
+        Requires the artifact to have been exported with ``image_batches``;
+        picks the smallest exported batch ≥ len(images) and the smallest
+        candidate bucket ≥ max(upper)+1, padding by repeating entry 0.
+        Returns a list of N (SaliencyOutput, BOResult) pairs."""
+        import jax
+        import jax.numpy as jnp
+
+        from network_interpretation_imagenet_tpu.bo.loop import BOResult
+        from network_interpretation_imagenet_tpu.saliency.bo_pipeline import (
+            _assemble_output,
+        )
+
+        if not self._batched_fns:
+            raise ValueError(
+                "artifact has no image-batched BO programs; re-export with "
+                "image_batches=(N,...) (CLI: --bo-image-batches)"
+            )
+        segs = [np.asarray(s, np.int32) for s in segments_list]
+        n = len(segs)
+        if n == 0:
+            return []
+        ss = [int(s.max()) + 1 for s in segs]
+        widths = np.asarray([int(window_fraction * s) for s in ss], np.int32)
+        uppers = np.asarray([int(0.6 * s) for s in ss], np.int32)
+        images = np.asarray(np.stack(images), np.float32)
+
+        usable_n = [b for b in sorted(self._batched_fns) if b >= n]
+        if not usable_n:
+            raise ValueError(
+                f"batch of {n} images needs an exported image batch >= {n}; "
+                f"exported: {sorted(self._batched_fns)}"
+            )
+        n_pad = usable_n[0]
+        fns = self._batched_fns[n_pad]
+        need = int(uppers.max()) + 1
+        usable_cb = [b for b in sorted(fns) if b >= need]
+        if not usable_cb:
+            raise ValueError(
+                f"image needs a candidate bucket >= {need}; exported "
+                f"buckets: {sorted(fns)} — re-export with a larger bucket"
+            )
+        if n_pad > n:
+            reps = n_pad - n
+            pad = lambda a: np.concatenate(
+                [a, np.repeat(a[:1], reps, axis=0)]
+            )
+            images, widths, uppers = pad(images), pad(widths), pad(uppers)
+            segs_arr = pad(np.stack(segs))
+            targets_pad = None if targets is None else pad(
+                np.asarray(targets, np.int32)
+            )
+        else:
+            segs_arr = np.stack(segs)
+            targets_pad = None if targets is None else np.asarray(
+                targets, np.int32
+            )
+
+        images_dev = jnp.asarray(images)
+        if targets_pad is None:
+            logits = self._batched_predicts[n_pad].call(
+                self.variables, images_dev
+            )
+            targets_pad = np.asarray(
+                jax.device_get(jnp.argmax(logits, axis=-1)), np.int32
+            )
+
+        # Keys derive from the ORIGINAL image count (padding-invariant),
+        # exactly as bo_window_saliency_multi does.
+        if per_image_seeds is not None:
+            assert len(per_image_seeds) == n
+            keys = jnp.stack(
+                [jax.random.PRNGKey(int(s)) for s in per_image_seeds]
+            )
+        else:
+            keys = jax.random.split(jax.random.PRNGKey(seed), n)
+        if n_pad > n:
+            keys = jnp.concatenate(
+                [keys, jnp.repeat(keys[:1], n_pad - n, axis=0)]
+            )
+
+        xs_d, ys_d, survived_d, counts_d = fns[usable_cb[0]].call(
+            self.variables, images_dev, jnp.asarray(segs_arr),
+            jnp.asarray(widths), jnp.asarray(targets_pad),
+            jnp.asarray(uppers), keys,
+        )
+        # ONE batched fetch (four np.asarray calls would each pay a
+        # device→host round trip).
+        xs, ys, survived, counts = jax.device_get(
+            (xs_d, ys_d, survived_d, counts_d)
+        )
+        outs = []
+        for i in range(n):
+            c = int(counts[i])
+            bo_res = BOResult(
+                xp=np.asarray(xs[i, :c]).astype(int),
+                yp=np.asarray(ys[i, :c]),
+                survived=np.asarray(survived[i, :c]),
+            )
+            out = _assemble_output(
+                segs[i], ss[i], int(widths[i]), int(targets_pad[i]), bo_res
+            )
+            outs.append((out, bo_res))
+        return outs
 
 
 def load_exported_bo(path: str, variables: Any = None) -> ExportedBOServer:

@@ -118,11 +118,17 @@ def test_export_serving_cli(tmp_path):
     rc = export_serving.main([
         "--arch", "mnist_cnn", "--dataset", "mnist", "--synthetic",
         "--dtype", "float32", "--out", out, "--batch-sizes", "8",
+        "--bo", "--candidate-buckets", "8", "--bo-image-batches", "2",
+        "--n_iters", "2", "--n_pre_samples", "2",
         "--no-compilation-cache",
     ])
     assert rc == 0
     server = serving.load_exported(out)
     assert server.manifest["arch"] == "mnist_cnn"
+    # --bo-image-batches flowed through to the BO artifact in the same dir.
+    bo_server = serving.load_exported_bo(out)
+    assert bo_server.manifest["image_batches"] == ["2"]
+    assert sorted(bo_server._batched_fns) == [2]
     r = np.random.RandomState(0)
     logits = server.logits_for_windows(
         r.rand(28, 28, 1).astype(np.float32),
@@ -176,3 +182,55 @@ def test_export_bo_matches_fused_pipeline(tmp_path, rng):
     big_seg = (np.arange(784).reshape(28, 28) % 200).astype(np.int32)
     with pytest.raises(ValueError, match="candidate bucket"):
         server.explain(image, big_seg, seed=0, target=1)
+
+
+def test_export_bo_batched_explain_matches_multi(tmp_path, rng):
+    """The image-batched BO artifact must reproduce
+    bo_window_saliency_multi (same per-image seeds), including padding
+    of a partial batch, and infer targets via the batched predict head."""
+    import pytest
+
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.saliency import bo_pipeline
+
+    engine = _engine()
+    cfg = BOConfig(n_iters=3, n_pre_samples=2)
+    images = [rng.rand(28, 28, 1).astype(np.float32) for _ in range(3)]
+    segments = [
+        ((np.arange(784).reshape(28, 28) + i) % 10).astype(np.int32)
+        for i in range(3)
+    ]
+    seeds = [11, 22, 33]
+
+    path = str(tmp_path / "bo_batched")
+    manifest = serving.export_bo_engine(
+        engine, path, bo_cfg=cfg, candidate_buckets=(7,), image_batches=(4,)
+    )
+    assert manifest["image_batches"] == ["4"]
+    assert manifest["batched_files"]["4"].keys() == {"8"}
+    server = serving.load_exported_bo(path)
+
+    ref = bo_pipeline.bo_window_saliency_multi(
+        engine, images, segments, cfg, per_image_seeds=seeds
+    )
+    # n=3 < exported N=4 exercises the padding path; targets inferred via
+    # the batched predict head (vs the live engine in the reference path).
+    srv = server.explain_batch(images, segments, per_image_seeds=seeds)
+    assert len(srv) == len(ref) == 3
+    for (out_s, tr_s), (out_r, tr_r) in zip(srv, ref):
+        np.testing.assert_array_equal(tr_s.xp, tr_r.xp)
+        np.testing.assert_allclose(tr_s.yp, tr_r.yp, atol=1e-5)
+        np.testing.assert_array_equal(tr_s.survived, tr_r.survived)
+        np.testing.assert_allclose(out_s.heatmap, out_r.heatmap, atol=1e-5)
+
+    # batch larger than any exported N → clear error
+    with pytest.raises(ValueError, match="image batch"):
+        server.explain_batch(images * 2, segments * 2, per_image_seeds=[0] * 6)
+
+    # an artifact without batched programs refuses explain_batch
+    path1 = str(tmp_path / "bo_plain")
+    serving.export_bo_engine(engine, path1, bo_cfg=cfg, candidate_buckets=(7,))
+    with pytest.raises(ValueError, match="image-batched"):
+        serving.load_exported_bo(path1).explain_batch(
+            images, segments, per_image_seeds=seeds
+        )
