@@ -484,6 +484,27 @@ class ExportedBOServer:
             self._predict.call(self.variables, jnp.asarray(image, jnp.float32))
         )
 
+    def predict_logits_batch(self, images) -> np.ndarray:
+        """f32 [n, num_classes] logits via the smallest exported N-image
+        predict head ≥ n (pads by repeating image 0); falls back to n
+        batch-1 calls when the artifact has no batched heads."""
+        import jax.numpy as jnp
+
+        images = np.asarray(images, np.float32)
+        n = images.shape[0]
+        usable = [b for b in sorted(self._batched_predicts) if b >= n]
+        if not usable:
+            return np.stack([self.predict_logits(img) for img in images])
+        n_pad = usable[0]
+        if n_pad > n:
+            images = np.concatenate(
+                [images, np.repeat(images[:1], n_pad - n, axis=0)]
+            )
+        logits = self._batched_predicts[n_pad].call(
+            self.variables, jnp.asarray(images)
+        )
+        return np.asarray(logits)[:n]
+
     def explain(
         self,
         image,

@@ -17,6 +17,11 @@ Endpoints (JSON in/out):
     (``ExportedBOServer.explain`` — bit-parity with ``bo_window_saliency``).
   - Engine artifact: random-window saliency (K = ``num_samples`` masks in
     bucketed batched forwards + the host-twin summed heatmap).
+* ``POST /explain_batch`` — BO artifact only: N images in one request
+  (``"images_b64"+"images_shape"`` [N,H,W,C]); ONE device call when the
+  artifact was exported with ``image_batches`` (the N-vmapped fused
+  loops), bit-identical sequential fallback otherwise — image i's key is
+  ``PRNGKey(seeds[i])`` (default ``seed + i``) either way.
 * ``POST /eval_windows`` — engine artifact only: explicit ``firsts``/
   ``width``/``target`` → per-mask survive/prob arrays (the raw
   ``eval_window_masks`` contract).
@@ -190,6 +195,83 @@ class SaliencyService:
             resp["heatmap"] = np.asarray(heat, np.float32).tolist()
         return resp
 
+    def explain_batch(self, body: dict) -> dict:
+        """N images in one request (BO artifacts only). Uses the exported
+        image-batched loop programs when the artifact has them
+        (``export_bo_engine(image_batches=...)`` — ONE device call for all
+        N), else falls back to N sequential ``explain`` calls with identical
+        results: image i's PRNG key is ``PRNGKey(seeds[i])`` either way
+        (default ``seeds = [seed + i]``), so responses are bit-stable across
+        artifact variants and batch compositions."""
+        if not isinstance(body, dict):
+            raise ValueError("request body must be a JSON object")
+        if self.bo_server is None:
+            raise ValueError("/explain_batch needs a fused-BO artifact "
+                             "(export with cli.export_serving --bo)")
+        images = _decode_array(body, "images", np.float32)
+        if images is None or images.ndim != 4:
+            raise ValueError(
+                "missing 'images' (or 'images_b64'+'images_shape' [N,H,W,C])"
+            )
+        n = images.shape[0]
+        segments = _decode_array(body, "segments", np.int32)
+        if segments is None:
+            segments = np.stack(
+                [_segment_for(body, images[i]) for i in range(n)]
+            )
+        elif segments.shape[0] != n:
+            raise ValueError(
+                f"'segments' leading dim {segments.shape[0]} != N={n}"
+            )
+        wf = float(body.get("window_fraction", 0.4))
+        seeds = body.get("seeds")
+        if seeds is None:
+            seed = int(body.get("seed", 0))
+            seeds = [seed + i for i in range(n)]
+        elif len(seeds) != n:
+            raise ValueError(f"'seeds' length {len(seeds)} != N={n}")
+        targets = body.get("targets")
+        if targets is not None and len(targets) != n:
+            raise ValueError(f"'targets' length {len(targets)} != N={n}")
+
+        with self._lock:
+            if targets is None:
+                targets = self.bo_server.predict_logits_batch(
+                    images
+                ).argmax(axis=-1)
+            targets = [int(t) for t in targets]
+            if getattr(self.bo_server, "_batched_fns", None):
+                outs = self.bo_server.explain_batch(
+                    images, list(segments), window_fraction=wf,
+                    targets=targets,
+                    per_image_seeds=[int(s) for s in seeds],
+                )
+            else:
+                outs = [
+                    self.bo_server.explain(
+                        images[i], segments[i], window_fraction=wf,
+                        seed=int(seeds[i]), target=targets[i],
+                    )
+                    for i in range(n)
+                ]
+        results = []
+        for t, (out, bo_res) in zip(targets, outs):
+            enc = _encode_array(np.asarray(out.heatmap, np.float32))
+            item = {
+                "target": t,
+                "num_segments": int(out.num_segments),
+                "best_start": int(bo_res.xp[int(np.argmax(bo_res.yp))]),
+                "survival": float(np.mean(bo_res.survived)),
+                "xp": [int(x) for x in bo_res.xp],
+                "yp": [float(y) for y in bo_res.yp],
+                "heatmap_b64": enc["b64"],
+                "heatmap_shape": enc["shape"],
+            }
+            if body.get("json_arrays"):
+                item["heatmap"] = np.asarray(out.heatmap, np.float32).tolist()
+            results.append(item)
+        return {"results": results}
+
     def eval_windows(self, body: dict) -> dict:
         if not isinstance(body, dict):
             raise ValueError("request body must be a JSON object")
@@ -246,6 +328,8 @@ def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
                 body = json.loads(self.rfile.read(length) or b"{}")
                 if self.path == "/explain":
                     self._send(200, service.explain(body))
+                elif self.path == "/explain_batch":
+                    self._send(200, service.explain_batch(body))
                 elif self.path == "/eval_windows":
                     self._send(200, service.eval_windows(body))
                 else:

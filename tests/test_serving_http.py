@@ -214,3 +214,68 @@ def test_http_concurrent_explains_serialize_correctly(http_engine_server, rng):
     assert parallel[2] == parallel[5] == serial[2]
     # Different seeds → different sampled windows.
     assert len({parallel[0], parallel[1], parallel[2]}) == 3
+
+
+def test_http_explain_batch_batched_and_fallback_identical(tmp_path, rng):
+    """/explain_batch must give bit-identical responses from an artifact
+    WITH exported image-batched programs (one device call) and one WITHOUT
+    (sequential fallback) — image i's key is PRNGKey(seeds[i]) either way."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+
+    engine = _engine()
+    cfg = BOConfig(n_iters=3, n_pre_samples=2)
+    images = np.stack(
+        [rng.rand(28, 28, 1).astype(np.float32) for _ in range(3)]
+    )
+    segments = np.stack([
+        ((np.arange(784).reshape(28, 28) + i) % 10).astype(np.int32)
+        for i in range(3)
+    ])
+    body = {
+        "images_b64": _b64(images), "images_shape": [3, 28, 28, 1],
+        "segments_b64": _b64(segments), "segments_shape": [3, 28, 28],
+        "seed": 9,  # default seeds = [9, 10, 11]
+    }
+
+    responses = {}
+    for name, batches in (("batched", (4,)), ("fallback", ())):
+        path = str(tmp_path / name)
+        serving.export_bo_engine(engine, path, bo_cfg=cfg,
+                                 candidate_buckets=(7,),
+                                 image_batches=batches)
+        httpd = make_http_server(path, "127.0.0.1", 0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            conn = HTTPConnection(*httpd.server_address[:2])
+            status, resp = _post(conn, "/explain_batch", body)
+            assert status == 200, resp
+            responses[name] = resp
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
+    a, b = responses["batched"]["results"], responses["fallback"]["results"]
+    assert len(a) == len(b) == 3
+    for ra, rb in zip(a, b):
+        assert ra["xp"] == rb["xp"]
+        assert ra["target"] == rb["target"]
+        np.testing.assert_allclose(ra["yp"], rb["yp"], atol=1e-6)
+        assert ra["heatmap_b64"] == rb["heatmap_b64"]
+
+    # error paths: wrong-rank images, mismatched seeds length
+    path = str(tmp_path / "errs")
+    serving.export_bo_engine(engine, path, bo_cfg=cfg, candidate_buckets=(7,))
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = HTTPConnection(*httpd.server_address[:2])
+        status, resp = _post(conn, "/explain_batch", {"images": [[1.0]]})
+        assert status == 400 and "images" in resp["error"]
+        status, resp = _post(conn, "/explain_batch",
+                             {**body, "seeds": [1, 2]})
+        assert status == 400 and "seeds" in resp["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
