@@ -24,6 +24,10 @@ def main(argv=None) -> int:
     p.add_argument("--no-weights", action="store_true",
                    help="exclude weights from the artifact (pass variables "
                         "at load time instead)")
+    p.add_argument("--knockout-m", type=int, default=0,
+                   help="also export knockout-mask forwards with M "
+                        "knockouts per mask (reference MNIST=1 / CIFAR=5 "
+                        "semantics; m<=M requests pad with the -1 sentinel)")
     p.add_argument("--bo", action="store_true",
                    help="also export the fused BO loop (full active-learning "
                         "explanation as one AOT program)")
@@ -46,6 +50,7 @@ def main(argv=None) -> int:
     manifest = serving.export_engine(
         engine, args.out, batch_sizes=batch_sizes,
         include_weights=not args.no_weights,
+        knockout_m=args.knockout_m,
     )
     if args.bo:
         from network_interpretation_imagenet_tpu.config import BOConfig

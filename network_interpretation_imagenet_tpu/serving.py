@@ -58,12 +58,20 @@ def export_engine(
     include_weights: bool = True,
     host_variables: Any = None,
     input_size: int = None,
+    knockout_m: int = 0,
 ) -> dict:
     """Serialize the engine's window-mask forward for serving.
 
     Writes ``masked_forward_{B}.stablehlo`` per bucket, ``variables.msgpack``
     (unless ``include_weights=False``), and ``manifest.json``. Returns the
     manifest dict.
+
+    ``knockout_m > 0`` additionally exports knockout-mask forwards
+    (``knockout_forward_{B}_m{M}.stablehlo`` — the reference's MNIST/CIFAR
+    mask family, M segments knocked out per mask; M=1 for MNIST, 5 for
+    CIFAR), served by ``logits_for_knockouts``/``eval_knockout_masks``.
+    Requests with fewer than M knockouts per mask pad columns with the -1
+    sentinel (knocks out nothing), so one exported M covers any m ≤ M.
 
     Pass ``host_variables`` (the numpy pytree you device_put into the engine,
     e.g. straight from ``convert_checkpoint``) to skip fetching weights back
@@ -112,6 +120,27 @@ def export_engine(
             f.write(exp.serialize())
         files[str(b)] = fname
 
+    knockout_m = int(knockout_m)
+    knockout_files = {}
+    if knockout_m > 0:
+
+        def knockout_forward(variables, image, segments, knock_ids):
+            masks = masking.knockout_masks(segments, knock_ids)
+            imgs = masking.apply_masks(image, masks).astype(compute_dtype)
+            return apply_fn(variables, imgs).astype(jnp.float32)
+
+        for b in sorted(set(int(b) for b in batch_sizes), reverse=True):
+            exp = jexport.export(jax.jit(knockout_forward))(
+                var_spec,
+                jax.ShapeDtypeStruct((h, w, c), jnp.float32),
+                jax.ShapeDtypeStruct((h, w), jnp.int32),
+                jax.ShapeDtypeStruct((b, knockout_m), jnp.int32),
+            )
+            fname = f"knockout_forward_{b}_m{knockout_m}.stablehlo"
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(exp.serialize())
+            knockout_files[str(b)] = fname
+
     if include_weights:
         if host_variables is None:
             host_variables = getattr(engine, "host_variables", None)
@@ -134,6 +163,8 @@ def export_engine(
         "compute_dtype": np.dtype(compute_dtype).name,
         "batch_sizes": sorted(files, key=int, reverse=True),
         "files": files,
+        "knockout_m": knockout_m,
+        "knockout_files": knockout_files,
         "weights": WEIGHTS if include_weights else None,
         # The artifact is lowered for the exporting platform only; the
         # loader fails fast on a mismatched host instead of erroring deep
@@ -178,6 +209,11 @@ class ExportedSaliencyServer:
         for b, fname in self.manifest["files"].items():
             with open(os.path.join(path, fname), "rb") as f:
                 self._fns[int(b)] = jexport.deserialize(f.read())
+        self.knockout_m = int(self.manifest.get("knockout_m", 0))
+        self._ko_fns = {}
+        for b, fname in self.manifest.get("knockout_files", {}).items():
+            with open(os.path.join(path, fname), "rb") as f:
+                self._ko_fns[int(b)] = jexport.deserialize(f.read())
         if variables is None:
             wpath = self.manifest.get("weights")
             if not wpath:
@@ -228,15 +264,12 @@ class ExportedSaliencyServer:
 
         return np.concatenate(jax.device_get(outs))[:k]
 
-    def eval_window_masks(self, image, segments, firsts, width: int, target: int):
-        """Drop-in substitute for ``SaliencyEngine.eval_window_masks``:
-        returns the same :class:`MaskEvalResult` dataclass (attribute access
-        — ``.survived``, ``.prob_target`` — works on either object)."""
+    @staticmethod
+    def _result_from_logits(logits: np.ndarray, target: int):
         from network_interpretation_imagenet_tpu.saliency.engine import (
             MaskEvalResult,
         )
 
-        logits = self.logits_for_windows(image, segments, firsts, width)
         z = logits - logits.max(axis=-1, keepdims=True)
         probs = np.exp(z) / np.exp(z).sum(axis=-1, keepdims=True)
         preds = logits.argmax(axis=-1).astype(np.int32)
@@ -246,6 +279,68 @@ class ExportedSaliencyServer:
             prob_target=probs[:, target].astype(np.float32),
             prob_max=probs.max(axis=-1).astype(np.float32),
         )
+
+    def eval_window_masks(self, image, segments, firsts, width: int, target: int):
+        """Drop-in substitute for ``SaliencyEngine.eval_window_masks``:
+        returns the same :class:`MaskEvalResult` dataclass (attribute access
+        — ``.survived``, ``.prob_target`` — works on either object)."""
+        logits = self.logits_for_windows(image, segments, firsts, width)
+        return self._result_from_logits(logits, target)
+
+    def logits_for_knockouts(self, image, segments, knock_ids) -> np.ndarray:
+        """f32 [K, num_classes] logits for K knockout masks
+        (``knock_ids`` int32[K, m], m ≤ the exported ``knockout_m``; short
+        rows pad with the -1 sentinel, which knocks out nothing)."""
+        import jax
+        import jax.numpy as jnp
+
+        if not self._ko_fns:
+            raise ValueError(
+                "artifact has no knockout forwards; re-export with "
+                "knockout_m=M (CLI: --knockout-m)"
+            )
+        knock_ids = np.asarray(knock_ids, np.int32)
+        if knock_ids.ndim != 2:
+            raise ValueError(f"knock_ids must be [K, m], got {knock_ids.shape}")
+        k, m = knock_ids.shape
+        if m > self.knockout_m:
+            raise ValueError(
+                f"knock_ids has m={m} knockouts per mask but the artifact "
+                f"was exported with knockout_m={self.knockout_m}; re-export"
+            )
+        if k == 0:
+            return np.zeros((0, self.manifest["num_classes"]), np.float32)
+        if m < self.knockout_m:
+            knock_ids = np.concatenate(
+                [knock_ids,
+                 np.full((k, self.knockout_m - m), -1, np.int32)], axis=1
+            )
+        image = jnp.asarray(image, jnp.float32)
+        segments = jnp.asarray(segments, jnp.int32)
+        outs = []
+        off = 0
+        for b in _flatten_batches(k, sorted(self._ko_fns, reverse=True)):
+            chunk = knock_ids[off : off + b]
+            off += len(chunk)
+            if len(chunk) < b:
+                chunk = np.concatenate(
+                    [chunk,
+                     np.full((b - len(chunk), self.knockout_m), -1, np.int32)]
+                )
+            outs.append(
+                self._ko_fns[b].call(
+                    self.variables, image, segments, jnp.asarray(chunk)
+                )
+            )
+            if off >= k:
+                break
+        return np.concatenate(jax.device_get(outs))[:k]
+
+    def eval_knockout_masks(self, image, segments, knock_ids, target: int):
+        """Drop-in substitute for ``SaliencyEngine.eval_knockout_masks``
+        (same :class:`MaskEvalResult` contract)."""
+        logits = self.logits_for_knockouts(image, segments, knock_ids)
+        return self._result_from_logits(logits, target)
 
 
 def load_exported(path: str, variables: Any = None) -> ExportedSaliencyServer:

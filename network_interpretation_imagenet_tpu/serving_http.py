@@ -25,6 +25,9 @@ Endpoints (JSON in/out):
 * ``POST /eval_windows`` — engine artifact only: explicit ``firsts``/
   ``width``/``target`` → per-mask survive/prob arrays (the raw
   ``eval_window_masks`` contract).
+* ``POST /eval_knockouts`` — engine artifact exported with
+  ``knockout_m``: ``knock_ids`` int32[K, m] → the same per-mask arrays
+  (the MNIST/CIFAR knockout family).
 
 Arrays travel either as nested JSON lists (``"image": [[[...]]]``) or —
 preferred, ~4× smaller and lossless — as base64 raw little-endian bytes:
@@ -290,6 +293,32 @@ class SaliencyService:
                 image, segments, firsts, int(body["width"]),
                 int(body["target"]),
             )
+        return self._mask_eval_json(res)
+
+    def eval_knockouts(self, body: dict) -> dict:
+        """Knockout twin of :meth:`eval_windows` — ``knock_ids`` int32[K, m]
+        (m ≤ the artifact's exported ``knockout_m``) instead of
+        ``firsts``/``width``."""
+        if not isinstance(body, dict):
+            raise ValueError("request body must be a JSON object")
+        if self.engine_server is None:
+            raise ValueError("/eval_knockouts needs an engine artifact "
+                             "(this one is a fused-BO artifact)")
+        image = _decode_array(body, "image", np.float32)
+        segments = _decode_array(body, "segments", np.int32)
+        if image is None or segments is None:
+            raise ValueError("missing 'image' or 'segments'")
+        knock_ids = _decode_array(body, "knock_ids", np.int32)
+        if knock_ids is None:
+            raise ValueError("missing 'knock_ids'")
+        with self._lock:
+            res = self.engine_server.eval_knockout_masks(
+                image, segments, knock_ids, int(body["target"])
+            )
+        return self._mask_eval_json(res)
+
+    @staticmethod
+    def _mask_eval_json(res) -> dict:
         return {
             "survived": [bool(v) for v in res.survived],
             "preds": [int(v) for v in res.preds],
@@ -332,6 +361,8 @@ def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
                     self._send(200, service.explain_batch(body))
                 elif self.path == "/eval_windows":
                     self._send(200, service.eval_windows(body))
+                elif self.path == "/eval_knockouts":
+                    self._send(200, service.eval_knockouts(body))
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
             except (ValueError, KeyError, TypeError, AttributeError) as e:

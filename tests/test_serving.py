@@ -234,3 +234,54 @@ def test_export_bo_batched_explain_matches_multi(tmp_path, rng):
         serving.load_exported_bo(path1).explain_batch(
             images, segments, per_image_seeds=seeds
         )
+
+
+def test_export_knockout_matches_engine(tmp_path, rng):
+    """Exported knockout forwards must reproduce the live engine's
+    eval_knockout_masks across bucket-spanning K and padded m < M."""
+    import pytest
+
+    engine = _engine()
+    path = str(tmp_path / "ko_artifact")
+    manifest = serving.export_engine(
+        engine, path, batch_sizes=(16, 4), knockout_m=5
+    )
+    assert manifest["knockout_m"] == 5
+    assert set(manifest["knockout_files"]) == {"16", "4"}
+    server = serving.load_exported(path)
+
+    image = rng.rand(28, 28, 1).astype(np.float32)
+    segments = rng.randint(0, 10, (28, 28)).astype(np.int32)
+    target = 5
+
+    # K=21 spans the 16+4 buckets plus a padded tail; m=M=5 exact.
+    knock5 = rng.randint(0, 10, (21, 5)).astype(np.int32)
+    ref = engine.eval_knockout_masks(image, segments, knock5, target)
+    srv = server.eval_knockout_masks(image, segments, knock5, target)
+    assert type(srv) is type(ref)
+    np.testing.assert_array_equal(srv.preds, ref.preds)
+    np.testing.assert_array_equal(srv.survived, ref.survived)
+    np.testing.assert_allclose(srv.prob_target, ref.prob_target, atol=1e-5)
+
+    # m=1 (MNIST semantics) pads columns with the -1 sentinel.
+    knock1 = rng.randint(0, 10, (7, 1)).astype(np.int32)
+    ref1 = engine.eval_knockout_masks(image, segments, knock1, target)
+    srv1 = server.eval_knockout_masks(image, segments, knock1, target)
+    np.testing.assert_array_equal(srv1.survived, ref1.survived)
+    np.testing.assert_allclose(srv1.prob_target, ref1.prob_target, atol=1e-5)
+
+    # K=0 typed-empty contract; m > M and missing-export errors.
+    empty = server.logits_for_knockouts(
+        image, segments, np.zeros((0, 5), np.int32)
+    )
+    assert empty.shape == (0, 10)
+    with pytest.raises(ValueError, match="knockout_m"):
+        server.logits_for_knockouts(
+            image, segments, rng.randint(0, 10, (3, 6)).astype(np.int32)
+        )
+    plain = str(tmp_path / "plain")
+    serving.export_engine(engine, plain, batch_sizes=(4,))
+    with pytest.raises(ValueError, match="knockout"):
+        serving.load_exported(plain).eval_knockout_masks(
+            image, segments, knock1, target
+        )

@@ -279,3 +279,55 @@ def test_http_explain_batch_batched_and_fallback_identical(tmp_path, rng):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_http_eval_knockouts(tmp_path, rng):
+    """/eval_knockouts matches the live engine; artifacts without knockout
+    forwards give a 400."""
+    engine = _engine()
+    image = rng.rand(28, 28, 1).astype(np.float32)
+    segments = rng.randint(0, 8, (28, 28)).astype(np.int32)
+    knock = rng.randint(0, 8, (6, 1)).astype(np.int32)
+
+    path = str(tmp_path / "ko")
+    serving.export_engine(engine, path, batch_sizes=(8,), knockout_m=1)
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = HTTPConnection(*httpd.server_address[:2])
+        status, resp = _post(conn, "/eval_knockouts", {
+            "image_b64": _b64(image), "image_shape": [28, 28, 1],
+            "segments_b64": _b64(segments), "segments_shape": [28, 28],
+            "knock_ids_b64": _b64(knock), "knock_ids_shape": [6, 1],
+            "target": 3,
+        })
+        assert status == 200, resp
+        ref = engine.eval_knockout_masks(image, segments, knock, 3)
+        assert resp["survived"] == [bool(v) for v in ref.survived]
+        assert resp["preds"] == [int(v) for v in ref.preds]
+        np.testing.assert_allclose(resp["prob_target"], ref.prob_target,
+                                   atol=1e-5)
+        status, resp = _post(conn, "/eval_knockouts", {"target": 0})
+        assert status == 400 and "image" in resp["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+    plain = str(tmp_path / "plain")
+    serving.export_engine(engine, plain, batch_sizes=(8,))
+    httpd = make_http_server(plain, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = HTTPConnection(*httpd.server_address[:2])
+        status, resp = _post(conn, "/eval_knockouts", {
+            "image_b64": _b64(image), "image_shape": [28, 28, 1],
+            "segments_b64": _b64(segments), "segments_shape": [28, 28],
+            "knock_ids_b64": _b64(knock), "knock_ids_shape": [6, 1],
+            "target": 3,
+        })
+        assert status == 400 and "knockout" in resp["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
