@@ -12,11 +12,14 @@ framework.
 Endpoints (JSON in/out):
 
 * ``GET /healthz`` — artifact kind + manifest.
-* ``POST /explain`` — one image → saliency explanation.
-  - BO artifact: runs the AOT fused active-learning loop
+* ``POST /explain`` — one image → saliency explanation. ``"mode"``:
+  - ``"bo"`` (default on BO artifacts): the AOT fused active-learning loop
     (``ExportedBOServer.explain`` — bit-parity with ``bo_window_saliency``).
-  - Engine artifact: random-window saliency (K = ``num_samples`` masks in
-    bucketed batched forwards + the host-twin summed heatmap).
+  - ``"window"`` (default otherwise): random-window saliency
+    (K = ``num_samples`` masks in bucketed batched forwards + the
+    host-twin summed heatmap).
+  - ``"knockout"``: random knockout saliency (``num_knockout`` segments
+    per mask, artifact must be exported with ``knockout_m``).
 * ``POST /explain_batch`` — BO artifact only: N images in one request
   (``"images_b64"+"images_shape"`` [N,H,W,C]); ONE device call when the
   artifact was exported with ``image_batches`` (the N-vmapped fused
@@ -140,8 +143,19 @@ class SaliencyService:
         seed = int(body.get("seed", 0))
         wf = float(body.get("window_fraction", 0.4))
         target = body.get("target")
+        # "bo" (default on BO artifacts) / "window" / "knockout".
+        mode = body.get("mode")
+        if mode is None:
+            mode = "bo" if self.bo_server is not None else "window"
+        if mode not in ("bo", "window", "knockout"):
+            raise ValueError(f"unknown mode {mode!r} "
+                             "(expected 'bo', 'window' or 'knockout')")
+        if mode == "bo" and self.bo_server is None:
+            raise ValueError("mode='bo' needs a fused-BO artifact")
+        if mode != "bo" and self.engine_server is None:
+            raise ValueError(f"mode={mode!r} needs an engine artifact")
 
-        if self.bo_server is not None:
+        if mode == "bo":
             with self._lock:
                 if target is None:
                     target = int(self.bo_server.predict_logits(image).argmax())
@@ -160,16 +174,16 @@ class SaliencyService:
             heat = out.heatmap
         else:
             from network_interpretation_imagenet_tpu.ops.aggregate import (
+                summed_knockout_labels_np,
                 summed_superpixel_labels_np,
             )
             from network_interpretation_imagenet_tpu.ops.masking import (
+                sample_knockout_ids_host,
                 sample_window_starts_host,
             )
 
             s = int(segments.max()) + 1
-            width = int(wf * s)
             k = int(body.get("num_samples", 100))
-            firsts = sample_window_starts_host(seed, k, s, width)
             with self._lock:
                 if target is None:
                     # One full-width window (keeps every segment) IS the
@@ -179,18 +193,32 @@ class SaliencyService:
                         image, segments, np.zeros(1, np.int32), s
                     )
                     target = int(logits[0].argmax())
-                res = self.engine_server.eval_window_masks(
-                    image, segments, firsts, width, int(target)
-                )
-            heat = summed_superpixel_labels_np(
-                segments, firsts, width, np.asarray(res.survived)
-            )
+                if mode == "knockout":
+                    m = int(body.get("num_knockout", 1))
+                    knock_ids = sample_knockout_ids_host(seed, k, m, s)
+                    res = self.engine_server.eval_knockout_masks(
+                        image, segments, knock_ids, int(target)
+                    )
+                    heat = summed_knockout_labels_np(
+                        segments, knock_ids, np.asarray(res.survived)
+                    )
+                else:
+                    width = int(wf * s)
+                    firsts = sample_window_starts_host(seed, k, s, width)
+                    res = self.engine_server.eval_window_masks(
+                        image, segments, firsts, width, int(target)
+                    )
+                    heat = summed_superpixel_labels_np(
+                        segments, firsts, width, np.asarray(res.survived)
+                    )
             resp = {
                 "target": int(target),
                 "num_segments": s,
                 "num_samples": k,
                 "survival": float(np.mean(res.survived)),
             }
+            if mode == "knockout":
+                resp["num_knockout"] = int(body.get("num_knockout", 1))
         enc = _encode_array(np.asarray(heat, np.float32))
         resp["heatmap_b64"] = enc["b64"]
         resp["heatmap_shape"] = enc["shape"]

@@ -331,3 +331,52 @@ def test_http_eval_knockouts(tmp_path, rng):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_http_explain_knockout_mode(tmp_path, rng):
+    """/explain mode=knockout samples the host-twin knockout bank and
+    aggregates with the knockout heatmap semantics."""
+    from network_interpretation_imagenet_tpu.ops.aggregate import (
+        summed_knockout_labels_np,
+    )
+    from network_interpretation_imagenet_tpu.ops.masking import (
+        sample_knockout_ids_host,
+    )
+
+    engine = _engine()
+    image = rng.rand(28, 28, 1).astype(np.float32)
+    segments = rng.randint(0, 8, (28, 28)).astype(np.int32)
+    path = str(tmp_path / "ko")
+    serving.export_engine(engine, path, batch_sizes=(8,), knockout_m=2)
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = HTTPConnection(*httpd.server_address[:2])
+        body = {
+            "image_b64": _b64(image), "image_shape": [28, 28, 1],
+            "segments_b64": _b64(segments), "segments_shape": [28, 28],
+            "mode": "knockout", "num_samples": 12, "num_knockout": 2,
+            "seed": 5, "target": 3,
+        }
+        status, resp = _post(conn, "/explain", body)
+        assert status == 200, resp
+        assert resp["num_knockout"] == 2 and resp["num_samples"] == 12
+
+        knock_ids = sample_knockout_ids_host(5, 12, 2, 8)
+        ref = engine.eval_knockout_masks(image, segments, knock_ids, 3)
+        ref_heat = summed_knockout_labels_np(
+            segments, knock_ids, np.asarray(ref.survived)
+        )
+        heat = np.frombuffer(
+            base64.b64decode(resp["heatmap_b64"]), np.float32
+        ).reshape(resp["heatmap_shape"])
+        np.testing.assert_allclose(heat, ref_heat, atol=1e-6)
+        assert resp["survival"] == pytest.approx(float(np.mean(ref.survived)))
+
+        # unknown mode and knockout-on-window-only-artifact are 400s
+        status, resp = _post(conn, "/explain", {**body, "mode": "zigzag"})
+        assert status == 400 and "mode" in resp["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
