@@ -39,6 +39,9 @@ def main(argv=None) -> int:
                         "served by explain_batch; e.g. 16)")
     common.add_bo_flags(p)
     args = p.parse_args(argv)
+    if args.bo_image_batches.strip() and not args.bo:
+        p.error("--bo-image-batches requires --bo (it sizes the image-"
+                "batched fused-BO exports)")
     common.apply_debug_flags(args)
 
     from network_interpretation_imagenet_tpu import serving

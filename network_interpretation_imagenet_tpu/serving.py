@@ -227,6 +227,31 @@ class ExportedSaliencyServer:
         # through a remote tunnel vs 60 ms with resident weights).
         self.variables = jax.device_put(variables)
         self.buckets = sorted(self._fns, reverse=True)
+        self.ko_buckets = sorted(self._ko_fns, reverse=True)
+
+    def _chunked_logits(self, fns, buckets, rows, pad_value, call):
+        """Cover K mask rows with fewest-dispatch bucket chunks (tails pad
+        with ``pad_value`` rows and trim), then ONE batched device→host
+        fetch — per-chunk np.asarray readbacks pay a round-trip each
+        (engine._collect_chunked measures ~15 ms/fetch through a remote
+        tunnel). Shared by the window and knockout paths."""
+        import jax
+
+        k = len(rows)
+        outs = []
+        off = 0
+        for b in _flatten_batches(k, buckets):
+            chunk = rows[off : off + b]
+            off += len(chunk)
+            if len(chunk) < b:
+                pad = np.full(
+                    (b - len(chunk),) + rows.shape[1:], pad_value, np.int32
+                )
+                chunk = np.concatenate([chunk, pad])
+            outs.append(call(fns[b], chunk))
+            if off >= k:
+                break
+        return np.concatenate(jax.device_get(outs))[:k]
 
     def logits_for_windows(
         self, image, segments, firsts, width: int
@@ -235,34 +260,17 @@ class ExportedSaliencyServer:
         import jax.numpy as jnp
 
         firsts = np.asarray(firsts, np.int32)
-        k = len(firsts)
-        if k == 0:  # engine contract: K=0 returns an empty typed result
+        if len(firsts) == 0:  # engine contract: K=0 → empty typed result
             return np.zeros((0, self.manifest["num_classes"]), np.float32)
         image = jnp.asarray(image, jnp.float32)
         segments = jnp.asarray(segments, jnp.int32)
         width = jnp.int32(width)
-        outs = []
-        off = 0
-        for b in _flatten_batches(k, self.buckets):
-            chunk = firsts[off : off + b]
-            off += len(chunk)
-            if len(chunk) < b:
-                chunk = np.concatenate(
-                    [chunk, np.zeros(b - len(chunk), np.int32)]
-                )
-            outs.append(
-                self._fns[b].call(
-                    self.variables, image, segments, jnp.asarray(chunk), width
-                )
-            )
-            if off >= k:
-                break
-        # ONE batched device→host fetch: per-chunk np.asarray readbacks pay
-        # a round-trip each (engine._collect_chunked measures ~15 ms/fetch
-        # through a remote tunnel).
-        import jax
-
-        return np.concatenate(jax.device_get(outs))[:k]
+        return self._chunked_logits(
+            self._fns, self.buckets, firsts, 0,
+            lambda fn, chunk: fn.call(
+                self.variables, image, segments, jnp.asarray(chunk), width
+            ),
+        )
 
     @staticmethod
     def _result_from_logits(logits: np.ndarray, target: int):
@@ -291,7 +299,6 @@ class ExportedSaliencyServer:
         """f32 [K, num_classes] logits for K knockout masks
         (``knock_ids`` int32[K, m], m ≤ the exported ``knockout_m``; short
         rows pad with the -1 sentinel, which knocks out nothing)."""
-        import jax
         import jax.numpy as jnp
 
         if not self._ko_fns:
@@ -317,24 +324,12 @@ class ExportedSaliencyServer:
             )
         image = jnp.asarray(image, jnp.float32)
         segments = jnp.asarray(segments, jnp.int32)
-        outs = []
-        off = 0
-        for b in _flatten_batches(k, sorted(self._ko_fns, reverse=True)):
-            chunk = knock_ids[off : off + b]
-            off += len(chunk)
-            if len(chunk) < b:
-                chunk = np.concatenate(
-                    [chunk,
-                     np.full((b - len(chunk), self.knockout_m), -1, np.int32)]
-                )
-            outs.append(
-                self._ko_fns[b].call(
-                    self.variables, image, segments, jnp.asarray(chunk)
-                )
-            )
-            if off >= k:
-                break
-        return np.concatenate(jax.device_get(outs))[:k]
+        return self._chunked_logits(
+            self._ko_fns, self.ko_buckets, knock_ids, -1,
+            lambda fn, chunk: fn.call(
+                self.variables, image, segments, jnp.asarray(chunk)
+            ),
+        )
 
     def eval_knockout_masks(self, image, segments, knock_ids, target: int):
         """Drop-in substitute for ``SaliencyEngine.eval_knockout_masks``
@@ -726,7 +721,11 @@ class ExportedBOServer:
         # Keys derive from the ORIGINAL image count (padding-invariant),
         # exactly as bo_window_saliency_multi does.
         if per_image_seeds is not None:
-            assert len(per_image_seeds) == n
+            if len(per_image_seeds) != n:
+                raise ValueError(
+                    f"per_image_seeds length {len(per_image_seeds)} != "
+                    f"len(images) {n}"
+                )
             keys = jnp.stack(
                 [jax.random.PRNGKey(int(s)) for s in per_image_seeds]
             )

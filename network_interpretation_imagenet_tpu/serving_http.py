@@ -163,15 +163,9 @@ class SaliencyService:
                     image, segments, window_fraction=wf, seed=seed,
                     target=target,
                 )
-            resp = {
-                "target": int(target),
-                "num_segments": int(out.num_segments),
-                "best_start": int(bo_res.xp[int(np.argmax(bo_res.yp))]),
-                "survival": float(np.mean(bo_res.survived)),
-                "xp": [int(x) for x in bo_res.xp],
-                "yp": [float(y) for y in bo_res.yp],
-            }
-            heat = out.heatmap
+            return self._bo_item_json(
+                out, bo_res, int(target), bool(body.get("json_arrays"))
+            )
         else:
             from network_interpretation_imagenet_tpu.ops.aggregate import (
                 summed_knockout_labels_np,
@@ -228,12 +222,16 @@ class SaliencyService:
 
     def explain_batch(self, body: dict) -> dict:
         """N images in one request (BO artifacts only). Uses the exported
-        image-batched loop programs when the artifact has them
-        (``export_bo_engine(image_batches=...)`` — ONE device call for all
-        N), else falls back to N sequential ``explain`` calls with identical
-        results: image i's PRNG key is ``PRNGKey(seeds[i])`` either way
-        (default ``seeds = [seed + i]``), so responses are bit-stable across
-        artifact variants and batch compositions."""
+        image-batched loop programs when the artifact has one that fits
+        (``export_bo_engine(image_batches=...)`` with some exported batch
+        ≥ N — ONE device call for all N), else falls back to N sequential
+        ``explain`` calls. Image i's PRNG key is ``PRNGKey(seeds[i])``
+        either way (default ``seeds = [seed + i]``), so given EXPLICIT
+        ``targets`` the BO trajectories are bit-stable across artifact
+        variants and batch compositions; inferred targets run through
+        whichever predict program the artifact carries (batched head vs
+        N batch-1 calls), whose logits may differ in low-order bits on
+        near-tied classes."""
         if not isinstance(body, dict):
             raise ValueError("request body must be a JSON object")
         if self.bo_server is None:
@@ -245,6 +243,8 @@ class SaliencyService:
                 "missing 'images' (or 'images_b64'+'images_shape' [N,H,W,C])"
             )
         n = images.shape[0]
+        if n == 0:
+            return {"results": []}
         segments = _decode_array(body, "segments", np.int32)
         if segments is None:
             segments = np.stack(
@@ -271,7 +271,8 @@ class SaliencyService:
                     images
                 ).argmax(axis=-1)
             targets = [int(t) for t in targets]
-            if getattr(self.bo_server, "_batched_fns", None):
+            batched = getattr(self.bo_server, "_batched_fns", None) or {}
+            if any(b >= n for b in batched):
                 outs = self.bo_server.explain_batch(
                     images, list(segments), window_fraction=wf,
                     targets=targets,
@@ -285,23 +286,30 @@ class SaliencyService:
                     )
                     for i in range(n)
                 ]
-        results = []
-        for t, (out, bo_res) in zip(targets, outs):
-            enc = _encode_array(np.asarray(out.heatmap, np.float32))
-            item = {
-                "target": t,
-                "num_segments": int(out.num_segments),
-                "best_start": int(bo_res.xp[int(np.argmax(bo_res.yp))]),
-                "survival": float(np.mean(bo_res.survived)),
-                "xp": [int(x) for x in bo_res.xp],
-                "yp": [float(y) for y in bo_res.yp],
-                "heatmap_b64": enc["b64"],
-                "heatmap_shape": enc["shape"],
-            }
-            if body.get("json_arrays"):
-                item["heatmap"] = np.asarray(out.heatmap, np.float32).tolist()
-            results.append(item)
-        return {"results": results}
+        json_arrays = bool(body.get("json_arrays"))
+        return {"results": [
+            self._bo_item_json(out, bo_res, t, json_arrays)
+            for t, (out, bo_res) in zip(targets, outs)
+        ]}
+
+    @staticmethod
+    def _bo_item_json(out, bo_res, target: int, json_arrays: bool) -> dict:
+        """One BO explanation as the wire dict — the single source of the
+        /explain (mode=bo) and /explain_batch response item format."""
+        enc = _encode_array(np.asarray(out.heatmap, np.float32))
+        item = {
+            "target": int(target),
+            "num_segments": int(out.num_segments),
+            "best_start": int(bo_res.xp[int(np.argmax(bo_res.yp))]),
+            "survival": float(np.mean(bo_res.survived)),
+            "xp": [int(x) for x in bo_res.xp],
+            "yp": [float(y) for y in bo_res.yp],
+            "heatmap_b64": enc["b64"],
+            "heatmap_shape": enc["shape"],
+        }
+        if json_arrays:
+            item["heatmap"] = np.asarray(out.heatmap, np.float32).tolist()
+        return item
 
     def eval_windows(self, body: dict) -> dict:
         if not isinstance(body, dict):

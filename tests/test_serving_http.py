@@ -380,3 +380,61 @@ def test_http_explain_knockout_mode(tmp_path, rng):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_http_explain_batch_overflow_falls_back_and_empty_batch(tmp_path, rng):
+    """N larger than every exported image batch uses the sequential
+    fallback (not a 400); N=0 returns empty results; the export CLI
+    rejects --bo-image-batches without --bo."""
+    from network_interpretation_imagenet_tpu.cli import export_serving
+    from network_interpretation_imagenet_tpu.config import BOConfig
+
+    engine = _engine()
+    cfg = BOConfig(n_iters=2, n_pre_samples=2)
+    images = np.stack(
+        [rng.rand(28, 28, 1).astype(np.float32) for _ in range(3)]
+    )
+    segments = np.stack([
+        ((np.arange(784).reshape(28, 28) + i) % 10).astype(np.int32)
+        for i in range(3)
+    ])
+
+    path = str(tmp_path / "n2")  # exported batch N=2 < request N=3
+    serving.export_bo_engine(engine, path, bo_cfg=cfg,
+                             candidate_buckets=(7,), image_batches=(2,))
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = HTTPConnection(*httpd.server_address[:2])
+        body = {
+            "images_b64": _b64(images), "images_shape": [3, 28, 28, 1],
+            "segments_b64": _b64(segments), "segments_shape": [3, 28, 28],
+            "seeds": [4, 5, 6], "targets": [1, 2, 3],
+        }
+        status, resp = _post(conn, "/explain_batch", body)
+        assert status == 200, resp
+        assert len(resp["results"]) == 3
+        # bit-stable vs per-image /explain with the same seed/target
+        status1, one = _post(conn, "/explain", {
+            "image_b64": _b64(images[1]), "image_shape": [28, 28, 1],
+            "segments_b64": _b64(segments[1]), "segments_shape": [28, 28],
+            "seed": 5, "target": 2,
+        })
+        assert status1 == 200
+        assert resp["results"][1]["xp"] == one["xp"]
+        assert resp["results"][1]["heatmap_b64"] == one["heatmap_b64"]
+
+        status, resp = _post(conn, "/explain_batch", {
+            "images_b64": "", "images_shape": [0, 28, 28, 1],
+        })
+        assert status == 200 and resp["results"] == []
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+    with pytest.raises(SystemExit):
+        export_serving.main([
+            "--arch", "mnist_cnn", "--dataset", "mnist", "--synthetic",
+            "--out", str(tmp_path / "x"), "--bo-image-batches", "4",
+        ])
