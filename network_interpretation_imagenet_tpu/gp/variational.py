@@ -171,3 +171,120 @@ def predict_proba(model: VGPModel, x: Array) -> Array:
     (the reference's BernoulliLikelihood mean, ``gp_classification.py:372``)."""
     mu, s2, _, _ = _marginals(model.params, model.inducing, x)
     return jax.scipy.stats.norm.cdf(mu / jnp.sqrt(1.0 + s2))
+
+
+# ---------------------------------------------------------------------------
+# Sweep-scale batched fits (TPU-first; no reference analogue — the reference
+# fits one image's classification GP per process, gp_classification.py:374)
+# ---------------------------------------------------------------------------
+
+
+def _fit_predict_one(iters: int):
+    """ELBO fit + probit predictive for ONE label vector (un-jitted core —
+    vmapped/shard_mapped by the batch drivers below)."""
+
+    def one(p0, inducing, opt, x, y, xt):
+        s0 = opt.init(p0)
+
+        def step(carry, _):
+            p, s = carry
+            loss, grads = jax.value_and_grad(neg_elbo)(p, inducing, x, y)
+            updates, s = opt.update(grads, s)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (pf, _), losses = jax.lax.scan(step, (p0, s0), None, length=iters)
+        mu, s2, _, _ = _marginals(pf, inducing, xt)
+        probs = jax.scipy.stats.norm.cdf(mu / jnp.sqrt(1.0 + s2))
+        return pf, probs, losses
+
+    return one
+
+
+@functools.lru_cache(maxsize=8)
+def _fit_predict_batch_core(iters: int, lr: float):
+    opt = optax.adam(lr)
+    one = _fit_predict_one(iters)
+
+    @jax.jit
+    def run(p0, inducing, x, ys, xt):
+        return jax.vmap(
+            lambda y: one(p0, inducing, opt, x, y, xt)
+        )(ys)
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _fit_predict_batch_sharded(iters: int, lr: float, mesh, data_axis: str):
+    """shard_map'd batch fit: the image (label-vector) axis shards over the
+    mesh's data axis; coords, inducing grid, and the initial params
+    REPLICATE (image-independent). Each device runs its slice's vmapped
+    ELBO scans in one program; no collectives."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    opt = optax.adam(lr)
+    one = _fit_predict_one(iters)
+
+    def local(p0, inducing, x, ys_local, xt):
+        return jax.vmap(
+            lambda y: one(p0, inducing, opt, x, y, xt)
+        )(ys_local)
+
+    return jax.jit(shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(data_axis), P()),
+        out_specs=(P(data_axis), P(data_axis), P(data_axis)),
+        check_vma=False,
+    ))
+
+
+def fit_predict_batch(
+    model: VGPModel,
+    x: Array,
+    ys01: Array,
+    x_test: Array = None,
+    iters: int = 30,
+    lr: float = 0.1,
+    mesh=None,
+    data_axis: str = "data",
+):
+    """Fit N variational classification GPs — shared coords ``x`` [P, 2] and
+    inducing grid, per-image labels ``ys01`` [N, P] — and evaluate their
+    probit predictives at ``x_test`` (default: the training coords) as ONE
+    vmapped program; the classification twin of
+    :func:`gp.kron.fit_posterior_batch`.
+
+    With ``mesh`` (>1 device on ``data_axis``), the image axis shards over
+    the mesh (coords/inducing/init replicate); N pads to a multiple of the
+    axis size with repeats of the first label vector and outputs trim.
+
+    Returns (models: list[VGPModel] of length N, probs [N, T], losses
+    [N, iters]).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    ys = jnp.asarray(ys01, jnp.float32)
+    n = ys.shape[0]
+    xt = x if x_test is None else jnp.asarray(x_test, jnp.float32)
+
+    if mesh is not None and int(mesh.shape[data_axis]) > 1:
+        n_data = int(mesh.shape[data_axis])
+        pad = (-n) % n_data
+        if pad:
+            ys = jnp.concatenate([ys, jnp.repeat(ys[:1], pad, axis=0)])
+        srun = _fit_predict_batch_sharded(
+            int(iters), float(lr), mesh, data_axis
+        )
+        pf, probs, losses = srun(model.params, model.inducing, x, ys, xt)
+        pf = jax.tree.map(lambda a: a[:n], pf)
+        probs, losses = probs[:n], losses[:n]
+    else:
+        run = _fit_predict_batch_core(int(iters), float(lr))
+        pf, probs, losses = run(model.params, model.inducing, x, ys, xt)
+    models = [
+        VGPModel(jax.tree.map(lambda a: a[i], pf), model.inducing)
+        for i in range(n)
+    ]
+    return models, probs, losses

@@ -406,3 +406,74 @@ def test_incremental_gp_inactive_slots_stay_identity():
     np.testing.assert_array_equal(linv[3:, 3:], np.eye(5))
     # Lower-triangular invariant on the active block.
     np.testing.assert_array_equal(np.triu(linv[:3, :3], 1), 0.0)
+
+
+def test_variational_fit_predict_batch_matches_per_image():
+    """N vmapped variational fits must match N independent fit_adam +
+    predict_proba runs (same init, coords, iteration count)."""
+    from network_interpretation_imagenet_tpu.gp import variational as vgp
+
+    n_pix = 12
+    yy, xx = np.meshgrid(np.arange(n_pix), np.arange(n_pix), indexing="ij")
+    coords = np.stack([yy.ravel(), xx.ravel()], axis=1).astype(np.float32)
+    rng = np.random.RandomState(0)
+    ys = np.stack([
+        (coords[:, 0] > 5).astype(np.float32),
+        (coords[:, 1] > 6).astype(np.float32),
+        rng.randint(0, 2, coords.shape[0]).astype(np.float32),
+    ])
+    model = vgp.init_model(n_pix, grid_size=4)
+
+    models, probs, losses = vgp.fit_predict_batch(
+        model, coords, ys, iters=8
+    )
+    assert probs.shape == (3, coords.shape[0])
+    assert losses.shape == (3, 8)
+    for i in range(3):
+        ref_model, ref_losses = vgp.fit_adam(model, coords, ys[i], iters=8)
+        ref_probs = vgp.predict_proba(ref_model, coords)
+        np.testing.assert_allclose(
+            np.asarray(probs[i]), np.asarray(ref_probs), atol=1e-3
+        )
+        # vmapped-vs-single compiles reassociate f32 reductions (~1e-3 rel)
+        np.testing.assert_allclose(
+            np.asarray(losses[i]), np.asarray(ref_losses), rtol=5e-3
+        )
+        # directional sanity on the structured labels (8 iters is early
+        # in the fit — parity above is the real check)
+        if i < 2:
+            hi = np.asarray(probs[i])[ys[i] > 0.5].mean()
+            lo = np.asarray(probs[i])[ys[i] < 0.5].mean()
+            assert hi > lo + 0.05
+
+
+def test_variational_fit_predict_batch_sharded_matches_single_device():
+    """The mesh-sharded batch fit (image axis over 'data', coords/inducing
+    replicated) must match the single-device vmapped path, including the
+    pad-to-axis-multiple trim (N=3 on a 4-device axis)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from network_interpretation_imagenet_tpu.gp import variational as vgp
+
+    n_pix = 10
+    yy, xx = np.meshgrid(np.arange(n_pix), np.arange(n_pix), indexing="ij")
+    coords = np.stack([yy.ravel(), xx.ravel()], axis=1).astype(np.float32)
+    rng = np.random.RandomState(1)
+    ys = rng.randint(0, 2, (3, coords.shape[0])).astype(np.float32)
+    model = vgp.init_model(n_pix, grid_size=3)
+
+    _, probs_ref, losses_ref = vgp.fit_predict_batch(
+        model, coords, ys, iters=6
+    )
+    devices = np.asarray(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devices, ("data",))
+    _, probs_sh, losses_sh = vgp.fit_predict_batch(
+        model, coords, ys, iters=6, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(probs_sh), np.asarray(probs_ref), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses_sh), np.asarray(losses_ref), rtol=5e-3
+    )
