@@ -51,6 +51,12 @@ def main(argv=None):
                    help="fit an exact Kronecker pixel-GP to every explained "
                         "image's heatmap in ONE vmapped program (mean + "
                         "uncertainty maps → gp_heatmaps.npz)")
+    p.add_argument("--gp-class-heatmaps", action="store_true",
+                   help="fit the grid-inducing probit CLASSIFICATION GP to "
+                        "every explained image's median-binarized heatmap "
+                        "in ONE vmapped program (survive-probability maps → "
+                        "gp_class_heatmaps.npz; the reference's "
+                        "gp_classification.py at sweep scale)")
     p.add_argument("--bo", action="store_true",
                    help="drive the sweep with the FLAGSHIP GP-EI BO path "
                         "(batched vmapped fused loops per flush) instead of "
@@ -167,7 +173,7 @@ def main(argv=None):
             logger=logger,
             mesh=mesh,
             proposals_per_iter=args.proposals_per_iter,
-            keep_heatmaps=args.gp_heatmaps,
+            keep_heatmaps=args.gp_heatmaps or args.gp_class_heatmaps,
             dataset_indices=dataset_indices,
         )
     else:
@@ -183,7 +189,7 @@ def main(argv=None):
             logger=logger,
             mesh=mesh,
             image_batch=args.image_batch,
-            keep_heatmaps=args.gp_heatmaps,
+            keep_heatmaps=args.gp_heatmaps or args.gp_class_heatmaps,
             dataset_indices=dataset_indices,
             mode=args.mode,
             num_knockout=args.num_knockout,
@@ -257,6 +263,61 @@ def main(argv=None):
             "artifact": gp_artifact,
         }
 
+    if args.gp_class_heatmaps and res.heatmaps:
+        # Classification-GP pass: the reference's gp_classification.py
+        # (grid-inducing Bernoulli GP over ONE image's binarized labels,
+        # one process per image) at sweep scale — N median-binarized
+        # heatmaps fit as ONE vmapped program (mesh: image axis shards).
+        import os
+        import time
+
+        from network_interpretation_imagenet_tpu.gp import variational as vgp
+
+        idxs = sorted(res.heatmaps)
+        heats = np.stack([res.heatmaps[i] for i in idxs]).astype(np.float32)
+        n_img, h, w = heats.shape
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        coords = np.stack([yy.ravel(), xx.ravel()], axis=1).astype(np.float32)
+        flat = heats.reshape(n_img, -1)
+        med = np.median(flat, axis=1, keepdims=True)
+        ys = (flat > med).astype(np.float32)  # --binarize median semantics
+        model = vgp.init_model(max(h, w), grid_size=min(args.grid_size, 10))
+        t0 = time.perf_counter()
+        # Smaller chunks than the Kronecker pass: each image carries a
+        # [M, H·W] projection through the ELBO grad.
+        chunk = 16
+        if mesh is not None:
+            chunk *= int(mesh.shape["data"])
+        probs_l = []
+        for lo in range(0, n_img, chunk):
+            _, p_c, _ = vgp.fit_predict_batch(
+                model, coords, ys[lo:lo + chunk],
+                iters=args.gp_iters, lr=args.gp_lr, mesh=mesh,
+            )
+            probs_l.append(np.asarray(p_c))
+        probs = np.concatenate(probs_l).reshape(n_img, h, w)
+        gpc_seconds = time.perf_counter() - t0
+        os.makedirs(args.out, exist_ok=True)
+        gpc_artifact = "gp_class_heatmaps.npz"
+        if args.multihost:
+            import jax as _jax
+
+            if _jax.process_count() > 1:
+                gpc_artifact = (
+                    f"gp_class_heatmaps.rank{_jax.process_index()}.npz"
+                )
+        np.savez_compressed(
+            os.path.join(args.out, gpc_artifact),
+            indices=np.asarray(idxs),
+            heatmaps=heats,
+            survive_proba=probs,
+        )
+        payload["gp_class_heatmaps"] = {
+            "images": len(idxs),
+            "seconds": round(gpc_seconds, 3),
+            "artifact": gpc_artifact,
+        }
+
     if args.multihost:
         import jax
 
@@ -269,7 +330,11 @@ def main(argv=None):
             merged = multihost_mod.merge_rank_results(
                 args.out, jax.process_count()
             )
-            gp_info = payload.get("gp_heatmaps")  # survive the rebuild below
+            # Survive the rebuild below.
+            gp_infos = {
+                k: payload.get(k)
+                for k in ("gp_heatmaps", "gp_class_heatmaps")
+            }
             payload = {
                 f.name: getattr(merged, f.name)
                 for f in dataclasses.fields(merged)
@@ -277,17 +342,19 @@ def main(argv=None):
             }
             payload["per_image_count"] = merged.images_explained
             payload["process_count"] = jax.process_count()
-            if gp_info is not None:
-                # Every rank wrote its own gp_heatmaps.rank*.npz; point the
+            for key, gp_info in gp_infos.items():
+                if gp_info is None:
+                    continue
+                # Every rank wrote its own <key>.rank*.npz; point the
                 # merged result at all of them (each carries its `indices`).
                 import glob as _glob
                 import os as _os
 
                 gp_info["artifacts"] = sorted(
                     _os.path.basename(p) for p in
-                    _glob.glob(_os.path.join(args.out, "gp_heatmaps.rank*.npz"))
+                    _glob.glob(_os.path.join(args.out, f"{key}.rank*.npz"))
                 )
-                payload["gp_heatmaps"] = gp_info
+                payload[key] = gp_info
 
     common.emit_result(args.out, "sweep_result.json", payload)
 

@@ -403,3 +403,28 @@ def test_bo_sweep_collect_failure_counts_dispatched_only():
     assert res.images_skipped_misclassified == 1
     assert res.images_failed == 1
     assert res.images_explained == 0
+
+
+def test_sweep_gp_class_heatmaps_cli(tmp_path):
+    """--gp-class-heatmaps: batched variational classification GP over all
+    explained median-binarized heatmaps → gp_class_heatmaps.npz with a
+    survive-probability map per image."""
+    from network_interpretation_imagenet_tpu.cli import saliency_sweep as cli_sweep
+    import json
+    import os
+
+    out = str(tmp_path)
+    cli_sweep.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num-images", "3", "--num_mask_samples", "8", "--mask-batch", "8",
+        "--dtype", "float32", "--segmenter", "slic", "--n_segments", "9",
+        "--gp-class-heatmaps", "--gp_iters", "4", "--out", out,
+    ])
+    with open(os.path.join(out, "sweep_result.json")) as f:
+        r = json.load(f)
+    assert r["gp_class_heatmaps"]["images"] == 3
+    blob = np.load(os.path.join(out, "gp_class_heatmaps.npz"))
+    assert blob["survive_proba"].shape == (3, 28, 28)
+    assert (blob["survive_proba"] >= 0).all()
+    assert (blob["survive_proba"] <= 1).all()
+    assert len(blob["indices"]) == 3
