@@ -79,6 +79,17 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_const", const="off")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     p.add_argument("--local-devices", type=int, default=None)
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-process (DCN) data-parallel training: "
+                        "initialize jax.distributed, shard the GLOBAL batch "
+                        "across processes (each rank decodes only its slice "
+                        "and contributes it via "
+                        "jax.make_array_from_process_local_data), rank 0 "
+                        "owns checkpoints/scores")
+    p.add_argument("--coordinator", default=None,
+                   help="(--multihost) coordinator address host:port")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -97,6 +108,27 @@ def main(argv=None):
     from network_interpretation_imagenet_tpu.models import create_model
     from network_interpretation_imagenet_tpu.parallel import make_mesh
     from network_interpretation_imagenet_tpu.train import Trainer
+
+    rank, world = 0, 1
+    if args.multihost:
+        if args.model_parallel > 1:
+            print("error: --multihost supports data parallelism only "
+                  "(--model-parallel must be 1: checkpoints read the local "
+                  "replica, which tensor-sharding across processes breaks)",
+                  file=sys.stderr)
+            return 2
+        from network_interpretation_imagenet_tpu.parallel import multihost
+
+        multihost.initialize_distributed(
+            args.coordinator, args.num_processes, args.process_id
+        )
+        import jax as _jax
+
+        rank, world = _jax.process_index(), _jax.process_count()
+        if args.batch_size % max(world, 1):
+            print(f"error: --batch-size {args.batch_size} (GLOBAL) must "
+                  f"divide evenly across {world} processes", file=sys.stderr)
+            return 2
 
     mesh = make_mesh(model_parallel=args.model_parallel)
 
@@ -117,6 +149,12 @@ def main(argv=None):
                                  y[-max(n // 4, args.batch_size):],
                                  args.batch_size)
         steps_per_epoch = len(train_factory)
+        if world > 1:
+            # Both ranks build the identical loader (same seed → same
+            # shuffles); each feeds only its contiguous slice of every
+            # global batch to make_array_from_process_local_data.
+            train_factory = _RankSlice(train_factory, rank, world)
+            val_loader = _RankSlice(val_loader, rank, world)
     else:
         if not args.data:
             print("error: DIR positional argument (or --synthetic) required",
@@ -147,10 +185,11 @@ def main(argv=None):
             return 2
         steps_per_epoch = max(1, n_train // args.batch_size)
 
+        process_slice = (rank, world) if world > 1 else None
         train_factory = partial(
-            _train_epoch_loader, train_set, args, train_indices
+            _train_epoch_loader, train_set, args, train_indices, process_slice
         )
-        val_loader = _ValLoader(val_set, args, val_indices)
+        val_loader = _ValLoader(val_set, args, val_indices, process_slice)
 
     # -- model + trainer ----------------------------------------------------
     bundle = create_model(args.arch, "imagenet", num_classes=num_classes)
@@ -161,9 +200,33 @@ def main(argv=None):
         decay_rate=0.1, decay_epochs=(30, 60),  # stock schedule: ÷10 every 30
         print_freq=args.print_freq,
     )
+    globalize = None
+    if world > 1:
+        import jax
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(mesh, P("data"))
+
+        def globalize(images, labels):
+            import numpy as np
+
+            images = np.ascontiguousarray(images, np.float32)
+            labels = np.ascontiguousarray(labels, np.int32)
+            gb = images.shape[0] * world
+            return (
+                jax.make_array_from_process_local_data(
+                    batch_sh, images, (gb,) + images.shape[1:]
+                ),
+                jax.make_array_from_process_local_data(
+                    batch_sh, labels, (gb,)
+                ),
+            )
+
     save_dir = args.resume or os.path.join(args.save, f"imagenet-{args.arch}")
     t = Trainer(bundle, cfg, steps_per_epoch=steps_per_epoch, mesh=mesh,
-                save_dir=save_dir, arch_args={"arch": args.arch})
+                save_dir=save_dir, arch_args={"arch": args.arch},
+                globalize=globalize)
 
     if args.pretrained:
         _load_pretrained(t, bundle, args)
@@ -194,7 +257,7 @@ def main(argv=None):
     return 0
 
 
-def _train_epoch_loader(train_set, args, indices, epoch):
+def _train_epoch_loader(train_set, args, indices, process_slice, epoch):
     from network_interpretation_imagenet_tpu.data.imagenet_train import (
         epoch_batches,
     )
@@ -202,16 +265,18 @@ def _train_epoch_loader(train_set, args, indices, epoch):
     return epoch_batches(
         train_set, args.batch_size, epoch=epoch, seed=args.seed,
         shuffle=True, workers=args.workers, drop_last=True, indices=indices,
+        process_slice=process_slice,
     )
 
 
 class _ValLoader:
     """Re-iterable val loader (Trainer.evaluate runs once per epoch)."""
 
-    def __init__(self, val_set, args, indices):
+    def __init__(self, val_set, args, indices, process_slice=None):
         self.val_set = val_set
         self.args = args
         self.indices = indices
+        self.process_slice = process_slice
 
     def __iter__(self):
         from network_interpretation_imagenet_tpu.data.imagenet_train import (
@@ -221,7 +286,36 @@ class _ValLoader:
         return epoch_batches(
             self.val_set, self.args.batch_size, epoch=0, seed=0,
             shuffle=False, workers=self.args.workers, indices=self.indices,
+            process_slice=self.process_slice,
         )
+
+
+class _RankSlice:
+    """Feed this rank's contiguous slice of every GLOBAL batch (synthetic
+    path: both ranks generate identical global batches; the sliced halves
+    concatenate in rank order to exactly the single-process batch). Partial
+    global batches that can't split evenly are dropped."""
+
+    def __init__(self, inner, rank, world):
+        self.inner, self.rank, self.world = inner, rank, world
+
+    def __len__(self):
+        return len(self.inner)
+
+    def _slices(self, it):
+        for images, labels in it:
+            local = len(labels) // self.world
+            if local == 0 or local * self.world != len(labels):
+                continue
+            lo = self.rank * local
+            yield images[lo:lo + local], labels[lo:lo + local]
+
+    def __call__(self, epoch):
+        inner = self.inner(epoch) if callable(self.inner) else iter(self.inner)
+        return self._slices(inner)
+
+    def __iter__(self):
+        return self._slices(iter(self.inner))
 
 
 def _load_pretrained(t, bundle, args):
@@ -278,8 +372,12 @@ def _check_tree_shapes(new, like, source, what):
 
 
 def _emit(args, payload):
+    import jax
+
     from network_interpretation_imagenet_tpu.cli import common
 
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return  # rank 0 owns the result file on the shared filesystem
     common.emit_result(args.save, "imagenet_train_result.json", payload)
 
 

@@ -137,6 +137,7 @@ def epoch_batches(
     workers: int = 4,
     drop_last: bool = False,
     indices: Optional[Sequence[int]] = None,
+    process_slice: Optional[Tuple[int, int]] = None,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Yield ``(images[B,H,W,C], labels[B])`` batches for one epoch.
 
@@ -144,6 +145,14 @@ def epoch_batches(
     shuffle order derives from ``(seed, epoch)`` only. ``indices``
     restricts/strides the epoch (multi-host: ``process_strided_indices``).
     Items may be ``(image, label)`` or ``(image, label, extra)`` tuples.
+
+    ``process_slice=(rank, world)`` yields each GLOBAL ``batch_size`` batch's
+    contiguous per-rank slice of ``batch_size // world`` items: every rank
+    computes the same (seed, epoch) permutation, decodes ONLY its slice, and
+    the rank slices concatenate (in rank order) to exactly the single-process
+    global batch — the data side of
+    ``jax.make_array_from_process_local_data``. Implies drop_last at global-
+    batch granularity (a partial global batch can't split evenly).
     """
     if hasattr(dataset, "set_epoch"):
         dataset.set_epoch(epoch)
@@ -155,6 +164,23 @@ def epoch_batches(
             np.random.PCG64(np.random.SeedSequence([seed, epoch, 0x5EED]))
         )
         order = order[perm_rng.permutation(len(order))]
+
+    if process_slice is not None:
+        rank, world = process_slice
+        if batch_size % world:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly across "
+                f"{world} processes"
+            )
+        local = batch_size // world
+        n_batches = len(order) // batch_size  # full global batches only
+        order = np.concatenate([
+            order[i * batch_size + rank * local:
+                  i * batch_size + (rank + 1) * local]
+            for i in range(n_batches)
+        ]) if n_batches else order[:0]
+        batch_size = local
+        drop_last = True  # len(order) is an exact multiple; keeps intent
 
     images, labels = [], []
     for item in prefetch(dataset, num_workers=workers, indices=order.tolist()):

@@ -64,9 +64,19 @@ class Trainer:
         save_dir: Optional[str] = None,
         logger: Optional[PhaseLogger] = None,
         arch_args: Optional[dict] = None,
+        globalize=None,
     ):
+        """``globalize(images, labels) -> (Array, Array)`` maps one host
+        batch onto the mesh. Default: plain ``jnp.asarray`` (single-process;
+        the step's sharding constraint places it). Multi-process trainers
+        pass a ``jax.make_array_from_process_local_data`` wrapper so each
+        rank contributes its LOCAL slice of the global batch
+        (``cli.main --multihost``)."""
         self.bundle = bundle
         self.cfg = cfg
+        self.globalize = globalize or (
+            lambda images, labels: (jnp.asarray(images), jnp.asarray(labels))
+        )
         # Architecture flags persisted with the checkpoint so resume can
         # rebuild the exact model (reference args.py:79-80 arch_resume_names).
         self.arch_args = dict(arch_args) if arch_args else None
@@ -109,6 +119,15 @@ class Trainer:
     def save(self, epoch: int, is_best: bool) -> None:
         if not self.save_dir:
             return
+        params, batch_stats = self.state.params, self.state.batch_stats
+        if jax.process_count() > 1:
+            # Multi-process: EVERY rank enters save_checkpoint (Orbax
+            # barriers internally; a rank-0-only call deadlocks). Data-
+            # parallel state is fully replicated, so np.asarray reads each
+            # rank's local replica; model-parallel-across-processes is
+            # rejected at the CLI (cli.main --multihost).
+            params = jax.tree.map(np.asarray, params)
+            batch_stats = jax.tree.map(np.asarray, batch_stats)
         # opt_state is saved as flat leaves: Orbax restores plain dicts, so
         # structure is re-imposed at resume from a freshly-initialized state
         # (optimizer step count rides along — the stepped lr schedule and
@@ -117,8 +136,8 @@ class Trainer:
             np.asarray(x) for x in jax.tree_util.tree_leaves(self.state.opt_state)
         ]
         blob = {
-            "params": self.state.params,
-            "batch_stats": self.state.batch_stats,
+            "params": params,
+            "batch_stats": batch_stats,
             "opt_leaves": {str(i): leaf for i, leaf in enumerate(opt_leaves)},
             "step": np.asarray(self.state.step),
             "epoch": np.asarray(epoch),
@@ -200,10 +219,9 @@ class Trainer:
         end = time.time()
         for i, (images, labels) in enumerate(loader):
             data_t.update(time.time() - end)
-            self.state, metrics = self.step_fn(
-                self.state, jnp.asarray(images), jnp.asarray(labels)
-            )
-            n = len(labels)
+            images_d, labels_d = self.globalize(images, labels)
+            self.state, metrics = self.step_fn(self.state, images_d, labels_d)
+            n = int(labels_d.shape[0])  # GLOBAL batch (== len(labels) 1-proc)
             metrics = jax.device_get(metrics)
             loss_m.update(float(metrics["loss"]), n)
             top1_m.update(float(metrics["top1"]), n)
@@ -231,13 +249,14 @@ class Trainer:
         import jax
 
         for images, labels in loader:
+            images_d, labels_d = self.globalize(images, labels)
             loss, top1, top5 = jax.device_get(self._eval_step(
                 self.state.params,
                 self.state.batch_stats,
-                jnp.asarray(images),
-                jnp.asarray(labels),
+                images_d,
+                labels_d,
             ))
-            n = len(labels)
+            n = int(labels_d.shape[0])  # top1/top5 count the GLOBAL batch
             loss_m.update(float(loss), n)
             correct += int(top1)
             correct5 += int(top5)
@@ -291,6 +310,8 @@ class Trainer:
     def _write_scores(self, history: List[Dict]) -> None:
         if not self.save_dir:
             return
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return  # rank 0 owns scores.tsv on the shared filesystem
         os.makedirs(self.save_dir, exist_ok=True)
         cols = list(history[0].keys())
         lines = ["\t".join(cols)]

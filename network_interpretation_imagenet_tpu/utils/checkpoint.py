@@ -49,22 +49,40 @@ def save_checkpoint(
     is_best: bool = False,
     name: str = "checkpoint",
 ) -> str:
-    """Save a pytree state dict; mirror to ``model_best`` when ``is_best``."""
+    """Save a pytree state dict; mirror to ``model_best`` when ``is_best``.
+
+    Multi-process: EVERY rank must call this (Orbax synchronizes processes
+    internally — a rank-0-only call deadlocks in its barrier). Plain-file
+    mutations (rmtree, meta sidecar, best-copy) happen on rank 0 only,
+    sequenced around explicit barriers so no rank enters Orbax's save while
+    rank 0 is still clearing the directory.
+    """
     import json
 
     import orbax.checkpoint as ocp
 
+    primary = jax.process_index() == 0
+    multiproc = jax.process_count() > 1
+
+    def _barrier(tag: str) -> None:
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"nit_ckpt_{tag}")
+
     path = os.path.abspath(os.path.join(save_dir, name))
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.makedirs(save_dir, exist_ok=True)
+    if primary:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(save_dir, exist_ok=True)
+    _barrier("pre")
     arrays, meta = _split_meta(state)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, _to_numpy_tree(arrays))
-    if meta:
+    if primary and meta:
         with open(os.path.join(path, "nit_meta.json"), "w") as f:
             json.dump(meta, f)
-    if is_best:
+    if is_best and primary:
         best = os.path.abspath(os.path.join(save_dir, "model_best"))
         if os.path.exists(best):
             shutil.rmtree(best)

@@ -227,3 +227,101 @@ def test_cli_main_pretrained_shape_mismatch_is_loud(tmp_path):
             "--epochs", "1", "--pretrained", art,
             "--save", str(tmp_path / "out"),
         ])
+
+
+def test_epoch_batches_process_slices_concatenate_to_global(tmp_path):
+    """Rank slices of every global batch, concatenated in rank order, must
+    equal the single-process global batches exactly (same (seed, epoch)
+    permutation; partial global batch dropped)."""
+    _write_image_folder(str(tmp_path), classes=2, per_class=9)  # 18 items
+    ds = TrainImageFolder(str(tmp_path), crop=32, seed=1)
+
+    kw = dict(epoch=2, seed=1, shuffle=True, workers=0)
+    global_batches = list(epoch_batches(ds, 8, drop_last=True, **kw))
+    rank_batches = [
+        list(epoch_batches(ds, 8, process_slice=(r, 2), **kw))
+        for r in range(2)
+    ]
+    assert len(global_batches) == 2  # 18 // 8, partial dropped
+    for b, (g_img, g_lab) in enumerate(global_batches):
+        parts_img = np.concatenate([rank_batches[r][b][0] for r in range(2)])
+        parts_lab = np.concatenate([rank_batches[r][b][1] for r in range(2)])
+        np.testing.assert_array_equal(parts_img, g_img)
+        np.testing.assert_array_equal(parts_lab, g_lab)
+    for r in range(2):
+        assert all(len(lab) == 4 for _, lab in rank_batches[r])
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        list(epoch_batches(ds, 7, process_slice=(0, 2), **kw))
+
+
+def test_two_process_dcn_training_matches_single_process(tmp_path):
+    """ACTUALLY run multi-process data-parallel TRAINING: spawn two
+    CPU-backend workers (2 local devices each → 4 global) through
+    `cli.main --multihost`; each rank decodes only its slice of every
+    global batch and contributes it via make_array_from_process_local_data;
+    rank 0 alone writes checkpoints/scores/result. The merged run's loss
+    trajectory must match a single-process run on the same data/seed."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    from network_interpretation_imagenet_tpu.cli import main as main_cli
+
+    data = tmp_path / "imagenet"
+    _write_image_folder(str(data / "train"), classes=2, per_class=6)
+    _write_image_folder(str(data / "val"), classes=2, per_class=4)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_train_worker.py")
+    repo_root = os.path.dirname(os.path.dirname(worker))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    save = str(tmp_path / "mh_out")
+    outs = [str(tmp_path / f"rank{i}.json") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, "--coordinator", coordinator,
+             "--num-processes", "2", "--process-id", str(i),
+             "--data", str(data), "--out", outs[i], "--save", save],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"rank {i} failed:\n{logs[i]}"
+
+    ranks = [json.load(open(o)) for o in outs]
+    for r in ranks:
+        assert r["global_devices"] == 4
+        assert r["mode"] == "train" and r["epochs_run"] == 2
+    # Both ranks read the SAME rank-0-written result.
+    assert ranks[0]["history"] == ranks[1]["history"]
+
+    # Single-process run on the same data/config.
+    save1 = str(tmp_path / "sp_out")
+    rc = main_cli.main([
+        str(data), "-a", "resnet18", "--crop", "32", "-b", "8",
+        "--epochs", "2", "--lr", "0.01", "-j", "2",
+        "--save", save1, "--seed", "0", "--no-compilation-cache",
+    ])
+    assert rc == 0
+    single = json.load(open(os.path.join(save1, "imagenet_train_result.json")))
+
+    for mh_row, sp_row in zip(ranks[0]["history"], single["history"]):
+        assert mh_row["epoch"] == sp_row["epoch"]
+        np.testing.assert_allclose(
+            mh_row["train_loss"], sp_row["train_loss"], rtol=5e-3
+        )
+        np.testing.assert_allclose(
+            mh_row["val_loss"], sp_row["val_loss"], rtol=5e-3
+        )
+        assert mh_row["val_err1"] == pytest.approx(sp_row["val_err1"], abs=1e-6)
