@@ -119,9 +119,17 @@ def main(argv=None):
             return 2
         from network_interpretation_imagenet_tpu.parallel import multihost
 
-        multihost.initialize_distributed(
+        if not multihost.initialize_distributed(
             args.coordinator, args.num_processes, args.process_id
-        )
+        ):
+            # initialize_distributed no-ops without coordinator info; two
+            # hosts each silently running as "rank 0" would race on the
+            # shared checkpoint dir AND not actually be distributed.
+            print("error: --multihost could not initialize jax.distributed "
+                  "— pass --coordinator/--num-processes/--process-id or set "
+                  "JAX_COORDINATOR_ADDRESS (refusing to degrade to a silent "
+                  "single-process run)", file=sys.stderr)
+            return 2
         import jax as _jax
 
         rank, world = _jax.process_index(), _jax.process_count()
@@ -151,10 +159,14 @@ def main(argv=None):
         steps_per_epoch = len(train_factory)
         if world > 1:
             # Both ranks build the identical loader (same seed → same
-            # shuffles); each feeds only its contiguous slice of every
-            # global batch to make_array_from_process_local_data.
-            train_factory = _RankSlice(train_factory, rank, world)
-            val_loader = _RankSlice(val_loader, rank, world)
+            # shuffles); each feeds only its contiguous slice of every FULL
+            # global batch to make_array_from_process_local_data (training
+            # under DP implies drop_last on the global batch). Validation
+            # instead item-strides every batch — full val coverage, counts
+            # summed across ranks (Trainer eval_local_metrics).
+            train_factory = _RankSlice(train_factory, rank, world,
+                                       args.batch_size)
+            val_loader = _RankStride(val_loader, rank, world)
     else:
         if not args.data:
             print("error: DIR positional argument (or --synthetic) required",
@@ -189,7 +201,14 @@ def main(argv=None):
         train_factory = partial(
             _train_epoch_loader, train_set, args, train_indices, process_slice
         )
-        val_loader = _ValLoader(val_set, args, val_indices, process_slice)
+        if world > 1:
+            # Validation covers EVERY image: rank-strided indices (no
+            # global-batch divisibility → no dropped tail), per-rank local
+            # eval, counts summed across processes.
+            vi = list(val_indices if val_indices is not None
+                      else range(len(val_set)))
+            val_indices = vi[rank::world]
+        val_loader = _ValLoader(val_set, args, val_indices)
 
     # -- model + trainer ----------------------------------------------------
     bundle = create_model(args.arch, "imagenet", num_classes=num_classes)
@@ -226,7 +245,7 @@ def main(argv=None):
     save_dir = args.resume or os.path.join(args.save, f"imagenet-{args.arch}")
     t = Trainer(bundle, cfg, steps_per_epoch=steps_per_epoch, mesh=mesh,
                 save_dir=save_dir, arch_args={"arch": args.arch},
-                globalize=globalize)
+                globalize=globalize, eval_local_metrics=world > 1)
 
     if args.pretrained:
         _load_pretrained(t, bundle, args)
@@ -272,11 +291,10 @@ def _train_epoch_loader(train_set, args, indices, process_slice, epoch):
 class _ValLoader:
     """Re-iterable val loader (Trainer.evaluate runs once per epoch)."""
 
-    def __init__(self, val_set, args, indices, process_slice=None):
+    def __init__(self, val_set, args, indices):
         self.val_set = val_set
         self.args = args
         self.indices = indices
-        self.process_slice = process_slice
 
     def __iter__(self):
         from network_interpretation_imagenet_tpu.data.imagenet_train import (
@@ -286,27 +304,29 @@ class _ValLoader:
         return epoch_batches(
             self.val_set, self.args.batch_size, epoch=0, seed=0,
             shuffle=False, workers=self.args.workers, indices=self.indices,
-            process_slice=self.process_slice,
         )
 
 
 class _RankSlice:
-    """Feed this rank's contiguous slice of every GLOBAL batch (synthetic
-    path: both ranks generate identical global batches; the sliced halves
-    concatenate in rank order to exactly the single-process batch). Partial
-    global batches that can't split evenly are dropped."""
+    """Feed this rank's contiguous slice of every FULL global batch
+    (synthetic TRAIN path: both ranks generate identical global batches;
+    the sliced portions concatenate in rank order to exactly the
+    single-process batch). Partial global batches are dropped — multihost
+    data-parallel training implies drop_last on the global batch."""
 
-    def __init__(self, inner, rank, world):
-        self.inner, self.rank, self.world = inner, rank, world
+    def __init__(self, inner, rank, world, global_batch):
+        self.inner = inner
+        self.rank, self.world = rank, world
+        self.global_batch = int(global_batch)
 
     def __len__(self):
         return len(self.inner)
 
     def _slices(self, it):
+        local = self.global_batch // self.world
         for images, labels in it:
-            local = len(labels) // self.world
-            if local == 0 or local * self.world != len(labels):
-                continue
+            if len(labels) != self.global_batch:
+                continue  # partial tail: dropped under DP
             lo = self.rank * local
             yield images[lo:lo + local], labels[lo:lo + local]
 
@@ -316,6 +336,20 @@ class _RankSlice:
 
     def __iter__(self):
         return self._slices(iter(self.inner))
+
+
+class _RankStride:
+    """Item-stride every batch (synthetic VAL path): rank r takes items
+    r::world, so the ranks' subsets are disjoint and together cover every
+    item — no divisibility constraint, no dropped tail. Pairs with
+    ``Trainer(eval_local_metrics=True)`` which sums counts across ranks."""
+
+    def __init__(self, inner, rank, world):
+        self.inner, self.rank, self.world = inner, rank, world
+
+    def __iter__(self):
+        for images, labels in iter(self.inner):
+            yield images[self.rank::self.world], labels[self.rank::self.world]
 
 
 def _load_pretrained(t, bundle, args):

@@ -30,6 +30,45 @@ def _synthetic_dataset(args, spec, n):
         yield img, None, None
 
 
+def _gp_surrogate_pass(args, res, mesh, payload, key, base_chunk, fields_fn):
+    """Shared structure of the sweep's GP-surrogate passes (regression +
+    classification): stack the retained heatmaps, run ``fields_fn(heats,
+    chunk)`` — chunked batched fits; the chunk scales with the mesh's data
+    axis so each device still sees ~``base_chunk`` grids per program —
+    write a rank-suffixed npz on multihost (every rank runs its stride; a
+    shared filename would race, and the ``indices`` field lets per-rank
+    artifacts concatenate offline), and register the payload entry."""
+    import os
+    import time
+
+    idxs = sorted(res.heatmaps)
+    heats = np.stack([res.heatmaps[i] for i in idxs]).astype(np.float32)
+    chunk = base_chunk
+    if mesh is not None:
+        chunk *= int(mesh.shape["data"])
+    t0 = time.perf_counter()
+    fields = fields_fn(heats, chunk)
+    seconds = time.perf_counter() - t0
+    os.makedirs(args.out, exist_ok=True)
+    artifact = f"{key}.npz"
+    if args.multihost:
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            artifact = f"{key}.rank{_jax.process_index()}.npz"
+    np.savez_compressed(
+        os.path.join(args.out, artifact),
+        indices=np.asarray(idxs),
+        heatmaps=heats,
+        **fields,
+    )
+    payload[key] = {
+        "images": len(idxs),
+        "seconds": round(seconds, 3),
+        "artifact": artifact,
+    }
+
+
 def main(argv=None):
     p = common.build_parser(__doc__)
     p.add_argument("--num-images", type=int, default=8)
@@ -57,6 +96,10 @@ def main(argv=None):
                         "in ONE vmapped program (survive-probability maps → "
                         "gp_class_heatmaps.npz; the reference's "
                         "gp_classification.py at sweep scale)")
+    p.add_argument("--gp-class-iters", type=int, default=30,
+                   help="(--gp-class-heatmaps) ELBO Adam iterations — the "
+                        "reference's gp_classification count (30; --gp_iters "
+                        "stays the regression pass's 20)")
     p.add_argument("--bo", action="store_true",
                    help="drive the sweep with the FLAGSHIP GP-EI BO path "
                         "(batched vmapped fused loops per flush) instead of "
@@ -83,9 +126,18 @@ def main(argv=None):
             multihost as multihost_mod,
         )
 
-        multihost_mod.initialize_distributed(
+        if not multihost_mod.initialize_distributed(
             args.coordinator, args.num_processes, args.process_id
-        )
+        ):
+            import sys as _sys
+
+            # No coordinator info anywhere: refusing beats N hosts each
+            # sweeping the FULL image set as separate "rank 0"s racing
+            # on --out.
+            print("error: --multihost could not initialize jax.distributed "
+                  "— pass --coordinator/--num-processes/--process-id or set "
+                  "JAX_COORDINATOR_ADDRESS", file=_sys.stderr)
+            return 2
         import jax as _jax
 
         if _jax.process_count() > 1:
@@ -207,116 +259,67 @@ def main(argv=None):
         # GP-surrogate pass over the whole sweep: N exact Kronecker pixel-GP
         # fits + posteriors as ONE vmapped program (reference fits one image
         # per process, gp_superpixel_data_imagenet.py:578-663).
-        import os
-        import time
-
         from network_interpretation_imagenet_tpu.gp import kron
 
-        idxs = sorted(res.heatmaps)
-        heats = np.stack([res.heatmaps[i] for i in idxs])
-        t0 = time.perf_counter()
-        # Fixed-size chunks bound device memory (one vmapped program holds
-        # per-image per-lengthscale projections) and keep ONE compiled shape
-        # for full flushes; a val-set-scale sweep must not stack 50k grids
-        # into a single program.
-        chunk = 32
-        if mesh is not None:
-            # Image axis shards over the mesh (eigenbases replicate) —
-            # scale the chunk so each device still sees ~32 grids/program.
-            chunk *= int(mesh.shape["data"])
-        params, means_l, vars_l = [], [], []
-        for lo in range(0, len(heats), chunk):
-            p_c, m_c, v_c, _ = kron.fit_posterior_batch(
-                heats[lo:lo + chunk], iters=args.gp_iters, lr=args.gp_lr,
-                mesh=mesh,
-            )
-            params.extend(p_c)
-            means_l.append(np.asarray(m_c))
-            vars_l.append(np.asarray(v_c))
-        means = np.concatenate(means_l)
-        vars_ = np.concatenate(vars_l)
-        gp_seconds = time.perf_counter() - t0
-        os.makedirs(args.out, exist_ok=True)
-        gp_artifact = "gp_heatmaps.npz"
-        if args.multihost:
-            import jax as _jax
+        def _kron_fields(heats, chunk):
+            params, means_l, vars_l = [], [], []
+            for lo in range(0, len(heats), chunk):
+                p_c, m_c, v_c, _ = kron.fit_posterior_batch(
+                    heats[lo:lo + chunk], iters=args.gp_iters,
+                    lr=args.gp_lr, mesh=mesh,
+                )
+                params.extend(p_c)
+                means_l.append(np.asarray(m_c))
+                vars_l.append(np.asarray(v_c))
+            return {
+                "gp_mean": np.concatenate(means_l),
+                "gp_var": np.concatenate(vars_l),
+                "lengthscales": np.asarray(
+                    [float(np.exp(p.log_lengthscale)) for p in params]
+                ),
+            }
 
-            if _jax.process_count() > 1:
-                # Every rank runs this block over ITS stride; a shared
-                # filename would have ranks racing on one npz. The `indices`
-                # field carries each rank's dataset indices, so the per-rank
-                # artifacts concatenate trivially offline.
-                gp_artifact = f"gp_heatmaps.rank{_jax.process_index()}.npz"
-        np.savez_compressed(
-            os.path.join(args.out, gp_artifact),
-            indices=np.asarray(idxs),
-            heatmaps=heats,
-            gp_mean=np.asarray(means),
-            gp_var=np.asarray(vars_),
-            lengthscales=np.asarray(
-                [float(np.exp(p.log_lengthscale)) for p in params]
-            ),
-        )
-        payload["gp_heatmaps"] = {
-            "images": len(idxs),
-            "seconds": round(gp_seconds, 3),
-            "artifact": gp_artifact,
-        }
+        # chunk=32 bounds device memory (one vmapped program holds per-image
+        # per-lengthscale projections) and keeps ONE compiled shape for full
+        # flushes; a val-set-scale sweep must not stack 50k grids at once.
+        _gp_surrogate_pass(args, res, mesh, payload, "gp_heatmaps",
+                           base_chunk=32, fields_fn=_kron_fields)
 
     if args.gp_class_heatmaps and res.heatmaps:
         # Classification-GP pass: the reference's gp_classification.py
         # (grid-inducing Bernoulli GP over ONE image's binarized labels,
         # one process per image) at sweep scale — N median-binarized
         # heatmaps fit as ONE vmapped program (mesh: image axis shards).
-        import os
-        import time
-
         from network_interpretation_imagenet_tpu.gp import variational as vgp
 
-        idxs = sorted(res.heatmaps)
-        heats = np.stack([res.heatmaps[i] for i in idxs]).astype(np.float32)
-        n_img, h, w = heats.shape
-        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-        coords = np.stack([yy.ravel(), xx.ravel()], axis=1).astype(np.float32)
-        flat = heats.reshape(n_img, -1)
-        med = np.median(flat, axis=1, keepdims=True)
-        ys = (flat > med).astype(np.float32)  # --binarize median semantics
-        model = vgp.init_model(max(h, w), grid_size=min(args.grid_size, 10))
-        t0 = time.perf_counter()
+        def _class_fields(heats, chunk):
+            n_img, h, w = heats.shape
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            coords = np.stack(
+                [yy.ravel(), xx.ravel()], axis=1
+            ).astype(np.float32)
+            flat = heats.reshape(n_img, -1)
+            med = np.median(flat, axis=1, keepdims=True)
+            ys = (flat > med).astype(np.float32)  # --binarize median
+            model = vgp.init_model(
+                max(h, w), grid_size=min(args.grid_size, 10)
+            )
+            probs_l = []
+            for lo in range(0, n_img, chunk):
+                _, p_c, _ = vgp.fit_predict_batch(
+                    model, coords, ys[lo:lo + chunk],
+                    iters=args.gp_class_iters, lr=args.gp_lr, mesh=mesh,
+                    return_models=False,
+                )
+                probs_l.append(np.asarray(p_c))
+            return {
+                "survive_proba": np.concatenate(probs_l).reshape(n_img, h, w)
+            }
+
         # Smaller chunks than the Kronecker pass: each image carries a
         # [M, H·W] projection through the ELBO grad.
-        chunk = 16
-        if mesh is not None:
-            chunk *= int(mesh.shape["data"])
-        probs_l = []
-        for lo in range(0, n_img, chunk):
-            _, p_c, _ = vgp.fit_predict_batch(
-                model, coords, ys[lo:lo + chunk],
-                iters=args.gp_iters, lr=args.gp_lr, mesh=mesh,
-            )
-            probs_l.append(np.asarray(p_c))
-        probs = np.concatenate(probs_l).reshape(n_img, h, w)
-        gpc_seconds = time.perf_counter() - t0
-        os.makedirs(args.out, exist_ok=True)
-        gpc_artifact = "gp_class_heatmaps.npz"
-        if args.multihost:
-            import jax as _jax
-
-            if _jax.process_count() > 1:
-                gpc_artifact = (
-                    f"gp_class_heatmaps.rank{_jax.process_index()}.npz"
-                )
-        np.savez_compressed(
-            os.path.join(args.out, gpc_artifact),
-            indices=np.asarray(idxs),
-            heatmaps=heats,
-            survive_proba=probs,
-        )
-        payload["gp_class_heatmaps"] = {
-            "images": len(idxs),
-            "seconds": round(gpc_seconds, 3),
-            "artifact": gpc_artifact,
-        }
+        _gp_surrogate_pass(args, res, mesh, payload, "gp_class_heatmaps",
+                           base_chunk=16, fields_fn=_class_fields)
 
     if args.multihost:
         import jax
@@ -345,15 +348,19 @@ def main(argv=None):
             for key, gp_info in gp_infos.items():
                 if gp_info is None:
                     continue
-                # Every rank wrote its own <key>.rank*.npz; point the
-                # merged result at all of them (each carries its `indices`).
-                import glob as _glob
+                # Every rank wrote its own <key>.rank{r}.npz; point the
+                # merged result at THIS run's ranks only (a glob would pick
+                # up stale rank files from a previous larger-world run —
+                # each rank clears only its OWN stale file at init).
                 import os as _os
 
-                gp_info["artifacts"] = sorted(
-                    _os.path.basename(p) for p in
-                    _glob.glob(_os.path.join(args.out, f"{key}.rank*.npz"))
-                )
+                gp_info["artifacts"] = [
+                    f"{key}.rank{r}.npz"
+                    for r in range(jax.process_count())
+                    if _os.path.exists(
+                        _os.path.join(args.out, f"{key}.rank{r}.npz")
+                    )
+                ]
                 payload[key] = gp_info
 
     common.emit_result(args.out, "sweep_result.json", payload)

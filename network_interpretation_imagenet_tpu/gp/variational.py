@@ -132,6 +132,22 @@ def neg_elbo(params: VGPParams, inducing: Array, x: Array, y01: Array) -> Array:
     return -(ell - _kl(params, luu, s_chol))
 
 
+def _elbo_scan(p0, inducing, opt, x, y, iters: int):
+    """``iters`` Adam steps of the negative ELBO as one ``lax.scan`` —
+    THE fit body, shared by the single and batched drivers."""
+    s0 = opt.init(p0)
+
+    def step(carry, _):
+        p, s = carry
+        loss, grads = jax.value_and_grad(neg_elbo)(p, inducing, x, y)
+        updates, s = opt.update(grads, s)
+        p = optax.apply_updates(p, updates)
+        return (p, s), loss
+
+    (pf, _), losses = jax.lax.scan(step, (p0, s0), None, length=iters)
+    return pf, losses
+
+
 @functools.lru_cache(maxsize=16)
 def _fit_core(iters: int, lr: float):
     """Jitted ELBO-fit core, cached per (iters, lr) so repeat fits in one
@@ -140,17 +156,7 @@ def _fit_core(iters: int, lr: float):
 
     @jax.jit
     def run(p0, inducing, xx, yy):
-        s0 = opt.init(p0)
-
-        def step(carry, _):
-            p, s = carry
-            loss, grads = jax.value_and_grad(neg_elbo)(p, inducing, xx, yy)
-            updates, s = opt.update(grads, s)
-            p = optax.apply_updates(p, updates)
-            return (p, s), loss
-
-        (pf, _), losses = jax.lax.scan(step, (p0, s0), None, length=iters)
-        return pf, losses
+        return _elbo_scan(p0, inducing, opt, xx, yy, iters)
 
     return run
 
@@ -166,11 +172,16 @@ def fit_adam(
     return VGPModel(pf, model.inducing), losses
 
 
-def predict_proba(model: VGPModel, x: Array) -> Array:
+def _predict_proba_params(params: VGPParams, inducing: Array, x: Array) -> Array:
     """p(y=1|x) = Φ(μ/√(1+s²)) — closed-form probit predictive
     (the reference's BernoulliLikelihood mean, ``gp_classification.py:372``)."""
-    mu, s2, _, _ = _marginals(model.params, model.inducing, x)
+    mu, s2, _, _ = _marginals(params, inducing, x)
     return jax.scipy.stats.norm.cdf(mu / jnp.sqrt(1.0 + s2))
+
+
+def predict_proba(model: VGPModel, x: Array) -> Array:
+    """See :func:`_predict_proba_params` (public model-object wrapper)."""
+    return _predict_proba_params(model.params, model.inducing, x)
 
 
 # ---------------------------------------------------------------------------
@@ -184,18 +195,8 @@ def _fit_predict_one(iters: int):
     vmapped/shard_mapped by the batch drivers below)."""
 
     def one(p0, inducing, opt, x, y, xt):
-        s0 = opt.init(p0)
-
-        def step(carry, _):
-            p, s = carry
-            loss, grads = jax.value_and_grad(neg_elbo)(p, inducing, x, y)
-            updates, s = opt.update(grads, s)
-            p = optax.apply_updates(p, updates)
-            return (p, s), loss
-
-        (pf, _), losses = jax.lax.scan(step, (p0, s0), None, length=iters)
-        mu, s2, _, _ = _marginals(pf, inducing, xt)
-        probs = jax.scipy.stats.norm.cdf(mu / jnp.sqrt(1.0 + s2))
+        pf, losses = _elbo_scan(p0, inducing, opt, x, y, iters)
+        probs = _predict_proba_params(pf, inducing, xt)
         return pf, probs, losses
 
     return one
@@ -250,6 +251,7 @@ def fit_predict_batch(
     lr: float = 0.1,
     mesh=None,
     data_axis: str = "data",
+    return_models: bool = True,
 ):
     """Fit N variational classification GPs — shared coords ``x`` [P, 2] and
     inducing grid, per-image labels ``ys01`` [N, P] — and evaluate their
@@ -261,7 +263,9 @@ def fit_predict_batch(
     the mesh (coords/inducing/init replicate); N pads to a multiple of the
     axis size with repeats of the first label vector and outputs trim.
 
-    Returns (models: list[VGPModel] of length N, probs [N, T], losses
+    Returns (models: list[VGPModel] of length N — or None with
+    ``return_models=False``, sparing N per-leaf device slices when the
+    caller only wants the probability maps — probs [N, T], losses
     [N, iters]).
     """
     x = jnp.asarray(x, jnp.float32)
@@ -283,6 +287,8 @@ def fit_predict_batch(
     else:
         run = _fit_predict_batch_core(int(iters), float(lr))
         pf, probs, losses = run(model.params, model.inducing, x, ys, xt)
+    if not return_models:
+        return None, probs, losses
     models = [
         VGPModel(jax.tree.map(lambda a: a[i], pf), model.inducing)
         for i in range(n)

@@ -98,9 +98,16 @@ def clear_stale_rank_result(out_dir: str, rank: Optional[int] = None) -> None:
     that died mid-run last time).
     """
     rank = jax.process_index() if rank is None else rank
-    path = rank_result_path(out_dir, rank)
-    if os.path.exists(path):
-        os.remove(path)
+    stale = [rank_result_path(out_dir, rank)]
+    # Per-rank GP artifacts from a previous run with a DIFFERENT world size
+    # would otherwise survive and be mistaken for this run's outputs.
+    stale += [
+        os.path.join(out_dir, f"{key}.rank{rank}.npz")
+        for key in ("gp_heatmaps", "gp_class_heatmaps")
+    ]
+    for path in stale:
+        if os.path.exists(path):
+            os.remove(path)
 
 
 def write_rank_result(out_dir: str, res, rank: Optional[int] = None) -> str:

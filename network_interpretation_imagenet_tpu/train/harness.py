@@ -65,18 +65,26 @@ class Trainer:
         logger: Optional[PhaseLogger] = None,
         arch_args: Optional[dict] = None,
         globalize=None,
+        eval_local_metrics: bool = False,
     ):
         """``globalize(images, labels) -> (Array, Array)`` maps one host
         batch onto the mesh. Default: plain ``jnp.asarray`` (single-process;
         the step's sharding constraint places it). Multi-process trainers
         pass a ``jax.make_array_from_process_local_data`` wrapper so each
         rank contributes its LOCAL slice of the global batch
-        (``cli.main --multihost``)."""
+        (``cli.main --multihost``).
+
+        ``eval_local_metrics=True`` (multi-process validation): each rank
+        evaluates its OWN disjoint val batches with plain local arrays —
+        no global-batch divisibility constraint, so the val tail is never
+        dropped — and the (loss·n, correct, correct5, n) sums cross
+        processes once per evaluate() via ``process_allgather``."""
         self.bundle = bundle
         self.cfg = cfg
         self.globalize = globalize or (
             lambda images, labels: (jnp.asarray(images), jnp.asarray(labels))
         )
+        self.eval_local_metrics = eval_local_metrics
         # Architecture flags persisted with the checkpoint so resume can
         # rebuild the exact model (reference args.py:79-80 arch_resume_names).
         self.arch_args = dict(arch_args) if arch_args else None
@@ -249,7 +257,13 @@ class Trainer:
         import jax
 
         for images, labels in loader:
-            images_d, labels_d = self.globalize(images, labels)
+            if self.eval_local_metrics:
+                if len(labels) == 0:
+                    continue
+                images_d = jnp.asarray(np.ascontiguousarray(images))
+                labels_d = jnp.asarray(np.asarray(labels, np.int32))
+            else:
+                images_d, labels_d = self.globalize(images, labels)
             loss, top1, top5 = jax.device_get(self._eval_step(
                 self.state.params,
                 self.state.batch_stats,
@@ -261,9 +275,21 @@ class Trainer:
             correct += int(top1)
             correct5 += int(top5)
             total += n
+        loss_sum = loss_m.sum
+        if self.eval_local_metrics and jax.process_count() > 1:
+            # Sum the per-rank counts across processes (each rank saw a
+            # disjoint val subset). ONE collective per evaluate().
+            from jax.experimental import multihost_utils
+
+            sums = np.asarray(multihost_utils.process_allgather(
+                np.array([loss_sum, correct, correct5, total], np.float64)
+            )).sum(axis=0)
+            loss_sum, correct, correct5, total = (
+                float(sums[0]), int(sums[1]), int(sums[2]), int(sums[3])
+            )
         err1 = 100.0 * (1.0 - correct / max(total, 1))
         err5 = 100.0 * (1.0 - correct5 / max(total, 1))
-        return loss_m.avg, err1, err5
+        return loss_sum / max(total, 1), err1, err5
 
     def fit(self, train_loader, val_loader, epochs: Optional[int] = None) -> List[Dict]:
         """Run the epoch loop; returns per-epoch history rows (also written

@@ -270,7 +270,10 @@ def test_two_process_dcn_training_matches_single_process(tmp_path):
 
     data = tmp_path / "imagenet"
     _write_image_folder(str(data / "train"), classes=2, per_class=6)
-    _write_image_folder(str(data / "val"), classes=2, per_class=4)
+    # 10 val images with -b 8: the tail does NOT fill a global batch —
+    # multihost validation must still cover every image (rank-strided local
+    # eval + cross-process count sum), matching single-process exactly.
+    _write_image_folder(str(data / "val"), classes=2, per_class=5)
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -325,3 +328,56 @@ def test_two_process_dcn_training_matches_single_process(tmp_path):
             mh_row["val_loss"], sp_row["val_loss"], rtol=5e-3
         )
         assert mh_row["val_err1"] == pytest.approx(sp_row["val_err1"], abs=1e-6)
+
+
+def test_multihost_flag_without_coordinator_errors(tmp_path):
+    """--multihost with no coordinator info must refuse (two hosts silently
+    each running as rank 0 would race on the shared checkpoint dir), for
+    both the trainer and the sweep CLI."""
+    from network_interpretation_imagenet_tpu.cli import main as main_cli
+    from network_interpretation_imagenet_tpu.cli import (
+        saliency_sweep as sweep_cli,
+    )
+
+    rc = main_cli.main([
+        "--synthetic", "--arch", "mnist_cnn", "--epochs", "1",
+        "--batch-size", "8", "--limit-images", "16",
+        "--save", str(tmp_path), "--multihost",
+    ])
+    assert rc == 2
+    rc = sweep_cli.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num-images", "2", "--num_mask_samples", "4", "--mask-batch", "4",
+        "--dtype", "float32", "--segmenter", "slic", "--n_segments", "4",
+        "--out", str(tmp_path), "--multihost",
+    ])
+    assert rc == 2
+
+
+def test_rank_slice_and_stride_semantics():
+    """_RankSlice drops partial GLOBAL batches (DP drop_last) and slices
+    full ones contiguously; _RankStride covers every item disjointly."""
+    from network_interpretation_imagenet_tpu.cli.main import (
+        _RankSlice,
+        _RankStride,
+    )
+
+    batches = [
+        (np.arange(8).reshape(8, 1), np.arange(8)),
+        (np.arange(6).reshape(6, 1), np.arange(6)),  # partial (even split!)
+        (np.arange(8).reshape(8, 1), np.arange(8) + 100),
+    ]
+    r0 = list(_RankSlice(batches, 0, 2, global_batch=8))
+    r1 = list(_RankSlice(batches, 1, 2, global_batch=8))
+    assert len(r0) == len(r1) == 2  # the 6-item partial dropped on BOTH
+    for (i0, l0), (i1, l1), (gi, gl) in zip(r0, r1,
+                                            [batches[0], batches[2]]):
+        np.testing.assert_array_equal(np.concatenate([i0, i1]), gi)
+        np.testing.assert_array_equal(np.concatenate([l0, l1]), gl)
+
+    s0 = list(_RankStride(batches, 0, 2))
+    s1 = list(_RankStride(batches, 1, 2))
+    assert len(s0) == len(s1) == 3  # nothing dropped
+    for (i0, l0), (i1, l1), (gi, gl) in zip(s0, s1, batches):
+        got = sorted(np.concatenate([l0, l1]).tolist())
+        assert got == sorted(gl.tolist())
