@@ -264,8 +264,12 @@ def make_fused_window_bo(
             gp = exact.IncrementalGPState(state.gp_linv, state.gp_logdet)
 
             # One whitened-target matvec per lengthscale, shared by MLL
-            # and prediction.
-            us = jnp.einsum("lmn,n->lm", state.gp_linv, yn)
+            # and prediction (HIGHEST: TPU f32 matmuls default to bf16
+            # multiplies — same rule as gp/exact's _highest_matmul).
+            us = jnp.einsum(
+                "lmn,n->lm", state.gp_linv, yn,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             mlls = jax.vmap(
                 lambda g, u: exact.incremental_mll(
                     g, yn, state.count.astype(jnp.float32), u=u

@@ -10,6 +10,7 @@ becomes a *vectorized* marginal-likelihood sweep over a lengthscale grid
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -41,6 +42,23 @@ class GPFit(NamedTuple):
     y_std: Array
 
 
+def _highest_matmul(fn):
+    """Build this function's ops at HIGHEST matmul precision: TPU f32
+    matmuls default to bf16 multiplies, and the GP solve/predict matvecs
+    (tiny, latency-bound — never throughput-relevant) lose the accuracy
+    class the near-singular large-lengthscale regime depends on
+    (docs/PERFORMANCE.md carried-inverse note; same rule as
+    kernels.sq_dists' gram matmul)."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
+@_highest_matmul
 def _train_matrices(params: GPParams, x: Array, y: Array, normalize_y: bool):
     y_mean = jnp.where(normalize_y, jnp.mean(y), 0.0)
     y_std_raw = jnp.std(y)
@@ -63,6 +81,7 @@ def fit(
     return GPFit(params, x, chol, alpha, y_mean, y_std)
 
 
+@_highest_matmul
 def log_marginal_likelihood(
     params: GPParams, x: Array, y: Array, normalize_y: bool = True
 ) -> Array:
@@ -75,6 +94,7 @@ def log_marginal_likelihood(
     )
 
 
+@_highest_matmul
 def predict(fit_state: GPFit, x_test: Array) -> Tuple[Array, Array]:
     """Posterior mean and *std* at test points (sklearn ``return_std=True``
     convention, de-normalized)."""
@@ -133,6 +153,7 @@ def incremental_init(max_obs: int) -> IncrementalGPState:
     return IncrementalGPState(jnp.eye(max_obs), jnp.asarray(0.0))
 
 
+@_highest_matmul
 def incremental_add(
     state: IncrementalGPState,
     xs: Array,          # f32[M] observation buffer (AFTER writing x_new)
@@ -163,6 +184,7 @@ def incremental_add(
     return IncrementalGPState(linv, state.logdet + 2.0 * jnp.log(l22))
 
 
+@_highest_matmul
 def incremental_mll(
     state: IncrementalGPState, yn: Array, n_valid: Array,
     u: Optional[Array] = None,
@@ -184,6 +206,7 @@ def incremental_mll(
     )
 
 
+@_highest_matmul
 def incremental_predict(
     state: IncrementalGPState,
     xs: Array,           # f32[M]
