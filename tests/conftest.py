@@ -60,11 +60,24 @@ _TPU_SMOKE = (
     "test_bo.py::test_bo_window_saliency_end_to_end",
 )
 
+# Individually-slow tests inside otherwise-fast modules (compile-heavy
+# vmapped/shard_map fits) — demoted so `-m fast` keeps its quick-tier
+# contract.
+_FORCE_SLOW = (
+    "test_gp.py::test_variational_fit_predict_batch_matches_per_image",
+    "test_gp.py::test_variational_fit_predict_batch_sharded_matches_single_device",
+    "test_gp.py::test_incremental_gp_matches_cholesky",
+    "test_prefetch.py::test_sweep_cli_workers_real_jpegs",
+)
+
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
         module = item.nodeid.split("::")[0].rsplit("/", 1)[-1]
+        rel_id = item.nodeid.rsplit("/", 1)[-1]
         tier = "fast" if module[:-3] in _FAST_MODULES else "slow"
+        if any(rel_id == p or rel_id.startswith(p + "[") for p in _FORCE_SLOW):
+            tier = "slow"
         item.add_marker(getattr(pytest.mark, tier))
         rel = item.nodeid.rsplit("/", 1)[-1]
         if any(rel == p or rel.startswith(p + "::") or rel.startswith(p + "[")
