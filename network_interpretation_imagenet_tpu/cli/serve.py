@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000,
                    help="0 picks a free port (printed on startup)")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile-execute every loaded program before "
+                        "accepting requests (first-request latency moves "
+                        "to startup)")
     args = p.parse_args(argv)
 
     from network_interpretation_imagenet_tpu.serving_http import (
@@ -33,9 +37,17 @@ def main(argv=None):
     )
 
     httpd = make_http_server(args.artifact, args.host, args.port)
+    if args.warmup:
+        import time
+
+        t0 = time.perf_counter()
+        n = httpd.service.warmup()
+        print(f"warmed {n} programs in {time.perf_counter() - t0:.1f}s",
+              flush=True)
     host, port = httpd.server_address[:2]
     print(f"serving {args.artifact} ({httpd.service.kind} artifact) on "
-          f"http://{host}:{port}  endpoints: /healthz /explain /eval_windows",
+          f"http://{host}:{port}  endpoints: /healthz /explain "
+          f"/explain_batch /eval_windows /eval_knockouts",
           flush=True)
     try:
         httpd.serve_forever()

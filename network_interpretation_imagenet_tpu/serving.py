@@ -253,6 +253,33 @@ class ExportedSaliencyServer:
                 break
         return np.concatenate(jax.device_get(outs))[:k]
 
+    def warmup(self) -> int:
+        """Execute every loaded program once on zero inputs so first-request
+        latency moves to startup (XLA compiles a StableHLO artifact on first
+        call per process; the persistent cache makes repeats cheap). Returns
+        the number of programs touched."""
+        import jax
+        import jax.numpy as jnp
+
+        h = int(self.manifest["input_size"])
+        c = int(self.manifest["input_channels"])
+        image = jnp.zeros((h, h, c), jnp.float32)
+        segments = jnp.zeros((h, h), jnp.int32)
+        n = 0
+        for b in self.buckets:
+            jax.block_until_ready(self._fns[b].call(
+                self.variables, image, segments,
+                jnp.zeros((b,), jnp.int32), jnp.int32(1),
+            ))
+            n += 1
+        for b in self.ko_buckets:
+            jax.block_until_ready(self._ko_fns[b].call(
+                self.variables, image, segments,
+                jnp.full((b, self.knockout_m), -1, jnp.int32),
+            ))
+            n += 1
+        return n
+
     def logits_for_windows(
         self, image, segments, firsts, width: int
     ) -> np.ndarray:
@@ -563,6 +590,44 @@ class ExportedBOServer:
                 variables = serialization.msgpack_restore(f.read())
         self.variables = jax.device_put(variables)
         self.buckets = sorted(self._fns)
+
+    def warmup(self) -> int:
+        """Execute every loaded program (predict heads + single and batched
+        BO loops) once on zero inputs — see
+        ``ExportedSaliencyServer.warmup``. Returns the program count."""
+        import jax
+        import jax.numpy as jnp
+
+        h = int(self.manifest["input_size"])
+        c = int(self.manifest["input_channels"])
+        image = jnp.zeros((h, h, c), jnp.float32)
+        segments = jnp.zeros((h, h), jnp.int32)
+        key = jax.random.PRNGKey(0)
+        one = jnp.int32(1)
+        n = 1
+        jax.block_until_ready(self._predict.call(self.variables, image))
+        for fn in self._fns.values():
+            jax.block_until_ready(fn.call(
+                self.variables, image, segments, one, jnp.int32(0), one, key
+            ))
+            n += 1
+        for nb, fns in self._batched_fns.items():
+            imgs = jnp.zeros((nb, h, h, c), jnp.float32)
+            segs = jnp.zeros((nb, h, h), jnp.int32)
+            ones = jnp.ones((nb,), jnp.int32)
+            keys = jax.random.split(key, nb)
+            for fn in fns.values():
+                jax.block_until_ready(fn.call(
+                    self.variables, imgs, segs, ones,
+                    jnp.zeros((nb,), jnp.int32), ones, keys,
+                ))
+                n += 1
+        for nb, fn in self._batched_predicts.items():
+            jax.block_until_ready(fn.call(
+                self.variables, jnp.zeros((nb, h, h, c), jnp.float32)
+            ))
+            n += 1
+        return n
 
     def predict_logits(self, image) -> np.ndarray:
         """f32 [num_classes] logits from the bundled batch-1 predict head

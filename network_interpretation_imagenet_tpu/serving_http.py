@@ -123,6 +123,16 @@ class SaliencyService:
             if s is not None
         )
 
+    def warmup(self) -> int:
+        """Compile-execute every loaded program once (both artifact kinds)
+        so the first real request is served warm. Returns program count."""
+        n = 0
+        with self._lock:
+            for server in (self.engine_server, self.bo_server):
+                if server is not None:
+                    n += server.warmup()
+        return n
+
     def healthz(self) -> dict:
         out = {"status": "ok", "kind": self.kind}
         if self.bo_server is not None:

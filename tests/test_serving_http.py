@@ -438,3 +438,28 @@ def test_http_explain_batch_overflow_falls_back_and_empty_batch(tmp_path, rng):
             "--arch", "mnist_cnn", "--dataset", "mnist", "--synthetic",
             "--out", str(tmp_path / "x"), "--bo-image-batches", "4",
         ])
+
+
+def test_service_warmup_touches_every_program(tmp_path, rng):
+    """warmup() executes every loaded program (window + knockout buckets,
+    BO loops incl. batched, predict heads) and requests still serve."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.serving_http import SaliencyService
+
+    engine = _engine()
+    path = str(tmp_path / "combined")
+    serving.export_engine(engine, path, batch_sizes=(8, 4), knockout_m=2)
+    serving.export_bo_engine(
+        engine, path, bo_cfg=BOConfig(n_iters=2, n_pre_samples=2),
+        candidate_buckets=(7,), image_batches=(2,), include_weights=False,
+    )
+    service = SaliencyService(path)
+    # engine: 2 window + 2 knockout; bo: predict1 + 1 loop + 1 batched loop
+    # + 1 batched predict = 4.
+    assert service.warmup() == 8
+    out = service.explain({
+        "image": rng.rand(28, 28, 1).astype(np.float32).tolist(),
+        "segments": rng.randint(0, 7, (28, 28)).tolist(),
+        "target": 1,
+    })
+    assert "heatmap_b64" in out
