@@ -107,6 +107,16 @@ def main(argv=None):
     common.add_bo_flags(p)
     p.add_argument("--proposals-per-iter", type=int, default=1,
                    help="(--bo) q-batched BO proposals per GP refit")
+    p.add_argument("--journal", default=None, metavar="PATH",
+                   help="per-image outcome journal (JSONL) enabling --resume "
+                        "(default <out>/sweep_journal.jsonl; rank-suffixed "
+                        "on --multihost)")
+    p.add_argument("--no-journal", dest="journal", action="store_const",
+                   const="", help="disable the sweep journal")
+    p.add_argument("--resume", action="store_true",
+                   help="restore finished images from the journal and sweep "
+                        "only the rest (per-image seeds derive from dataset "
+                        "indices, so results match an uninterrupted run)")
     p.add_argument("--multihost", action="store_true",
                    help="multi-process (DCN) sweep: initialize "
                         "jax.distributed from the environment (or the "
@@ -205,6 +215,27 @@ def main(argv=None):
 
         mesh = make_mesh()
     logger = PhaseLogger(enabled=args.trace)
+
+    journal = None
+    if args.journal != "":  # "" = --no-journal
+        import os as _os
+
+        from network_interpretation_imagenet_tpu.saliency.journal import (
+            SweepJournal,
+        )
+
+        jpath = args.journal or _os.path.join(args.out, "sweep_journal.jsonl")
+        if args.multihost:
+            import jax as _jax
+
+            if _jax.process_count() > 1:
+                # Each rank journals (and resumes) only its own stride.
+                root, ext = _os.path.splitext(jpath)
+                jpath = f"{root}.rank{_jax.process_index()}{ext}"
+        journal = SweepJournal(
+            jpath, resume=args.resume,
+            keep_heatmaps=args.gp_heatmaps or args.gp_class_heatmaps,
+        )
     if args.bo:
         from network_interpretation_imagenet_tpu.config import BOConfig
         from network_interpretation_imagenet_tpu.saliency.sweep import (
@@ -227,6 +258,7 @@ def main(argv=None):
             proposals_per_iter=args.proposals_per_iter,
             keep_heatmaps=args.gp_heatmaps or args.gp_class_heatmaps,
             dataset_indices=dataset_indices,
+            journal=journal,
         )
     else:
         res = saliency_sweep(
@@ -245,7 +277,10 @@ def main(argv=None):
             dataset_indices=dataset_indices,
             mode=args.mode,
             num_knockout=args.num_knockout,
+            journal=journal,
         )
+    if journal is not None:
+        journal.close()
     # Scalar fields only — dataclasses.asdict would deep-copy every retained
     # heatmap and per-image row just to discard them.
     payload = {

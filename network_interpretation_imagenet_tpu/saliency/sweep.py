@@ -157,6 +157,7 @@ def saliency_sweep(
     dataset_indices=None,
     mode: str = "window",
     num_knockout: int = 1,
+    journal=None,
 ) -> SweepResult:
     """Sweep (image, label, gt_bbox?) triples; returns aggregate metrics.
 
@@ -180,6 +181,15 @@ def saliency_sweep(
     ``process_strided_indices`` stride here so every process derives the
     SAME per-image PRNG streams a single-process sweep would, and merged
     rows keep their dataset identity.
+
+    ``journal`` (a :class:`saliency.journal.SweepJournal`) appends each
+    image's terminal outcome as it finalizes and, when constructed with
+    ``resume=True``, restores finished images into the result and skips
+    them — crash-safe resume for hours-long sweeps (the reference loses
+    everything on interruption). Per-image seeds derive from dataset
+    indices, so a resumed sweep's remaining images produce byte-identical
+    results to an uninterrupted run. ``evals_per_sec`` counts only THIS
+    run's new work.
     """
     import collections
 
@@ -210,6 +220,15 @@ def saliency_sweep(
     res = SweepResult()
     iou_m, surv_m = AverageMeter(), AverageMeter()
     latencies = []
+    done = ()
+    if journal is not None:
+        from network_interpretation_imagenet_tpu.saliency.journal import (
+            JournalingLogger,
+        )
+
+        journal.restore_into(res, iou_m, surv_m, latencies, keep_heatmaps)
+        done = journal.done
+        log = JournalingLogger(log, journal)
     total_evals = 0
     t_start = time.perf_counter()
 
@@ -231,6 +250,8 @@ def saliency_sweep(
         res.images_explained += 1
         if keep_heatmaps:
             res.heatmaps[i] = np.asarray(heat)
+        if journal is not None and keep_heatmaps:
+            journal.save_heatmap(i, heat)  # before the row marks it done
         latencies.append(time.perf_counter() - t0)
         row["seconds"] = round(latencies[-1], 4)
         res.per_image.append(row)
@@ -410,6 +431,8 @@ def saliency_sweep(
         if max_images is not None and pos >= max_images:
             break
         i = int(dataset_indices[pos]) if dataset_indices is not None else pos
+        if i in done:  # journaled terminal outcome from a previous run
+            continue
         res.images_total += 1
         t0 = time.perf_counter()
         try:
@@ -515,6 +538,7 @@ def bo_saliency_sweep(
     proposals_per_iter: int = 1,
     keep_heatmaps: bool = False,
     dataset_indices=None,
+    journal=None,
 ) -> SweepResult:
     """Val-set sweep driven by the FLAGSHIP path: GP-EI BO per image
     (``bayesian_active_learning_imagenet.py:379-498``), batched — every
@@ -533,6 +557,10 @@ def bo_saliency_sweep(
     measures that; ~120 ms for ResNet-101). Throughput (``evals_per_sec``,
     or images/s from ``images_explained``/wall) is this sweep's primary
     metric.
+
+    ``journal``: see :func:`saliency_sweep` — same crash-safe resume
+    semantics (per-image PRNG keys derive from dataset indices, so resumed
+    images match an uninterrupted run exactly).
     """
     from network_interpretation_imagenet_tpu.config import BOConfig
     from network_interpretation_imagenet_tpu.ops import aggregate
@@ -545,6 +573,15 @@ def bo_saliency_sweep(
     res = SweepResult()
     iou_m, surv_m = AverageMeter(), AverageMeter()
     latencies = []
+    done = ()
+    if journal is not None:
+        from network_interpretation_imagenet_tpu.saliency.journal import (
+            JournalingLogger,
+        )
+
+        journal.restore_into(res, iou_m, surv_m, latencies, keep_heatmaps)
+        done = journal.done
+        log = JournalingLogger(log, journal)
     evals_per_image = bo_cfg.n_pre_samples + bo_cfg.n_iters * proposals_per_iter
     total_evals = 0
     t_start = time.perf_counter()
@@ -586,6 +623,8 @@ def bo_saliency_sweep(
                 res.images_explained += 1
                 if keep_heatmaps:
                     res.heatmaps[idxs[j]] = np.asarray(out.heatmap)
+                if journal is not None and keep_heatmaps:
+                    journal.save_heatmap(idxs[j], out.heatmap)
                 latencies.append(time.perf_counter() - t0s[j])
                 row["seconds"] = round(latencies[-1], 4)
                 res.per_image.append(row)
@@ -669,6 +708,8 @@ def bo_saliency_sweep(
         if max_images is not None and pos >= max_images:
             break
         i = int(dataset_indices[pos]) if dataset_indices is not None else pos
+        if i in done:  # journaled terminal outcome from a previous run
+            continue
         res.images_total += 1
         t0 = time.perf_counter()
         try:
