@@ -30,7 +30,15 @@ def main(argv=None):
                    help="compile-execute every loaded program before "
                         "accepting requests (first-request latency moves "
                         "to startup)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="pin the JAX backend (a CPU serving host needn't "
+                        "see an accelerator)")
     args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from network_interpretation_imagenet_tpu.serving_http import (
         make_http_server,
@@ -46,7 +54,7 @@ def main(argv=None):
               flush=True)
     host, port = httpd.server_address[:2]
     print(f"serving {args.artifact} ({httpd.service.kind} artifact) on "
-          f"http://{host}:{port}  endpoints: /healthz /explain "
+          f"http://{host}:{port}  endpoints: /healthz /metrics /explain "
           f"/explain_batch /eval_windows /eval_knockouts",
           flush=True)
     try:

@@ -12,6 +12,9 @@ framework.
 Endpoints (JSON in/out):
 
 * ``GET /healthz`` — artifact kind + manifest.
+* ``GET /metrics`` — per-endpoint observability: request/error counts and
+  p50/p90/p99/max latency over a bounded window, plus process uptime
+  (JSON, matching the rest of the API).
 * ``POST /explain`` — one image → saliency explanation. ``"mode"``:
   - ``"bo"`` (default on BO artifacts): the AOT fused active-learning loop
     (``ExportedBOServer.explain`` — bit-parity with ``bo_window_saliency``).
@@ -93,6 +96,64 @@ def _segment_for(body: dict, image: np.ndarray) -> np.ndarray:
     if disp.ndim == 3 and disp.shape[2] == 1:
         disp = disp[:, :, 0]
     return segment_image(disp, cfg)
+
+
+class ServiceMetrics:
+    """Thread-safe per-endpoint request counters + bounded latency window.
+
+    ``window`` bounds memory per endpoint; quantiles are over the last
+    ``window`` requests (a serving process handles few, long device calls,
+    so a small sliding window tracks current behavior better than
+    lifetime aggregates).
+    """
+
+    def __init__(self, window: int = 512):
+        import collections
+        import time
+
+        self._lock = threading.Lock()
+        self._window = window
+        self._t_start = time.time()
+        self._stats: dict = {}
+        self._deque = collections.deque
+
+    def observe(self, endpoint: str, code: int, seconds: float) -> None:
+        with self._lock:
+            st = self._stats.setdefault(
+                endpoint,
+                {"count": 0, "errors_4xx": 0, "errors_5xx": 0,
+                 "lat": self._deque(maxlen=self._window)},
+            )
+            st["count"] += 1
+            if 400 <= code < 500:
+                st["errors_4xx"] += 1
+            elif code >= 500:
+                st["errors_5xx"] += 1
+            st["lat"].append(seconds)
+
+    def snapshot(self) -> dict:
+        import time
+
+        with self._lock:
+            out = {"uptime_seconds": round(time.time() - self._t_start, 3),
+                   "endpoints": {}}
+            for ep, st in self._stats.items():
+                lat = np.asarray(st["lat"], np.float64)
+                entry = {
+                    "count": st["count"],
+                    "errors_4xx": st["errors_4xx"],
+                    "errors_5xx": st["errors_5xx"],
+                }
+                if lat.size:
+                    entry["latency_seconds"] = {
+                        "window": int(lat.size),
+                        "p50": round(float(np.percentile(lat, 50)), 6),
+                        "p90": round(float(np.percentile(lat, 90)), 6),
+                        "p99": round(float(np.percentile(lat, 99)), 6),
+                        "max": round(float(lat.max()), 6),
+                    }
+                out["endpoints"][ep] = entry
+            return out
 
 
 class SaliencyService:
@@ -377,7 +438,16 @@ def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
                      port: int = 0) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; ``.server_address`` holds
     the bound (host, port) — port 0 picks a free one."""
+    import time
+
     service = SaliencyService(artifact_dir)
+    metrics = ServiceMetrics()
+    _POST_ROUTES = {
+        "/explain": service.explain,
+        "/explain_batch": service.explain_batch,
+        "/eval_windows": service.eval_windows,
+        "/eval_knockouts": service.eval_knockouts,
+    }
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -394,30 +464,33 @@ def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, service.healthz())
+            elif self.path == "/metrics":
+                # /metrics observes only real work (POST endpoints), not
+                # itself or health probes.
+                self._send(200, metrics.snapshot())
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            t0 = time.perf_counter()
+            fn = _POST_ROUTES.get(self.path)
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
-                if self.path == "/explain":
-                    self._send(200, service.explain(body))
-                elif self.path == "/explain_batch":
-                    self._send(200, service.explain_batch(body))
-                elif self.path == "/eval_windows":
-                    self._send(200, service.eval_windows(body))
-                elif self.path == "/eval_knockouts":
-                    self._send(200, service.eval_knockouts(body))
-                else:
+                if fn is None:
                     self._send(404, {"error": f"unknown path {self.path}"})
+                    return
+                code, payload = 200, fn(body)
             except (ValueError, KeyError, TypeError, AttributeError) as e:
                 # Malformed client input (wrong JSON shape, bad dtypes,
                 # unknown SegmentConfig keys) is a 400, not a 500.
-                self._send(400, {"error": str(e)})
+                code, payload = 400, {"error": str(e)}
             except Exception as e:  # surface, don't kill the server
-                self._send(500, {"error": repr(e)})
+                code, payload = 500, {"error": repr(e)}
+            metrics.observe(self.path, code, time.perf_counter() - t0)
+            self._send(code, payload)
 
     httpd = ThreadingHTTPServer((host, port), Handler)
     httpd.service = service  # for tests/introspection
+    httpd.metrics = metrics
     return httpd

@@ -463,3 +463,36 @@ def test_service_warmup_touches_every_program(tmp_path, rng):
         "target": 1,
     })
     assert "heatmap_b64" in out
+
+
+def test_http_metrics_endpoint(http_engine_server, rng):
+    """/metrics tracks POST endpoints: counts, 4xx errors, latency window."""
+    engine, httpd = http_engine_server
+    host, port = httpd.server_address[:2]
+    conn = HTTPConnection(host, port)
+
+    img = rng.rand(28, 28, 1).astype(np.float32)
+    seg = rng.randint(0, 8, (28, 28)).astype(np.int32)
+    body = {"image_b64": _b64(img), "image_shape": [28, 28, 1],
+            "segments_b64": _b64(seg), "segments_shape": [28, 28],
+            "num_samples": 4, "seed": 1}
+    for _ in range(2):
+        status, _ = _post(conn, "/explain", body)
+        assert status == 200
+    status, _ = _post(conn, "/explain", {"seed": 1})  # missing image -> 400
+    assert status == 400
+
+    conn.request("GET", "/metrics")
+    r = conn.getresponse()
+    assert r.status == 200
+    snap = json.loads(r.read())
+    assert snap["uptime_seconds"] >= 0
+    ep = snap["endpoints"]["/explain"]
+    assert ep["count"] == 3
+    assert ep["errors_4xx"] == 1 and ep["errors_5xx"] == 0
+    lat = ep["latency_seconds"]
+    assert lat["window"] == 3
+    assert 0 <= lat["p50"] <= lat["p90"] <= lat["p99"] <= lat["max"]
+    # GET probes (healthz/metrics itself) are not observed.
+    assert "/metrics" not in snap["endpoints"]
+    conn.close()
