@@ -54,6 +54,24 @@ def segment_image(img_u8: np.ndarray, cfg: SegmentConfig) -> np.ndarray:
     raise ValueError(f"unknown segmentation method {cfg.method}")
 
 
+def _segment_batch_host(displays: list, cfg: SegmentConfig) -> list:
+    """Host-segmenter batch: fan across a thread pool. The FH hot path —
+    scipy gaussian smoothing and the ctypes C++ kernel — releases the GIL,
+    so a flush's N segmentations run on N cores (results are per-image
+    independent and identical to serial calls; no-op gain on 1-core
+    hosts). Order preserved by pool.map."""
+    if len(displays) <= 1:
+        return [segment_image(d, cfg) for d in displays]
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = min(8, len(displays), os.cpu_count() or 1)
+    if workers <= 1:
+        return [segment_image(d, cfg) for d in displays]
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(lambda d: segment_image(d, cfg), displays))
+
+
 def segment_image_batch(displays, cfg: SegmentConfig):
     """Segment N same-shape display images; returns a list of int32[H, W]
     label maps identical to per-image :func:`segment_image` calls.
@@ -61,7 +79,8 @@ def segment_image_batch(displays, cfg: SegmentConfig):
     For SLIC the N k-means runs batch into ONE device dispatch
     (``slic.slic_batch`` — per-image calls each pay a dispatch+readback
     round trip); the host postpasses (connectivity, relabel) stay per image.
-    Felzenszwalb is host work and simply loops.
+    Felzenszwalb fans across a thread pool (its hot path releases the GIL —
+    see :func:`_segment_batch_host`).
     """
     import jax
 
@@ -69,11 +88,11 @@ def segment_image_batch(displays, cfg: SegmentConfig):
         # Device-resident [N, H, W(, C)] batch: SLIC consumes it in place
         # (no host round trip); the host-only Felzenszwalb fetches once.
         if cfg.method != "slic":
-            return [segment_image(d, cfg) for d in np.asarray(displays)]
+            return _segment_batch_host(list(np.asarray(displays)), cfg)
     else:
         displays = list(displays)
         if cfg.method != "slic" or not displays:
-            return [segment_image(d, cfg) for d in displays]
+            return _segment_batch_host(displays, cfg)
 
     import importlib
 

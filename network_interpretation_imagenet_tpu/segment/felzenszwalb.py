@@ -27,10 +27,19 @@ _SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libfelzenszwalb.so"))
 
 _lib: Optional[ctypes.CDLL] = None
 _lib_tried = False
+_lib_lock = __import__("threading").Lock()
 
 
 def _load_native() -> Optional[ctypes.CDLL]:
-    """Build (once, via make) and load the C++ kernel; None on any failure."""
+    """Build (once, via make) and load the C++ kernel; None on any failure.
+    Thread-safe: ``segment_image_batch`` fans FH across a thread pool, and
+    two first-callers must not race the make build."""
+    global _lib, _lib_tried
+    with _lib_lock:
+        return _load_native_locked()
+
+
+def _load_native_locked() -> Optional[ctypes.CDLL]:
     global _lib, _lib_tried
     if _lib_tried:
         return _lib

@@ -164,8 +164,29 @@ def test_slic_batch_matches_per_image():
     for i, img in enumerate(imgs):
         np.testing.assert_array_equal(segs_b[i], segment_image(img, cfg))
 
-    # felzenszwalb path just loops
+    # felzenszwalb path (serial on this 1-core host)
     cfg_fh = SegmentConfig(method="felzenszwalb", scale=10.0, min_size=5)
     segs_fh = segment_image_batch(imgs, cfg_fh)
     for i, img in enumerate(imgs):
         np.testing.assert_array_equal(segs_fh[i], segment_image(img, cfg_fh))
+
+
+def test_segment_batch_host_threads_match_serial(monkeypatch):
+    """The FH batch fans across a thread pool on multi-core hosts (the
+    scipy smooth + ctypes kernel release the GIL); results must be
+    identical to serial per-image calls, in order."""
+    import os
+
+    from network_interpretation_imagenet_tpu.config import SegmentConfig
+    from network_interpretation_imagenet_tpu.segment import (
+        segment_image,
+        segment_image_batch,
+    )
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 8)  # force the pool branch
+    rng = np.random.RandomState(11)
+    imgs = [(rng.rand(32, 32, 3) * 255).astype(np.uint8) for _ in range(6)]
+    cfg = SegmentConfig(method="felzenszwalb", scale=10.0, min_size=5)
+    segs = segment_image_batch(imgs, cfg)
+    for i, img in enumerate(imgs):
+        np.testing.assert_array_equal(segs[i], segment_image(img, cfg))
