@@ -107,6 +107,13 @@ def main(argv=None):
     common.add_bo_flags(p)
     p.add_argument("--proposals-per-iter", type=int, default=1,
                    help="(--bo) q-batched BO proposals per GP refit")
+    p.add_argument("--fidelity", action="store_true",
+                   help="score every explained image's heatmap for "
+                        "faithfulness: deletion/insertion AUC (one batched "
+                        "forward per image) + pointing game where gt boxes "
+                        "exist; means land in sweep_result.json")
+    p.add_argument("--fidelity-steps", type=int, default=32,
+                   help="(--fidelity) curve resolution")
     p.add_argument("--journal", default=None, metavar="PATH",
                    help="per-image outcome journal (JSONL) enabling --resume "
                         "(default <out>/sweep_journal.jsonl; rank-suffixed "
@@ -259,6 +266,7 @@ def main(argv=None):
             keep_heatmaps=args.gp_heatmaps or args.gp_class_heatmaps,
             dataset_indices=dataset_indices,
             journal=journal,
+            fidelity_steps=args.fidelity_steps if args.fidelity else 0,
         )
     else:
         res = saliency_sweep(
@@ -278,6 +286,7 @@ def main(argv=None):
             mode=args.mode,
             num_knockout=args.num_knockout,
             journal=journal,
+            fidelity_steps=args.fidelity_steps if args.fidelity else 0,
         )
     if journal is not None:
         journal.close()

@@ -67,6 +67,9 @@ def sweep_result_to_dict(res) -> dict:
         "mean_survival": float(res.mean_survival),
         "p50_latency_s": float(res.p50_latency_s),
         "evals_per_sec": float(res.evals_per_sec),
+        "mean_deletion_auc": float(res.mean_deletion_auc),
+        "mean_insertion_auc": float(res.mean_insertion_auc),
+        "pointing_game_acc": float(res.pointing_game_acc),
         "per_image": [
             {k: (v.item() if hasattr(v, "item") else v) for k, v in row.items()}
             for row in res.per_image
@@ -183,4 +186,9 @@ def merge_sweep_metrics(results):
         lats = [r.p50_latency_s for r in results if r.p50_latency_s > 0]
         out.p50_latency_s = sorted(lats)[len(lats) // 2] if lats else 0.0
     out.evals_per_sec = sum(r.evals_per_sec for r in results)
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        _finalize_fidelity_means,
+    )
+
+    _finalize_fidelity_means(out)  # fidelity means pool from merged rows
     return out

@@ -55,10 +55,44 @@ class SweepResult:
     # throughput (`evals_per_sec`) is the sweep's primary metric.
     p50_latency_s: float = 0.0
     evals_per_sec: float = 0.0
+    # Populated (from per-image rows) when the sweep runs with
+    # fidelity_steps > 0: faithfulness at dataset scale. Good saliency →
+    # LOW deletion AUC, HIGH insertion AUC, high pointing-game accuracy.
+    mean_deletion_auc: float = 0.0
+    mean_insertion_auc: float = 0.0
+    pointing_game_acc: float = 0.0
     per_image: list = dataclasses.field(default_factory=list)
     # index → f32[H, W] summed-label heatmap; populated only when the sweep
     # runs with keep_heatmaps=True (e.g. for a batched GP-surrogate pass).
     heatmaps: dict = dataclasses.field(default_factory=dict)
+
+
+def _fidelity_row_fields(engine, image, heat, target: int, gt_bbox,
+                         steps: int) -> dict:
+    """Per-image faithfulness fields (one batched forward for both curves,
+    host pointing-game check when a gt box exists)."""
+    from network_interpretation_imagenet_tpu.saliency import eval_metrics
+
+    d = eval_metrics.deletion_insertion_auc(
+        engine, image, heat, int(target), steps=steps
+    )
+    fields = {"deletion_auc": round(d["deletion_auc"], 6),
+              "insertion_auc": round(d["insertion_auc"], 6)}
+    if gt_bbox is not None:
+        fields["pointing"] = bool(eval_metrics.pointing_game(heat, gt_bbox))
+    return fields
+
+
+def _finalize_fidelity_means(res: "SweepResult") -> None:
+    """Aggregate fidelity means from per-image rows (rows are the source of
+    truth so journal-restored and multihost-merged results aggregate the
+    same way)."""
+    dels = [r["deletion_auc"] for r in res.per_image if "deletion_auc" in r]
+    inss = [r["insertion_auc"] for r in res.per_image if "insertion_auc" in r]
+    pts = [r["pointing"] for r in res.per_image if "pointing" in r]
+    res.mean_deletion_auc = float(np.mean(dels)) if dels else 0.0
+    res.mean_insertion_auc = float(np.mean(inss)) if inss else 0.0
+    res.pointing_game_acc = float(np.mean(pts)) if pts else 0.0
 
 
 def _unpack_item(item):
@@ -158,6 +192,7 @@ def saliency_sweep(
     mode: str = "window",
     num_knockout: int = 1,
     journal=None,
+    fidelity_steps: int = 0,
 ) -> SweepResult:
     """Sweep (image, label, gt_bbox?) triples; returns aggregate metrics.
 
@@ -190,6 +225,12 @@ def saliency_sweep(
     indices, so a resumed sweep's remaining images produce byte-identical
     results to an uninterrupted run. ``evals_per_sec`` counts only THIS
     run's new work.
+
+    ``fidelity_steps`` > 0 additionally scores every explained image's
+    heatmap for faithfulness at collect time — deletion/insertion AUC (one
+    batched forward per image, 2·(steps+1) variants) and, where a gt box
+    exists, the pointing game — rolling up into ``mean_deletion_auc`` /
+    ``mean_insertion_auc`` / ``pointing_game_acc``.
     """
     import collections
 
@@ -232,7 +273,7 @@ def saliency_sweep(
     total_evals = 0
     t_start = time.perf_counter()
 
-    def finish_image(i, target, seg, s, heat, survived, t0):
+    def finish_image(i, target, seg, s, heat, survived, t0, image=None):
         nonlocal total_evals
         total_evals += num_mask_samples
         row = {
@@ -247,6 +288,10 @@ def saliency_sweep(
             iou, _ = localization_score(heat, gt_bbox, bbox_threshold)
             row["iou"] = float(iou)
             iou_m.update(float(iou))
+        if fidelity_steps > 0 and image is not None:
+            row.update(_fidelity_row_fields(
+                engine, image, heat, target, gt_bbox, fidelity_steps
+            ))
         res.images_explained += 1
         if keep_heatmaps:
             res.heatmaps[i] = np.asarray(heat)
@@ -283,7 +328,7 @@ def saliency_sweep(
                 return
             heat = aggregate_plan(fl["seg"], fl["plan"], r.survived)
             finish_image(fl["i"], pred, fl["seg"], fl["s"], heat,
-                         r.survived, fl["t0"])
+                         r.survived, fl["t0"], image=fl["image"])
         except Exception as e:
             res.images_failed += 1
             log.emit({"event": "image_failed", "index": fl["i"],
@@ -313,7 +358,7 @@ def saliency_sweep(
                       "error": repr(e)})
             return
         for j, meta in enumerate(fb["metas"]):
-            i, seg, s, plan, label, t0 = meta
+            i, seg, s, plan, label, t0, img = meta
             try:
                 pred = int(preds[j])
                 if label is not None and pred != int(label):
@@ -323,7 +368,7 @@ def saliency_sweep(
                     continue
                 surv = survived_per_image[j]
                 heat = aggregate_plan(seg, plan, surv)
-                finish_image(i, pred, seg, s, heat, surv, t0)
+                finish_image(i, pred, seg, s, heat, surv, t0, image=img)
             except Exception as e:  # per-image: never double-count the rest
                 res.images_failed += 1
                 log.emit({"event": "image_failed", "index": i,
@@ -369,7 +414,7 @@ def saliency_sweep(
             # pow-2 padded predict: the tail flush reuses a compiled shape
             logits_dev = engine.predict_logits_device(imgs_dev)
             targets_dev = jnp.argmax(logits_dev, axis=1).astype(jnp.int32)
-            metas = list(zip(idxs, segs, ss, plans, labels, t0s))
+            metas = list(zip(idxs, segs, ss, plans, labels, t0s, imgs))
             on_mesh = mesh is not None and np.prod(list(mesh.shape.values())) > 1
             if on_mesh:
                 # Image-batching AND mask-sharding compose: the flat N·K grid
@@ -483,7 +528,7 @@ def saliency_sweep(
                 inflight.append(
                     {"i": i, "label": label, "logits": logits_dev,
                      "seg": seg, "s": s, "plan": plan,
-                     "handle": handle, "t0": t0}
+                     "handle": handle, "t0": t0, "image": image}
                 )
                 while len(inflight) > 1:
                     collect_one()
@@ -506,7 +551,7 @@ def saliency_sweep(
                         window_fraction, seed + i, target, plan["firsts"],
                     )
             finish_image(i, target, seg, out.num_segments, out.heatmap,
-                         out.eval.survived, t0)
+                         out.eval.survived, t0, image=image)
         except Exception as e:  # per-image failure isolation
             res.images_failed += 1
             log.emit({"event": "image_failed", "index": i, "error": repr(e)})
@@ -520,6 +565,7 @@ def saliency_sweep(
     res.mean_survival = surv_m.avg
     res.p50_latency_s = float(np.median(latencies)) if latencies else 0.0
     res.evals_per_sec = total_evals / wall if wall > 0 else 0.0
+    _finalize_fidelity_means(res)  # rows are the source (journal/merge too)
     return res
 
 
@@ -539,6 +585,7 @@ def bo_saliency_sweep(
     keep_heatmaps: bool = False,
     dataset_indices=None,
     journal=None,
+    fidelity_steps: int = 0,
 ) -> SweepResult:
     """Val-set sweep driven by the FLAGSHIP path: GP-EI BO per image
     (``bayesian_active_learning_imagenet.py:379-498``), batched — every
@@ -560,7 +607,8 @@ def bo_saliency_sweep(
 
     ``journal``: see :func:`saliency_sweep` — same crash-safe resume
     semantics (per-image PRNG keys derive from dataset indices, so resumed
-    images match an uninterrupted run exactly).
+    images match an uninterrupted run exactly). ``fidelity_steps``: same
+    per-image deletion/insertion AUC + pointing-game scoring.
     """
     from network_interpretation_imagenet_tpu.config import BOConfig
     from network_interpretation_imagenet_tpu.ops import aggregate
@@ -596,7 +644,7 @@ def bo_saliency_sweep(
         nonlocal total_evals
         if not inflight:
             return
-        collect_fn, keep, idxs, preds, ss, gts, t0s = inflight.pop(0)
+        collect_fn, keep, idxs, preds, ss, gts, t0s, imgs = inflight.pop(0)
         try:
             results = collect_fn()
         except Exception as e:
@@ -620,6 +668,11 @@ def bo_saliency_sweep(
                                                 bbox_threshold)
                     row["iou"] = float(iou)
                     iou_m.update(float(iou))
+                if fidelity_steps > 0:
+                    row.update(_fidelity_row_fields(
+                        engine, imgs[j], out.heatmap, int(preds[j]),
+                        gts[j], fidelity_steps,
+                    ))
                 res.images_explained += 1
                 if keep_heatmaps:
                     res.heatmaps[idxs[j]] = np.asarray(out.heatmap)
@@ -699,7 +752,7 @@ def bo_saliency_sweep(
             log.emit({"event": "batch_failed", "indices": failed,
                       "error": repr(e)})
             return
-        inflight.append((collect_fn, keep, idxs, preds, ss, gts, t0s))
+        inflight.append((collect_fn, keep, idxs, preds, ss, gts, t0s, imgs))
         # Finalize the PREVIOUS flush now that this one is on the device.
         while len(inflight) > 1:
             finalize()
@@ -735,4 +788,5 @@ def bo_saliency_sweep(
     res.mean_survival = surv_m.avg
     res.p50_latency_s = float(np.median(latencies)) if latencies else 0.0
     res.evals_per_sec = total_evals / wall if wall > 0 else 0.0
+    _finalize_fidelity_means(res)  # rows are the source (journal/merge too)
     return res

@@ -428,3 +428,74 @@ def test_sweep_gp_class_heatmaps_cli(tmp_path):
     assert (blob["survive_proba"] >= 0).all()
     assert (blob["survive_proba"] <= 1).all()
     assert len(blob["indices"]) == 3
+
+
+def test_sweep_fidelity_fields_and_path_invariance():
+    """fidelity_steps>0 adds deletion/insertion AUC (+ pointing where gt
+    boxes exist) to every explained row, rolls up means, and produces
+    IDENTICAL scores through the streaming and image-batched paths."""
+    from network_interpretation_imagenet_tpu.config import SegmentConfig
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=8,
+                            compute_dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    items = []
+    for i in range(4):
+        img = rng.rand(28, 28, 1).astype(np.float32)
+        pred, _ = engine.predict_one(img)
+        gt = np.array([4, 4, 10, 10]) if i % 2 == 0 else None
+        items.append((img, pred, gt))
+
+    cfg = SegmentConfig(method="slic", n_segments=9, slic_iters=4)
+    res_s = saliency_sweep(engine, items, cfg, num_mask_samples=8,
+                           fidelity_steps=8)
+    res_b = saliency_sweep(engine, items, cfg, num_mask_samples=8,
+                           fidelity_steps=8, image_batch=2)
+
+    for res in (res_s, res_b):
+        assert res.images_explained == 4
+        for row in res.per_image:
+            assert 0.0 <= row["deletion_auc"] <= 1.0
+            assert 0.0 <= row["insertion_auc"] <= 1.0
+        with_gt = [r for r in res.per_image if "pointing" in r]
+        assert len(with_gt) == 2
+        assert res.mean_deletion_auc > 0 or res.mean_insertion_auc > 0
+        pooled = np.mean([r["pointing"] for r in with_gt])
+        assert res.pointing_game_acc == pooled
+
+    rows_s = sorted(res_s.per_image, key=lambda r: r["index"])
+    rows_b = sorted(res_b.per_image, key=lambda r: r["index"])
+    for a, b in zip(rows_s, rows_b):
+        assert a["deletion_auc"] == b["deletion_auc"]
+        assert a["insertion_auc"] == b["insertion_auc"]
+        assert a.get("pointing") == b.get("pointing")
+
+
+def test_bo_sweep_fidelity_fields():
+    from network_interpretation_imagenet_tpu.config import BOConfig, SegmentConfig
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        bo_saliency_sweep,
+    )
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=16,
+                            compute_dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    items = []
+    for _ in range(2):
+        img = rng.rand(28, 28, 1).astype(np.float32)
+        pred, _ = engine.predict_one(img)
+        items.append((img, pred, np.array([4, 4, 10, 10])))
+
+    cfg = SegmentConfig(method="slic", n_segments=9, slic_iters=4)
+    res = bo_saliency_sweep(engine, items, cfg,
+                            bo_cfg=BOConfig(n_pre_samples=2, n_iters=2),
+                            image_batch=2, fidelity_steps=8)
+    assert res.images_explained == 2
+    for row in res.per_image:
+        assert "deletion_auc" in row and "insertion_auc" in row
+        assert "pointing" in row
+    assert 0.0 <= res.pointing_game_acc <= 1.0
