@@ -196,33 +196,6 @@ def main(argv=None):
             multihost_mod.process_strided_indices(args.num_images)
         )
 
-    # Decode-ahead: worker threads keep `buffer` dataset[i] calls in flight
-    # (reference DataLoader num_workers); serial for synthetic/iterables.
-    from network_interpretation_imagenet_tpu.data.prefetch import prefetch
-
-    if hasattr(dataset, "__getitem__"):
-        n_total = min(len(dataset), args.num_images)
-        if dataset_indices is not None:
-            dataset_indices = [i for i in dataset_indices if i < n_total]
-        dataset = prefetch(
-            dataset, num_workers=args.workers,
-            indices=(dataset_indices
-                     if dataset_indices is not None
-                     else range(n_total)),
-        )
-    elif dataset_indices is not None:
-        stride_set = set(dataset_indices)
-        dataset = (
-            item for i, item in enumerate(dataset) if i in stride_set
-        )
-
-    mesh = None
-    if args.data_parallel:
-        from network_interpretation_imagenet_tpu.parallel import make_mesh
-
-        mesh = make_mesh()
-    logger = PhaseLogger(enabled=args.trace)
-
     journal = None
     if args.journal != "":  # "" = --no-journal
         import os as _os
@@ -239,10 +212,57 @@ def main(argv=None):
                 # Each rank journals (and resumes) only its own stride.
                 root, ext = _os.path.splitext(jpath)
                 jpath = f"{root}.rank{_jax.process_index()}{ext}"
+        # Row-affecting settings: a --resume under different settings would
+        # silently average incomparable rows, so the journal refuses it.
+        jconfig = {
+            "bo": bool(args.bo), "mode": args.mode,
+            "num_mask_samples": args.num_mask_samples,
+            "window_fraction": args.window_fraction,
+            "num_knockout": args.num_knockout,
+            "segmenter": dataclasses.asdict(common.segment_config(args)),
+            "seed": args.seed, "dataset": args.dataset, "arch": args.arch,
+            "bbox_threshold": args.bbox_threshold,
+            "fidelity_steps": args.fidelity_steps if args.fidelity else 0,
+            "n_iters": args.n_iters, "n_pre_samples": args.n_pre_samples,
+            "proposals_per_iter": args.proposals_per_iter,
+        }
         journal = SweepJournal(
             jpath, resume=args.resume,
             keep_heatmaps=args.gp_heatmaps or args.gp_class_heatmaps,
+            config=jconfig,
         )
+
+    # Decode-ahead: worker threads keep `buffer` dataset[i] calls in flight
+    # (reference DataLoader num_workers); serial for synthetic/iterables.
+    from network_interpretation_imagenet_tpu.data.prefetch import prefetch
+
+    if hasattr(dataset, "__getitem__"):
+        n_total = min(len(dataset), args.num_images)
+        base = (dataset_indices if dataset_indices is not None
+                else list(range(n_total)))
+        base = [i for i in base if i < n_total]
+        if journal is not None and journal.done:
+            # Journaled-done images never reach the decode workers — a
+            # resumed 50k-image sweep must not re-decode 49k JPEGs just to
+            # skip them. Positions now map to dataset indices via
+            # dataset_indices (per-image seeds stay index-derived).
+            base = [i for i in base if i not in journal.done]
+            dataset_indices = base
+        elif dataset_indices is not None:
+            dataset_indices = base
+        dataset = prefetch(dataset, num_workers=args.workers, indices=base)
+    elif dataset_indices is not None:
+        stride_set = set(dataset_indices)
+        dataset = (
+            item for i, item in enumerate(dataset) if i in stride_set
+        )
+
+    mesh = None
+    if args.data_parallel:
+        from network_interpretation_imagenet_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+    logger = PhaseLogger(enabled=args.trace)
     if args.bo:
         from network_interpretation_imagenet_tpu.config import BOConfig
         from network_interpretation_imagenet_tpu.saliency.sweep import (

@@ -32,20 +32,50 @@ class SweepJournal:
     """Append-only per-image outcome journal with resume restore."""
 
     def __init__(self, path: str, resume: bool = False,
-                 keep_heatmaps: bool = False) -> None:
+                 keep_heatmaps: bool = False, config: Optional[dict] = None,
+                 ) -> None:
+        """``config``: run-settings fingerprint (mask counts, segmenter,
+        seed, mode, ...). Stamped as the journal's first line on a fresh
+        run; a resume whose config differs from the stamped one REFUSES —
+        mixing rows produced under different settings would silently
+        average incomparable quantities."""
         self.path = path
         self.keep_heatmaps = keep_heatmaps
         self.heat_dir = path + ".heatmaps"
         self.done: set = set()
         self.restored_rows: list = []   # image_done rows, journal order
         self.restored_skips: int = 0
+        self._stamped_config: Optional[dict] = None
         if resume and os.path.exists(path):
             self._load()
+            if (config is not None and self._stamped_config is not None
+                    and self._stamped_config != config):
+                raise ValueError(
+                    "journal config mismatch — this journal was written "
+                    f"under {self._stamped_config}, resume requested "
+                    f"{config}; restored rows would be incomparable. "
+                    "Start fresh (drop --resume) or match the settings."
+                )
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         if keep_heatmaps:
             os.makedirs(self.heat_dir, exist_ok=True)
         # Fresh run truncates; resume appends after what was restored.
-        self._f = open(path, "a" if (resume and self.done) else "w")
+        resuming = resume and bool(self.done)
+        self._f = open(path, "a" if resuming else "w")
+        if resuming:
+            # A crash mid-write can leave a torn tail with no newline; the
+            # next record would concatenate onto it and BOTH lines would be
+            # lost to the following resume's JSON parse. A leading newline
+            # isolates the fragment (blank/torn lines are skipped on load).
+            with open(path, "rb") as f:
+                f.seek(0, os.SEEK_END)
+                if f.tell() > 0:
+                    f.seek(-1, os.SEEK_END)
+                    torn = f.read(1) != b"\n"
+            if torn:
+                self._f.write("\n")
+        elif config is not None:
+            self.record({"event": "config", "config": config})
 
     def _load(self) -> None:
         with open(self.path) as f:
@@ -58,7 +88,9 @@ class SweepJournal:
                 except json.JSONDecodeError:
                     continue  # torn tail line from a crash mid-write
                 kind = ev.get("event")
-                if kind == "image_done" and "index" in ev:
+                if kind == "config":
+                    self._stamped_config = ev.get("config")
+                elif kind == "image_done" and "index" in ev:
                     idx = int(ev["index"])
                     if idx not in self.done:
                         self.done.add(idx)
@@ -73,8 +105,11 @@ class SweepJournal:
                 # failed/batch_failed: not terminal — those indices retry.
 
     def record(self, event: dict) -> None:
-        """Append one event line (called from the sweep's emit stream)."""
-        self._f.write(json.dumps(event) + "\n")
+        """Append one event line (called from the sweep's emit stream).
+        ``default=str`` matches PhaseLogger.emit — a stray non-native value
+        must not raise out of finish_image after counters were updated
+        (the image would count both explained and failed)."""
+        self._f.write(json.dumps(event, default=str) + "\n")
         self._f.flush()
 
     def save_heatmap(self, index: int, heat) -> None:
@@ -105,6 +140,13 @@ class SweepJournal:
         spans, pooled into p50); ``evals_per_sec`` intentionally reflects
         only THIS run's new work over this run's wall clock.
         """
+        if keep_heatmaps and not self.keep_heatmaps:
+            raise ValueError(
+                "sweep runs with keep_heatmaps=True but the journal was "
+                "created with keep_heatmaps=False — restored images would "
+                "silently miss their heatmaps (build the journal with "
+                "keep_heatmaps=True)"
+            )
         for row in self.restored_rows:
             res.images_total += 1
             res.images_explained += 1

@@ -34,7 +34,6 @@ def _load_native() -> Optional[ctypes.CDLL]:
     """Build (once, via make) and load the C++ kernel; None on any failure.
     Thread-safe: ``segment_image_batch`` fans FH across a thread pool, and
     two first-callers must not race the make build."""
-    global _lib, _lib_tried
     with _lib_lock:
         return _load_native_locked()
 

@@ -474,12 +474,15 @@ def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
         def do_POST(self):
             t0 = time.perf_counter()
             fn = _POST_ROUTES.get(self.path)
+            if fn is None:
+                # Route miss answers (and is decided) BEFORE body parsing:
+                # unknown paths never enter the metrics dict, so arbitrary
+                # client paths can't grow it unboundedly.
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
-                if fn is None:
-                    self._send(404, {"error": f"unknown path {self.path}"})
-                    return
                 code, payload = 200, fn(body)
             except (ValueError, KeyError, TypeError, AttributeError) as e:
                 # Malformed client input (wrong JSON shape, bad dtypes,
@@ -488,7 +491,15 @@ def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
             except Exception as e:  # surface, don't kill the server
                 code, payload = 500, {"error": repr(e)}
             metrics.observe(self.path, code, time.perf_counter() - t0)
-            self._send(code, payload)
+            try:
+                self._send(code, payload)
+            except Exception as e:
+                # Payload serialization failure must still answer the
+                # client (json.dumps raises before any bytes are sent).
+                try:
+                    self._send(500, {"error": repr(e)})
+                except Exception:
+                    pass  # client gone mid-write; nothing left to say
 
     httpd = ThreadingHTTPServer((host, port), Handler)
     httpd.service = service  # for tests/introspection

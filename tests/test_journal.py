@@ -192,3 +192,56 @@ def test_cli_sweep_resume(tmp_path):
     assert result["images_explained"] == 4
     lines = [json.loads(l) for l in jpath.read_text().splitlines()]
     assert sum(1 for l in lines if l["event"] == "image_done") == 4
+
+
+def test_journal_resume_isolates_torn_tail_for_next_resume(tmp_path):
+    """A resume after a torn-tail crash must not concatenate its first
+    record onto the fragment (both lines would be lost to the NEXT load)."""
+    path = str(tmp_path / "j.jsonl")
+    j = SweepJournal(path)
+    j.record({"event": "image_done", "index": 0, "survival": 1.0})
+    j.close()
+    with open(path, "a") as f:
+        f.write('{"event": "image_done", "ind')  # crash mid-write, no \n
+
+    j2 = SweepJournal(path, resume=True)
+    j2.record({"event": "image_done", "index": 1, "survival": 1.0})
+    j2.close()
+    j3 = SweepJournal(path, resume=True)
+    assert j3.done == {0, 1}
+    j3.close()
+
+
+def test_journal_config_fingerprint_refuses_mismatched_resume(tmp_path):
+    path = str(tmp_path / "j.jsonl")
+    j = SweepJournal(path, config={"num_mask_samples": 64, "mode": "window"})
+    j.record({"event": "image_done", "index": 0, "survival": 1.0})
+    j.close()
+
+    ok = SweepJournal(path, resume=True,
+                      config={"num_mask_samples": 64, "mode": "window"})
+    assert ok.done == {0}
+    ok.close()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="config mismatch"):
+        SweepJournal(path, resume=True,
+                     config={"num_mask_samples": 256, "mode": "window"})
+    # Journals without a stamped config (or resumes without one) accept.
+    noconf = SweepJournal(path, resume=True)
+    assert noconf.done == {0}
+    noconf.close()
+
+
+def test_journal_keep_heatmaps_mismatch_raises(tmp_path):
+    from network_interpretation_imagenet_tpu.saliency.sweep import SweepResult
+    from network_interpretation_imagenet_tpu.utils.meters import AverageMeter
+
+    import pytest
+
+    j = SweepJournal(str(tmp_path / "j.jsonl"), keep_heatmaps=False)
+    with pytest.raises(ValueError, match="keep_heatmaps"):
+        j.restore_into(SweepResult(), AverageMeter(), AverageMeter(), [],
+                       keep_heatmaps=True)
+    j.close()

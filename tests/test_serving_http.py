@@ -496,3 +496,22 @@ def test_http_metrics_endpoint(http_engine_server, rng):
     # GET probes (healthz/metrics itself) are not observed.
     assert "/metrics" not in snap["endpoints"]
     conn.close()
+
+
+def test_http_unknown_post_path_is_404_and_unobserved(http_engine_server):
+    """Unknown POST paths answer 404 BEFORE body parsing and never enter
+    the metrics dict (arbitrary client paths must not grow it)."""
+    engine, httpd = http_engine_server
+    host, port = httpd.server_address[:2]
+    conn = HTTPConnection(host, port)
+    for i in range(3):
+        conn.request("POST", f"/junk-{i}", "not json at all",
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()
+    conn.request("GET", "/metrics")
+    r = conn.getresponse()
+    snap = json.loads(r.read())
+    assert not any(k.startswith("/junk") for k in snap["endpoints"])
+    conn.close()
