@@ -219,6 +219,14 @@ def test_cli_saliency_sweep_multihost_two_processes(tmp_path):
     assert merged["process_count"] == 2
     assert merged["images_total"] == 4
     assert merged["images_failed"] == 0
+    # Each rank journals its own stride (rank-suffixed, resumable).
+    for rank in range(2):
+        jp = os.path.join(out, f"sweep_journal.rank{rank}.jsonl")
+        assert os.path.exists(jp)
+        with open(jp) as f:
+            rows = [json.loads(l) for l in f if l.strip()]
+        assert sum(1 for r in rows
+                   if r["event"] in ("image_done", "skip_misclassified")) == 2
 
 
 def test_cli_gp_classification_ckpt_roundtrip(tmp_path):
