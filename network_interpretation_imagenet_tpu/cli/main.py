@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crop", type=int, default=224)
     p.add_argument("--patience", type=int, default=0,
                    help="early stop after N non-improving epochs (0 = off)")
+    p.add_argument("--save-every-steps", type=int, default=0,
+                   help="preemption-safe MID-epoch checkpoints every N train "
+                        "steps (0 = per-epoch only); --resume re-enters the "
+                        "epoch at the exact batch, update-for-update")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit-images", type=int, default=None,
                    help="truncate train/val sets (smoke runs)")
@@ -245,7 +249,8 @@ def main(argv=None):
     save_dir = args.resume or os.path.join(args.save, f"imagenet-{args.arch}")
     t = Trainer(bundle, cfg, steps_per_epoch=steps_per_epoch, mesh=mesh,
                 save_dir=save_dir, arch_args={"arch": args.arch},
-                globalize=globalize, eval_local_metrics=world > 1)
+                globalize=globalize, eval_local_metrics=world > 1,
+                save_every_steps=args.save_every_steps)
 
     if args.pretrained:
         _load_pretrained(t, bundle, args)

@@ -66,6 +66,7 @@ class Trainer:
         arch_args: Optional[dict] = None,
         globalize=None,
         eval_local_metrics: bool = False,
+        save_every_steps: int = 0,
     ):
         """``globalize(images, labels) -> (Array, Array)`` maps one host
         batch onto the mesh. Default: plain ``jnp.asarray`` (single-process;
@@ -78,7 +79,16 @@ class Trainer:
         evaluates its OWN disjoint val batches with plain local arrays —
         no global-batch divisibility constraint, so the val tail is never
         dropped — and the (loss·n, correct, correct5, n) sums cross
-        processes once per evaluate() via ``process_allgather``."""
+        processes once per evaluate() via ``process_allgather``.
+
+        ``save_every_steps > 0``: preemption-safe MID-epoch checkpoints —
+        every N train steps the full state (params/batch_stats/opt_state +
+        the position ``mid_epoch_step``) is saved atomically; ``resume()``
+        re-enters that epoch and ``fit`` skips the already-trained batches.
+        The data pipeline's per-(seed, epoch) permutation and per-(seed,
+        epoch, index) augmentation RNG make the skip exact: a resumed run's
+        update sequence is identical to an uninterrupted one. An ImageNet
+        epoch is ~5k steps; without this a preemption loses up to an epoch."""
         self.bundle = bundle
         self.cfg = cfg
         self.globalize = globalize or (
@@ -100,6 +110,8 @@ class Trainer:
         self.start_epoch = 0
         self.best_err1 = float("inf")
         self.best_epoch = -1
+        self.save_every_steps = int(save_every_steps)
+        self.resume_skip_steps = 0  # set by resume() from a mid-epoch ckpt
 
         bundle_logits = bundle.logits
 
@@ -124,7 +136,10 @@ class Trainer:
 
     # -- persistence --------------------------------------------------------
 
-    def save(self, epoch: int, is_best: bool) -> None:
+    def save(self, epoch: int, is_best: bool, mid_epoch_step: int = 0) -> None:
+        """``mid_epoch_step > 0`` marks an in-progress epoch: resume()
+        re-enters ``epoch`` skipping that many batches (an epoch-end save
+        stores 0 and resume starts at ``epoch + 1``)."""
         if not self.save_dir:
             return
         params, batch_stats = self.state.params, self.state.batch_stats
@@ -149,6 +164,7 @@ class Trainer:
             "opt_leaves": {str(i): leaf for i, leaf in enumerate(opt_leaves)},
             "step": np.asarray(self.state.step),
             "epoch": np.asarray(epoch),
+            "mid_epoch_step": np.asarray(int(mid_epoch_step)),
             "best_err1": np.asarray(self.best_err1),
             "best_epoch": np.asarray(self.best_epoch),
             "arch": self.bundle.name,
@@ -201,7 +217,15 @@ class Trainer:
             opt_state=_put_like(opt_state, self.state.opt_state),
             step=jnp.asarray(blob.get("step", 0), jnp.int32),
         )
-        self.start_epoch = int(blob["epoch"]) + 1
+        mid = int(blob.get("mid_epoch_step", 0))
+        if mid > 0:
+            # Mid-epoch checkpoint: re-enter the SAME epoch, skipping the
+            # batches already trained (fit() consumes resume_skip_steps).
+            self.start_epoch = int(blob["epoch"])
+            self.resume_skip_steps = mid
+        else:
+            self.start_epoch = int(blob["epoch"]) + 1
+            self.resume_skip_steps = 0
         self.best_err1 = float(blob["best_err1"])
         self.best_epoch = int(blob["best_epoch"])
         return True
@@ -209,7 +233,8 @@ class Trainer:
     # -- loops --------------------------------------------------------------
 
     def train_epoch(
-        self, loader, epoch: int = 0, print_freq: int = 0
+        self, loader, epoch: int = 0, print_freq: int = 0,
+        step_offset: int = 0,
     ) -> Tuple[float, float]:
         """One pass over ``loader``. ``print_freq > 0`` prints the stock
         ImageNet trainer's per-batch line (Time/Data/Loss/Prec@1/Prec@5
@@ -236,6 +261,10 @@ class Trainer:
             top5_m.update(float(metrics.get("top5", metrics["top1"])), n)
             batch_t.update(time.time() - end)
             end = time.time()
+            if self.save_every_steps:
+                pos = step_offset + i + 1  # position within the FULL epoch
+                if pos % self.save_every_steps == 0:
+                    self.save(epoch, is_best=False, mid_epoch_step=pos)
             if print_freq and i % print_freq == 0:
                 total = f"/{steps}" if steps is not None else ""
                 print(
@@ -302,9 +331,19 @@ class Trainer:
             # A callable train_loader is an epoch->iterable factory (e.g.
             # `data.imagenet_train.epoch_batches` reshuffling per epoch).
             loader = train_loader(epoch) if callable(train_loader) else train_loader
+            skip = self.resume_skip_steps
+            self.resume_skip_steps = 0  # only the resumed epoch skips
+            if skip:
+                import itertools
+
+                # The pipeline's per-(seed, epoch) permutation makes the
+                # skip exact; this epoch's meters average only the
+                # remaining batches (scores.tsv row is partial-epoch).
+                loader = itertools.islice(iter(loader), skip, None)
             with self.log.phase("train_epoch", epoch=epoch):
                 train_loss, train_err = self.train_epoch(
-                    loader, epoch=epoch, print_freq=self.print_freq
+                    loader, epoch=epoch, print_freq=self.print_freq,
+                    step_offset=skip,
                 )
             with self.log.phase("val_epoch", epoch=epoch):
                 val_loss, val_err, val_err5 = self.evaluate(val_loader)

@@ -71,22 +71,39 @@ def save_checkpoint(
             multihost_utils.sync_global_devices(f"nit_ckpt_{tag}")
 
     path = os.path.abspath(os.path.join(save_dir, name))
+    # Atomic swap: the NEW checkpoint is fully written (and marked complete)
+    # under <name>.new before the old one is touched — a crash at ANY point
+    # leaves either the old checkpoint intact or a complete .new that
+    # restore_checkpoint falls back to. The old rmtree-then-save left a
+    # window with NO checkpoint at all (fatal for preemption-safe training).
+    tmp = path + ".new"
     if primary:
-        if os.path.exists(path):
-            shutil.rmtree(path)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
         os.makedirs(save_dir, exist_ok=True)
     _barrier("pre")
     arrays, meta = _split_meta(state)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, _to_numpy_tree(arrays))
-    if primary and meta:
-        with open(os.path.join(path, "nit_meta.json"), "w") as f:
-            json.dump(meta, f)
+        ckptr.save(tmp, _to_numpy_tree(arrays))
+    if primary:
+        if meta:
+            with open(os.path.join(tmp, "nit_meta.json"), "w") as f:
+                json.dump(meta, f)
+        with open(os.path.join(tmp, "nit_complete"), "w") as f:
+            f.write("ok")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+    _barrier("swap")
     if is_best and primary:
         best = os.path.abspath(os.path.join(save_dir, "model_best"))
+        best_tmp = best + ".new"
+        if os.path.exists(best_tmp):
+            shutil.rmtree(best_tmp)
+        shutil.copytree(path, best_tmp)
         if os.path.exists(best):
             shutil.rmtree(best)
-        shutil.copytree(path, best)
+        os.rename(best_tmp, best)
     return path
 
 
@@ -98,7 +115,13 @@ def restore_checkpoint(save_dir: str, name: str = "checkpoint") -> Optional[Dict
 
     path = os.path.abspath(os.path.join(save_dir, name))
     if not os.path.exists(path):
-        return None
+        # Crash window fallback: the save completed into <name>.new (marked)
+        # but died between removing the old dir and the rename.
+        tmp = path + ".new"
+        if os.path.exists(os.path.join(tmp, "nit_complete")):
+            path = tmp
+        else:
+            return None
     meta_path = os.path.join(path, "nit_meta.json")
     meta = {}
     if os.path.exists(meta_path):

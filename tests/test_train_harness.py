@@ -145,3 +145,98 @@ def test_arch_args_saved_and_peeked(tmp_path):
     cli_common.apply_arch_resume(drifted, peeked)
     assert drifted.arch == "resnet" and drifted.depth == 8
     assert drifted.death_mode == "linear" and drifted.death_rate == 0.25
+
+
+def _det_factory(n_batches=6, batch=8):
+    """Deterministic epoch->batches factory (same data for every Trainer)."""
+    def factory(epoch):
+        out = []
+        for b in range(n_batches):
+            x, y = synthetic_classification_batch(
+                1000 + 17 * epoch + b, batch, 32, 3, 4
+            )
+            out.append((x, y))
+        return out
+    return factory
+
+
+class _CrashAfter:
+    """Loader that dies after `n` batches — a preemption mid-epoch."""
+
+    def __init__(self, inner, n):
+        self.inner, self.n = inner, n
+
+    def __iter__(self):
+        for i, item in enumerate(self.inner):
+            if i >= self.n:
+                raise RuntimeError("preempted")
+            yield item
+
+
+def test_trainer_mid_epoch_checkpoint_resume_is_exact(tmp_path):
+    """save_every_steps + a mid-epoch crash + resume reproduces the
+    uninterrupted run update-for-update (the skip replays the identical
+    batch sequence; params/opt-state/BN stats all round-trip)."""
+    import pytest
+
+    def build(save_dir, **kw):
+        bundle = create_model("resnet", "cifar10", depth=8, num_classes=4)
+        cfg = TrainConfig(optimizer="sgd", lr=0.05, epochs=1, batch_size=8,
+                          seed=0)
+        return Trainer(bundle, cfg, steps_per_epoch=6, save_dir=save_dir, **kw)
+
+    factory = _det_factory()
+    val = factory(99)[:1]
+
+    ref = build(str(tmp_path / "a"))
+    ref.fit(factory, val)
+
+    t = build(str(tmp_path / "b"), save_every_steps=2)
+    with pytest.raises(RuntimeError, match="preempted"):
+        t.fit(lambda e: _CrashAfter(factory(e), 4), val)
+    blob = restore_checkpoint(str(tmp_path / "b"))
+    assert int(blob["mid_epoch_step"]) == 4
+    assert int(blob["step"]) == 4
+
+    t2 = build(str(tmp_path / "b"), save_every_steps=2)
+    assert t2.resume()
+    assert t2.start_epoch == 0 and t2.resume_skip_steps == 4
+    history = t2.fit(factory, val)
+    assert len(history) == 1
+
+    ref_leaves = jax.tree_util.tree_leaves(
+        {"p": ref.state.params, "b": ref.state.batch_stats}
+    )
+    res_leaves = jax.tree_util.tree_leaves(
+        {"p": t2.state.params, "b": t2.state.batch_stats}
+    )
+    for a, b in zip(ref_leaves, res_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # Epoch-end save cleared the mid-epoch marker.
+    blob2 = restore_checkpoint(str(tmp_path / "b"))
+    assert int(blob2["mid_epoch_step"]) == 0
+
+
+def test_checkpoint_save_is_atomic_with_fallback(tmp_path):
+    """A crash between removing the old checkpoint and the rename leaves a
+    complete, marked .new dir that restore falls back to; an UNMARKED .new
+    (crash mid-write) is ignored."""
+    import shutil
+
+    save_checkpoint({"params": {"w": np.ones(3, np.float32)},
+                     "epoch": np.asarray(1)}, str(tmp_path))
+    path = str(tmp_path / "checkpoint")
+    os.rename(path, path + ".new")  # simulate the crash window
+    blob = restore_checkpoint(str(tmp_path))
+    assert blob is not None and int(blob["epoch"]) == 1
+
+    # Unmarked .new: torn write, must be ignored.
+    os.remove(os.path.join(path + ".new", "nit_complete"))
+    assert restore_checkpoint(str(tmp_path)) is None
+
+    # A subsequent save must clear the stale .new and win.
+    save_checkpoint({"params": {"w": np.zeros(3, np.float32)},
+                     "epoch": np.asarray(2)}, str(tmp_path))
+    blob = restore_checkpoint(str(tmp_path))
+    assert int(blob["epoch"]) == 2
+    assert not os.path.exists(path + ".new")
