@@ -281,7 +281,8 @@ def main(argv=None):
     return 0
 
 
-def _train_epoch_loader(train_set, args, indices, process_slice, epoch):
+def _train_epoch_loader(train_set, args, indices, process_slice, epoch,
+                        skip=0):
     from network_interpretation_imagenet_tpu.data.imagenet_train import (
         epoch_batches,
     )
@@ -289,7 +290,7 @@ def _train_epoch_loader(train_set, args, indices, process_slice, epoch):
     return epoch_batches(
         train_set, args.batch_size, epoch=epoch, seed=args.seed,
         shuffle=True, workers=args.workers, drop_last=True, indices=indices,
-        process_slice=process_slice,
+        process_slice=process_slice, skip=skip,
     )
 
 
@@ -336,7 +337,14 @@ class _RankSlice:
             yield images[lo:lo + local], labels[lo:lo + local]
 
     def __call__(self, epoch):
-        inner = self.inner(epoch) if callable(self.inner) else iter(self.inner)
+        if callable(self.inner):
+            inner = self.inner(epoch)
+        else:
+            if hasattr(self.inner, "set_epoch"):
+                # Keep the stateful loader's shuffle a pure function of
+                # (seed, epoch) — mid-epoch resume replays the same stream.
+                self.inner.set_epoch(epoch)
+            inner = iter(self.inner)
         return self._slices(inner)
 
     def __iter__(self):

@@ -138,12 +138,15 @@ def epoch_batches(
     drop_last: bool = False,
     indices: Optional[Sequence[int]] = None,
     process_slice: Optional[Tuple[int, int]] = None,
+    skip: int = 0,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Yield ``(images[B,H,W,C], labels[B])`` batches for one epoch.
 
     Decode/augment overlaps batch assembly via :func:`prefetch`; the
     shuffle order derives from ``(seed, epoch)`` only. ``indices``
     restricts/strides the epoch (multi-host: ``process_strided_indices``).
+    ``skip`` drops the first N batches before decode (mid-epoch resume:
+    identical stream to skipping decoded batches, near-zero cost).
     Items may be ``(image, label)`` or ``(image, label, extra)`` tuples.
 
     ``process_slice=(rank, world)`` yields each GLOBAL ``batch_size`` batch's
@@ -181,6 +184,15 @@ def epoch_batches(
         ]) if n_batches else order[:0]
         batch_size = local
         drop_last = True  # len(order) is an exact multiple; keeps intent
+
+    if skip:
+        # Mid-epoch resume: drop the first `skip` batches BEFORE decode —
+        # the (seed, epoch) permutation is deterministic, so slicing the
+        # order here yields exactly the stream islice would produce after
+        # decoding (but without paying decode/augment for skipped images).
+        # Post-process_slice, batch_size is the per-rank size and `order`
+        # the per-rank sequence, so this drops `skip` global batches.
+        order = order[int(skip) * batch_size:]
 
     images, labels = [], []
     for item in prefetch(dataset, num_workers=workers, indices=order.tolist()):

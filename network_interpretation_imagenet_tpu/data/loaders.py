@@ -128,8 +128,20 @@ class ArrayLoader:
         self.augment = augment
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
+        self.seed = int(seed)
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
+
+    def set_epoch(self, epoch: int) -> None:
+        """Re-derive the shuffle/augment RNG from ``(seed, epoch)`` so the
+        epoch's batch stream is a pure function of those two values — a
+        process restarted mid-epoch (Trainer ``--save-every-steps`` resume)
+        replays the SAME permutation the interrupted run trained on. Without
+        this the stateful ``self.rng`` advances once per ``__iter__``, so a
+        fresh process's epoch-E shuffle would equal the original epoch-0's."""
+        self.rng = np.random.RandomState(
+            np.random.SeedSequence([self.seed, int(epoch)]).generate_state(1)[0]
+        )
 
     def __len__(self) -> int:
         n = len(self.images)

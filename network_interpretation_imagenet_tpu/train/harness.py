@@ -52,6 +52,20 @@ def make_optimizer(
     return optax.chain(wd, core)
 
 
+def _factory_accepts_skip(factory) -> bool:
+    """True when an epoch->loader factory takes a ``skip`` keyword (batches
+    to drop before decode — mid-epoch resume without re-decoding)."""
+    import inspect
+
+    try:
+        params = inspect.signature(factory).parameters
+    except (TypeError, ValueError):
+        return False
+    # An explicit named parameter only: a bare **kwargs might swallow the
+    # keyword without applying it, silently training the wrong batches.
+    return "skip" in params
+
+
 class Trainer:
     """Epoch-loop harness over numpy loaders (see ``data.loaders``)."""
 
@@ -103,6 +117,7 @@ class Trainer:
         self.log = logger or PhaseLogger(enabled=False)
         self.print_freq = getattr(cfg, "print_freq", 0)
         self.optimizer = make_optimizer(cfg, steps_per_epoch)
+        self.steps_per_epoch = int(steps_per_epoch)
         self.init_fn, self.step_fn = make_sharded_train_step(
             bundle, self.mesh, self.optimizer
         )
@@ -263,7 +278,13 @@ class Trainer:
             end = time.time()
             if self.save_every_steps:
                 pos = step_offset + i + 1  # position within the FULL epoch
-                if pos % self.save_every_steps == 0:
+                # Skip the save when pos lands ON the epoch boundary: the
+                # epoch-end save follows seconds later, and a resume from a
+                # mid==steps checkpoint would re-enter a zero-batch epoch.
+                last = step_offset + steps if steps is not None else (
+                    self.steps_per_epoch or None)
+                if pos % self.save_every_steps == 0 and (
+                        last is None or pos < last):
                     self.save(epoch, is_best=False, mid_epoch_step=pos)
             if print_freq and i % print_freq == 0:
                 total = f"/{steps}" if steps is not None else ""
@@ -328,12 +349,27 @@ class Trainer:
         history: List[Dict] = []
         since_best = 0
         for epoch in range(self.start_epoch, epochs):
-            # A callable train_loader is an epoch->iterable factory (e.g.
-            # `data.imagenet_train.epoch_batches` reshuffling per epoch).
-            loader = train_loader(epoch) if callable(train_loader) else train_loader
             skip = self.resume_skip_steps
             self.resume_skip_steps = 0  # only the resumed epoch skips
-            if skip:
+            # A callable train_loader is an epoch->iterable factory (e.g.
+            # `data.imagenet_train.epoch_batches` reshuffling per epoch).
+            # A factory with a `skip` parameter slices the permutation
+            # BEFORE decode (a resumed ImageNet epoch would otherwise
+            # re-decode every skipped image just to discard it); otherwise
+            # islice discards already-trained batches after the fact.
+            loader, skipped_in_factory = train_loader, False
+            if callable(train_loader):
+                if skip and _factory_accepts_skip(train_loader):
+                    loader = train_loader(epoch, skip=skip)
+                    skipped_in_factory = True
+                else:
+                    loader = train_loader(epoch)
+            if hasattr(loader, "set_epoch"):
+                # Stateful loaders (e.g. ArrayLoader) re-derive their
+                # shuffle from (seed, epoch) so a resumed process replays
+                # the SAME permutation the interrupted run trained on.
+                loader.set_epoch(epoch)
+            if skip and not skipped_in_factory:
                 import itertools
 
                 # The pipeline's per-(seed, epoch) permutation makes the

@@ -22,6 +22,12 @@ def _to_numpy_tree(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _is_complete(ckpt_dir: str) -> bool:
+    """A checkpoint dir carrying the ``nit_complete`` marker (written after
+    the full Orbax write, before the swap) is known-complete."""
+    return os.path.exists(os.path.join(ckpt_dir, "nit_complete"))
+
+
 def _is_json_scalar_tree(v) -> bool:
     if isinstance(v, dict):
         return all(_is_json_scalar_tree(x) for x in v.values())
@@ -79,7 +85,17 @@ def save_checkpoint(
     tmp = path + ".new"
     if primary:
         if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+            if (os.path.exists(os.path.join(tmp, "nit_complete"))
+                    and not _is_complete(path)):
+                # A prior save crashed inside the swap: the marked .new is
+                # the ONLY complete checkpoint. Promote it before clearing —
+                # deleting it first would reopen the no-checkpoint window
+                # for the duration of the (long) Orbax write below.
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+                os.rename(tmp, path)
+            else:
+                shutil.rmtree(tmp)
         os.makedirs(save_dir, exist_ok=True)
     _barrier("pre")
     arrays, meta = _split_meta(state)
@@ -92,6 +108,12 @@ def save_checkpoint(
         with open(os.path.join(tmp, "nit_complete"), "w") as f:
             f.write("ok")
         if os.path.exists(path):
+            # Drop the old dir's marker FIRST: rmtree deletes the array
+            # subdirs before the top-level files, so a kill mid-rmtree
+            # would otherwise leave a torn dir that still looks complete.
+            old_marker = os.path.join(path, "nit_complete")
+            if os.path.exists(old_marker):
+                os.remove(old_marker)
             shutil.rmtree(path)
         os.rename(tmp, path)
     _barrier("swap")
@@ -114,13 +136,17 @@ def restore_checkpoint(save_dir: str, name: str = "checkpoint") -> Optional[Dict
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(save_dir, name))
-    if not os.path.exists(path):
-        # Crash window fallback: the save completed into <name>.new (marked)
-        # but died between removing the old dir and the rename.
-        tmp = path + ".new"
-        if os.path.exists(os.path.join(tmp, "nit_complete")):
+    tmp = path + ".new"
+    # Crash-window resolution, in preference order: a MARKED main dir is
+    # complete (every new-code save renames the marked .new into place); a
+    # marked .new means the save died inside the swap (main dir absent or
+    # torn mid-rmtree — save drops the old marker before rmtree, so a torn
+    # dir is never marked); an UNMARKED main dir with no marked .new is a
+    # legacy (pre-marker) checkpoint and is trusted as-is.
+    if not _is_complete(path):
+        if _is_complete(tmp):
             path = tmp
-        else:
+        elif not os.path.exists(path):
             return None
     meta_path = os.path.join(path, "nit_meta.json")
     meta = {}

@@ -221,8 +221,6 @@ def test_checkpoint_save_is_atomic_with_fallback(tmp_path):
     """A crash between removing the old checkpoint and the rename leaves a
     complete, marked .new dir that restore falls back to; an UNMARKED .new
     (crash mid-write) is ignored."""
-    import shutil
-
     save_checkpoint({"params": {"w": np.ones(3, np.float32)},
                      "epoch": np.asarray(1)}, str(tmp_path))
     path = str(tmp_path / "checkpoint")
@@ -240,3 +238,144 @@ def test_checkpoint_save_is_atomic_with_fallback(tmp_path):
     blob = restore_checkpoint(str(tmp_path))
     assert int(blob["epoch"]) == 2
     assert not os.path.exists(path + ".new")
+
+
+def test_checkpoint_orphan_new_promoted_before_next_write(tmp_path):
+    """After a crash-in-swap (only a marked .new survives), the NEXT save
+    promotes it to the main dir BEFORE starting its own write — a second
+    preemption during that write must not lose the only checkpoint."""
+    import orbax.checkpoint as ocp
+    import pytest
+
+    save_checkpoint({"params": {"w": np.ones(3, np.float32)},
+                     "epoch": np.asarray(7)}, str(tmp_path))
+    path = str(tmp_path / "checkpoint")
+    os.rename(path, path + ".new")  # crash between rmtree(old) and rename
+
+    orig = ocp.PyTreeCheckpointer.save
+
+    def die(self, *a, **k):
+        raise RuntimeError("preempted during Orbax write")
+
+    ocp.PyTreeCheckpointer.save = die
+    try:
+        with pytest.raises(RuntimeError, match="preempted"):
+            save_checkpoint({"params": {"w": np.zeros(3, np.float32)},
+                             "epoch": np.asarray(8)}, str(tmp_path))
+    finally:
+        ocp.PyTreeCheckpointer.save = orig
+    # The epoch-7 state survived: promoted to the main dir pre-write.
+    blob = restore_checkpoint(str(tmp_path))
+    assert blob is not None and int(blob["epoch"]) == 7
+
+
+def test_restore_prefers_marked_new_over_torn_main_dir(tmp_path):
+    """SIGKILL mid-rmtree leaves a torn (unmarked) main dir; restore must
+    use the complete marked .new beside it, not crash on the torn dir."""
+    save_checkpoint({"params": {"w": np.ones(3, np.float32)},
+                     "epoch": np.asarray(3)}, str(tmp_path))
+    path = str(tmp_path / "checkpoint")
+    os.rename(path, path + ".new")
+    # Torn main dir: exists, has stray content, but NO completion marker
+    # (save drops the old marker before rmtree, so torn dirs are unmarked).
+    os.makedirs(path)
+    with open(os.path.join(path, "stray"), "w") as f:
+        f.write("partial")
+    blob = restore_checkpoint(str(tmp_path))
+    assert blob is not None and int(blob["epoch"]) == 3
+
+
+def test_arrayloader_set_epoch_is_deterministic():
+    """set_epoch makes the batch stream a pure function of (seed, epoch):
+    a fresh process's epoch-E stream matches the original run's."""
+    x = np.arange(24 * 4, dtype=np.float32).reshape(24, 2, 2)
+    y = np.arange(24, dtype=np.int64)
+    a = ArrayLoader(x, y, 4, shuffle=True, seed=5)
+    b = ArrayLoader(x, y, 4, shuffle=True, seed=5)
+    a.set_epoch(0)
+    list(a)  # advance through epoch 0
+    a.set_epoch(1)
+    got_a = [lab.tolist() for _, lab in a]
+    b.set_epoch(1)  # fresh process jumps straight to epoch 1
+    got_b = [lab.tolist() for _, lab in b]
+    assert got_a == got_b
+    # ...and differs from epoch 0 (it really reshuffles).
+    b.set_epoch(0)
+    assert [lab.tolist() for _, lab in b] != got_a
+
+
+def test_epoch_batches_skip_matches_islice():
+    """skip=N slices the permutation pre-decode and yields exactly the
+    stream islice would produce post-decode."""
+    import itertools
+
+    from network_interpretation_imagenet_tpu.data.imagenet_train import (
+        epoch_batches,
+    )
+
+    class _DS:
+        def __len__(self):
+            return 23
+
+        def __getitem__(self, i):
+            return np.full((2, 2, 3), i, np.float32), i % 5
+
+    ref = list(itertools.islice(
+        epoch_batches(_DS(), 4, epoch=2, seed=9, workers=0), 3, None))
+    got = list(epoch_batches(_DS(), 4, epoch=2, seed=9, workers=0, skip=3))
+    assert len(ref) == len(got) > 0
+    for (xa, ya), (xb, yb) in zip(ref, got):
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+
+
+def test_no_mid_epoch_save_on_epoch_boundary(tmp_path):
+    """When the save interval lands exactly on the last batch, the
+    mid-epoch save is suppressed (the epoch-end save follows at once, and
+    a mid==steps resume would re-enter a zero-batch epoch)."""
+    bundle = create_model("resnet", "cifar10", depth=8, num_classes=4)
+    cfg = TrainConfig(optimizer="sgd", lr=0.05, epochs=1, batch_size=8, seed=0)
+    train_loader, val_loader = _loaders(batch=8, n=32)  # 4 batches
+    t = Trainer(bundle, cfg, steps_per_epoch=4, save_dir=str(tmp_path),
+                save_every_steps=4)
+    t.train_epoch(train_loader, epoch=0)
+    assert not os.path.exists(tmp_path / "checkpoint")
+
+
+def test_factory_skip_is_used_on_resume(tmp_path):
+    """A factory exposing skip= receives the resume offset (no islice) and
+    the resumed run still matches the uninterrupted one exactly."""
+    import pytest
+
+    seen = []
+    base = _det_factory()
+
+    def factory(epoch, skip=0):
+        seen.append((epoch, skip))
+        return base(epoch)[skip:]
+
+    def build(save_dir):
+        bundle = create_model("resnet", "cifar10", depth=8, num_classes=4)
+        cfg = TrainConfig(optimizer="sgd", lr=0.05, epochs=1, batch_size=8,
+                          seed=0)
+        return Trainer(bundle, cfg, steps_per_epoch=6, save_dir=save_dir,
+                       save_every_steps=2)
+
+    val = base(99)[:1]
+    t = build(str(tmp_path / "a"))
+    with pytest.raises(RuntimeError, match="preempted"):
+        t.fit(lambda e, skip=0: _CrashAfter(base(e)[skip:], 4 - skip), val)
+
+    t2 = build(str(tmp_path / "a"))
+    assert t2.resume() and t2.resume_skip_steps == 4
+    t2.fit(factory, val)
+    assert (0, 4) in seen  # resumed epoch came pre-sliced from the factory
+
+    ref = build(str(tmp_path / "b"))
+    ref.fit(base, val)
+    ra = jax.tree_util.tree_leaves({"p": ref.state.params,
+                                    "b": ref.state.batch_stats})
+    rb = jax.tree_util.tree_leaves({"p": t2.state.params,
+                                    "b": t2.state.batch_stats})
+    for p, q in zip(ra, rb):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=1e-6)
