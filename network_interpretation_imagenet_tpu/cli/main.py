@@ -155,8 +155,11 @@ def main(argv=None):
         n = args.limit_images or 256
         x, y = synthetic_classification_batch(args.seed, n, args.crop, 3,
                                               num_classes)
+        # Under DP the partial global batch is dropped (_RankSlice), so the
+        # loader's length — and steps_per_epoch below — must count only FULL
+        # batches; mid-epoch save suppression relies on it being exact.
         train_factory = ArrayLoader(x, y, args.batch_size, shuffle=True,
-                                    seed=args.seed)
+                                    seed=args.seed, drop_last=world > 1)
         val_loader = ArrayLoader(x[-max(n // 4, args.batch_size):],
                                  y[-max(n // 4, args.batch_size):],
                                  args.batch_size)
@@ -345,10 +348,29 @@ class _RankSlice:
                 # (seed, epoch) — mid-epoch resume replays the same stream.
                 self.inner.set_epoch(epoch)
             inner = iter(self.inner)
-        return self._slices(inner)
+        gen = self._slices(inner)
+        if hasattr(self.inner, "__len__"):
+            # Sized epochs let the Trainer suppress a mid-epoch save that
+            # lands ON the final (full) batch — the inner loader is built
+            # with drop_last, so its length IS the full-batch count.
+            return _SizedIter(gen, len(self.inner))
+        return gen
 
     def __iter__(self):
         return self._slices(iter(self.inner))
+
+
+class _SizedIter:
+    """A one-epoch generator with a known batch count."""
+
+    def __init__(self, gen, n):
+        self._gen, self._n = gen, n
+
+    def __iter__(self):
+        return iter(self._gen)
+
+    def __len__(self):
+        return self._n
 
 
 class _RankStride:

@@ -225,6 +225,10 @@ def main(argv=None):
             "fidelity_steps": args.fidelity_steps if args.fidelity else 0,
             "n_iters": args.n_iters, "n_pre_samples": args.n_pre_samples,
             "proposals_per_iter": args.proposals_per_iter,
+            # Heatmap retention is row-affecting too: resuming a journal that
+            # never saved .npy heatmaps under --gp-heatmaps would silently fit
+            # the GP pass on only the newly-explained images.
+            "keep_heatmaps": bool(args.gp_heatmaps or args.gp_class_heatmaps),
         }
         journal = SweepJournal(
             jpath, resume=args.resume,

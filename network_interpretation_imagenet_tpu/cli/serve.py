@@ -33,6 +33,14 @@ def main(argv=None):
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="pin the JAX backend (a CPU serving host needn't "
                         "see an accelerator)")
+    p.add_argument("--dynamic-batch", action="store_true",
+                   help="coalesce concurrent BO /explain requests into one "
+                        "image-batched device call (fused-BO artifact "
+                        "exported with --image-batches)")
+    p.add_argument("--batch-wait-ms", type=float, default=5.0,
+                   help="dynamic-batch collection window: how long the "
+                        "first queued request waits for concurrent "
+                        "arrivals to join its device call")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -44,7 +52,9 @@ def main(argv=None):
         make_http_server,
     )
 
-    httpd = make_http_server(args.artifact, args.host, args.port)
+    httpd = make_http_server(args.artifact, args.host, args.port,
+                             dynamic_batch=args.dynamic_batch,
+                             batch_wait_ms=args.batch_wait_ms)
     if args.warmup:
         import time
 

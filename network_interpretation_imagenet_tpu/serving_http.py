@@ -156,6 +156,113 @@ class ServiceMetrics:
             return out
 
 
+class _DynamicBatcher:
+    """Coalesce concurrent single-image BO ``/explain`` requests into ONE
+    image-batched device call.
+
+    The device lock serializes requests, so under concurrency the baseline
+    throughput ceiling is one fused BO loop per request. When the artifact
+    carries image-batched programs (``export_bo_engine(image_batches=...)``)
+    a group of N queued requests costs barely more than one
+    (docs/PERFORMANCE.md: the N-vmapped loop measured 23-25 ms/image at
+    N=16 vs ~120 ms for a single loop). The first request to arrive on an
+    empty queue becomes the group leader: it sleeps ``wait_s`` (no locks
+    held) so concurrent arrivals can join, then drains the queue and runs
+    each (image-shape, window_fraction) group as one ``explain_batch``
+    device call — images must stack, and the fused loop takes one window
+    fraction per call. Followers block on a per-request event.
+
+    Target inference for grouped requests goes through the batched predict
+    head (one device call for all missing targets), which can differ from
+    the single-image head in low-order logit bits on near-tied classes —
+    the same documented caveat as ``/explain_batch``. Explicit targets are
+    bit-stable.
+    """
+
+    def __init__(self, service: "SaliencyService", wait_s: float = 0.005):
+        self._service = service
+        self._wait_s = float(wait_s)
+        batched = getattr(service.bo_server, "_batched_fns", None) or {}
+        self._max_batch = max(batched) if batched else 1
+        self._lock = threading.Lock()
+        self._queue: list = []
+        self.stats = {"requests": 0, "device_calls": 0, "max_group": 0}
+
+    def explain(self, image, segments, wf, seed, target):
+        """Single request entry point; returns ``(out, bo_res, target)``
+        exactly like the direct ``bo_server.explain`` path."""
+        import time
+
+        req = {"image": np.asarray(image), "segments": np.asarray(segments),
+               "wf": float(wf), "seed": int(seed), "target": target,
+               "event": threading.Event(), "result": None, "error": None}
+        with self._lock:
+            self._queue.append(req)
+            leader = len(self._queue) == 1
+            self.stats["requests"] += 1
+        if leader:
+            time.sleep(self._wait_s)  # collection window — no locks held
+            with self._lock:
+                batch, self._queue = self._queue, []
+            # Arrivals after the drain see an empty queue and elect a new
+            # leader themselves, so no request can be left waiting.
+            self._run(batch)
+        req["event"].wait()
+        if req["error"] is not None:
+            raise req["error"]
+        return req["result"]
+
+    def _run(self, batch: list) -> None:
+        groups: dict = {}
+        for r in batch:
+            key = (tuple(r["image"].shape), r["wf"])
+            groups.setdefault(key, []).append(r)
+        for (_, wf), reqs in groups.items():
+            for i in range(0, len(reqs), self._max_batch):
+                self._run_group(reqs[i:i + self._max_batch], wf)
+
+    def _run_group(self, reqs: list, wf: float) -> None:
+        service = self._service
+        bo = service.bo_server
+        n = len(reqs)
+        try:
+            images = np.stack([r["image"] for r in reqs])
+            segs = [r["segments"] for r in reqs]
+            with service._lock:
+                targets = [r["target"] for r in reqs]
+                missing = [i for i, t in enumerate(targets) if t is None]
+                if missing:
+                    logits = bo.predict_logits_batch(images[missing])
+                    for j, i in enumerate(missing):
+                        targets[i] = int(logits[j].argmax())
+                targets = [int(t) for t in targets]
+                batched = getattr(bo, "_batched_fns", None) or {}
+                if n > 1 and any(b >= n for b in batched):
+                    outs = bo.explain_batch(
+                        images, segs, window_fraction=wf, targets=targets,
+                        per_image_seeds=[r["seed"] for r in reqs],
+                    )
+                    calls = 1
+                else:
+                    outs = [
+                        bo.explain(images[i], segs[i], window_fraction=wf,
+                                   seed=reqs[i]["seed"], target=targets[i])
+                        for i in range(n)
+                    ]
+                    calls = n
+            with self._lock:
+                self.stats["device_calls"] += calls
+                self.stats["max_group"] = max(self.stats["max_group"], n)
+            for r, (out, bo_res), t in zip(reqs, outs, targets):
+                r["result"] = (out, bo_res, t)
+        except Exception as e:
+            for r in reqs:
+                r["error"] = e
+        finally:
+            for r in reqs:
+                r["event"].set()
+
+
 class SaliencyService:
     """Artifact wrapper the HTTP handler delegates to (also usable
     directly in tests — the transport layer stays trivially thin)."""
@@ -164,6 +271,7 @@ class SaliencyService:
         import os
 
         self._lock = threading.Lock()
+        self._batcher = None
         # A directory may hold BOTH artifact kinds (export_engine and
         # export_bo_engine share the weights blob when pointed at one dir);
         # load whatever is present — /explain prefers the fused-BO loop,
@@ -183,6 +291,15 @@ class SaliencyService:
             k for k, s in (("bo", self.bo_server), ("engine", self.engine_server))
             if s is not None
         )
+
+    def enable_dynamic_batching(self, wait_ms: float = 5.0) -> None:
+        """Route ``mode='bo'`` ``/explain`` requests through a micro-batcher
+        that coalesces concurrent arrivals into one image-batched device
+        call (see :class:`_DynamicBatcher`). Requires a fused-BO artifact;
+        pays off when it was exported with ``image_batches``."""
+        if self.bo_server is None:
+            raise ValueError("dynamic batching needs a fused-BO artifact")
+        self._batcher = _DynamicBatcher(self, wait_ms / 1000.0)
 
     def warmup(self) -> int:
         """Compile-execute every loaded program once (both artifact kinds)
@@ -227,13 +344,20 @@ class SaliencyService:
             raise ValueError(f"mode={mode!r} needs an engine artifact")
 
         if mode == "bo":
-            with self._lock:
-                if target is None:
-                    target = int(self.bo_server.predict_logits(image).argmax())
-                out, bo_res = self.bo_server.explain(
-                    image, segments, window_fraction=wf, seed=seed,
-                    target=target,
+            if self._batcher is not None:
+                out, bo_res, target = self._batcher.explain(
+                    image, segments, wf, seed, target
                 )
+            else:
+                with self._lock:
+                    if target is None:
+                        target = int(
+                            self.bo_server.predict_logits(image).argmax()
+                        )
+                    out, bo_res = self.bo_server.explain(
+                        image, segments, window_fraction=wf, seed=seed,
+                        target=target,
+                    )
             return self._bo_item_json(
                 out, bo_res, int(target), bool(body.get("json_arrays"))
             )
@@ -435,12 +559,18 @@ class SaliencyService:
 
 
 def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
-                     port: int = 0) -> ThreadingHTTPServer:
+                     port: int = 0, dynamic_batch: bool = False,
+                     batch_wait_ms: float = 5.0) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; ``.server_address`` holds
-    the bound (host, port) — port 0 picks a free one."""
+    the bound (host, port) — port 0 picks a free one. ``dynamic_batch``
+    coalesces concurrent BO ``/explain`` requests into one image-batched
+    device call after a ``batch_wait_ms`` collection window (fused-BO
+    artifact required; see :class:`_DynamicBatcher`)."""
     import time
 
     service = SaliencyService(artifact_dir)
+    if dynamic_batch:
+        service.enable_dynamic_batching(batch_wait_ms)
     metrics = ServiceMetrics()
     _POST_ROUTES = {
         "/explain": service.explain,
@@ -453,13 +583,28 @@ def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
-        def _send(self, code: int, payload: dict):
-            data = json.dumps(payload).encode()
+        def _send_raw(self, code: int, data: bytes):
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
+
+        def _send(self, code: int, payload: dict):
+            self._send_raw(code, json.dumps(payload).encode())
+
+        def _drain_body(self):
+            """Consume the request body so a reply sent before the client
+            finishes streaming doesn't RST the connection and eat it."""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                while length > 0:
+                    chunk = self.rfile.read(min(length, 1 << 20))
+                    if not chunk:
+                        break
+                    length -= len(chunk)
+            except Exception:
+                pass
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -467,7 +612,10 @@ def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
             elif self.path == "/metrics":
                 # /metrics observes only real work (POST endpoints), not
                 # itself or health probes.
-                self._send(200, metrics.snapshot())
+                snap = metrics.snapshot()
+                if service._batcher is not None:
+                    snap["dynamic_batch"] = dict(service._batcher.stats)
+                self._send(200, snap)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -475,9 +623,11 @@ def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
             t0 = time.perf_counter()
             fn = _POST_ROUTES.get(self.path)
             if fn is None:
-                # Route miss answers (and is decided) BEFORE body parsing:
-                # unknown paths never enter the metrics dict, so arbitrary
-                # client paths can't grow it unboundedly.
+                # Route miss is decided WITHOUT parsing the body, so unknown
+                # paths never enter the metrics dict and arbitrary client
+                # paths can't grow it unboundedly — but the body must still
+                # be drained before answering.
+                self._drain_body()
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
             try:
@@ -490,16 +640,17 @@ def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
                 code, payload = 400, {"error": str(e)}
             except Exception as e:  # surface, don't kill the server
                 code, payload = 500, {"error": repr(e)}
+            try:
+                data = json.dumps(payload).encode()
+            except Exception as e:
+                # Serialize BEFORE observing so /metrics records the code the
+                # client actually receives, not the pre-send intent.
+                code, data = 500, json.dumps({"error": repr(e)}).encode()
             metrics.observe(self.path, code, time.perf_counter() - t0)
             try:
-                self._send(code, payload)
-            except Exception as e:
-                # Payload serialization failure must still answer the
-                # client (json.dumps raises before any bytes are sent).
-                try:
-                    self._send(500, {"error": repr(e)})
-                except Exception:
-                    pass  # client gone mid-write; nothing left to say
+                self._send_raw(code, data)
+            except Exception:
+                pass  # client gone mid-write; nothing left to say
 
     httpd = ThreadingHTTPServer((host, port), Handler)
     httpd.service = service  # for tests/introspection

@@ -281,6 +281,10 @@ class Trainer:
                 # Skip the save when pos lands ON the epoch boundary: the
                 # epoch-end save follows seconds later, and a resume from a
                 # mid==steps checkpoint would re-enter a zero-batch epoch.
+                # Length-less loaders fall back to steps_per_epoch, which
+                # MUST therefore equal the true batch count (sized loaders —
+                # see cli.main's _RankSlice — are exact by construction; an
+                # overstated steps_per_epoch is caught loudly in fit()).
                 last = step_offset + steps if steps is not None else (
                     self.steps_per_epoch or None)
                 if pos % self.save_every_steps == 0 and (
@@ -296,6 +300,7 @@ class Trainer:
                     f"Prec@1 {100 * top1_m.val:.3f} ({100 * top1_m.avg:.3f})\t"
                     f"Prec@5 {100 * top5_m.val:.3f} ({100 * top5_m.avg:.3f})"
                 )
+        self._last_epoch_batches = loss_m.count  # fit()'s zero-batch guard
         return loss_m.avg, 100.0 * (1.0 - top1_m.avg)
 
     def evaluate(self, loader) -> Tuple[float, float, float]:
@@ -381,6 +386,20 @@ class Trainer:
                     loader, epoch=epoch, print_freq=self.print_freq,
                     step_offset=skip,
                 )
+            if skip and not self._last_epoch_batches:
+                # A resumed epoch that consumes ZERO batches means the
+                # mid-epoch checkpoint's position equals (or exceeds) the
+                # loader's true length — i.e. steps_per_epoch overstated a
+                # length-less loader's batch count at save time. Recording
+                # the row would write bogus metrics (loss 0.0, err 100.0);
+                # fail loudly instead.
+                raise RuntimeError(
+                    f"resumed epoch {epoch} skipped {skip} batches but the "
+                    f"loader yielded none beyond them; steps_per_epoch "
+                    f"({self.steps_per_epoch}) overstates the true batch "
+                    "count — give the loader a __len__ (or correct "
+                    "steps_per_epoch) so mid-epoch saves suppress the "
+                    "epoch-final position")
             with self.log.phase("val_epoch", epoch=epoch):
                 val_loss, val_err, val_err5 = self.evaluate(val_loader)
             is_best = val_err < self.best_err1

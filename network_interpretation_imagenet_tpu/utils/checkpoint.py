@@ -118,12 +118,31 @@ def save_checkpoint(
         os.rename(tmp, path)
     _barrier("swap")
     if is_best and primary:
+        # Same marker invariant as the main swap: the marker is only ever
+        # present in a dir whose arrays are fully on disk, and is dropped
+        # before any destructive step that could tear the dir.
         best = os.path.abspath(os.path.join(save_dir, "model_best"))
         best_tmp = best + ".new"
         if os.path.exists(best_tmp):
-            shutil.rmtree(best_tmp)
-        shutil.copytree(path, best_tmp)
+            if _is_complete(best_tmp) and not _is_complete(best):
+                # A prior best-swap died between rmtree(best) and the rename:
+                # promote the complete .new before the (interruptible)
+                # copytree below so model_best never vanishes.
+                if os.path.exists(best):
+                    shutil.rmtree(best)
+                os.rename(best_tmp, best)
+            else:
+                shutil.rmtree(best_tmp)
+        # Copy WITHOUT the marker (copytree's file order is arbitrary, so the
+        # marker must not be able to precede the array payload), then mark.
+        shutil.copytree(path, best_tmp,
+                        ignore=shutil.ignore_patterns("nit_complete"))
+        with open(os.path.join(best_tmp, "nit_complete"), "w") as f:
+            f.write("ok")
         if os.path.exists(best):
+            old_marker = os.path.join(best, "nit_complete")
+            if os.path.exists(old_marker):
+                os.remove(old_marker)
             shutil.rmtree(best)
         os.rename(best_tmp, best)
     return path

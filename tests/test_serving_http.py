@@ -515,3 +515,141 @@ def test_http_unknown_post_path_is_404_and_unobserved(http_engine_server):
     snap = json.loads(r.read())
     assert not any(k.startswith("/junk") for k in snap["endpoints"])
     conn.close()
+
+
+def test_http_unknown_path_large_body_gets_404(http_engine_server):
+    """The 404 reply drains the request body first, so a client still
+    streaming a large body sees the 404 (not a connection reset from the
+    server answering-and-closing mid-upload)."""
+    engine, httpd = http_engine_server
+    host, port = httpd.server_address[:2]
+    conn = HTTPConnection(host, port)
+    big = b"x" * (8 << 20)
+    conn.request("POST", "/definitely-not-a-route", big,
+                 {"Content-Type": "application/octet-stream"})
+    r = conn.getresponse()
+    assert r.status == 404
+    assert b"unknown path" in r.read()
+    conn.close()
+
+
+def test_http_metrics_record_post_serialization_status(tmp_path, rng,
+                                                       monkeypatch):
+    """A payload that fails JSON serialization reaches the client as 500
+    and is recorded as 500 in /metrics — the observation happens after
+    serialization, not on the pre-send intent code."""
+    from network_interpretation_imagenet_tpu.serving_http import (
+        SaliencyService,
+    )
+
+    engine = _engine()
+    path = str(tmp_path / "artifact")
+    serving.export_engine(engine, path, batch_sizes=(16, 4))
+    # Patch BEFORE server creation: routes bind bound methods at build time.
+    monkeypatch.setattr(SaliencyService, "explain",
+                        lambda self, body: {"oops": object()})
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = httpd.server_address[:2]
+        conn = HTTPConnection(host, port)
+        status, payload = _post(conn, "/explain", {"anything": 1})
+        assert status == 500 and "error" in payload
+        conn.request("GET", "/metrics")
+        r = conn.getresponse()
+        snap = json.loads(r.read())
+        ep = snap["endpoints"]["/explain"]
+        assert ep["count"] == 1
+        assert ep["errors_5xx"] == 1 and ep["errors_4xx"] == 0
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_http_dynamic_batching_coalesces_and_matches(tmp_path, rng):
+    """Concurrent /explain requests on a --dynamic-batch server coalesce
+    into ONE image-batched device call and return responses identical to
+    the plain serialized server (explicit targets → bit-stable across the
+    single and batched fused-loop programs)."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+
+    engine = _engine()
+    cfg = BOConfig(n_iters=3, n_pre_samples=2)
+    path = str(tmp_path / "artifact")
+    serving.export_bo_engine(engine, path, bo_cfg=cfg,
+                             candidate_buckets=(7,), image_batches=(4,))
+
+    n = 4
+    images = [rng.rand(28, 28, 1).astype(np.float32) for _ in range(n)]
+    segments = [((np.arange(784).reshape(28, 28) + i) % 10).astype(np.int32)
+                for i in range(n)]
+
+    def body(i):
+        return {"image_b64": _b64(images[i]), "image_shape": [28, 28, 1],
+                "segments_b64": _b64(segments[i]),
+                "segments_shape": [28, 28], "seed": 9 + i, "target": i % 3}
+
+    # Reference: plain server, sequential single-call path.
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    ref = []
+    try:
+        conn = HTTPConnection(*httpd.server_address[:2])
+        for i in range(n):
+            status, resp = _post(conn, "/explain", body(i))
+            assert status == 200, resp
+            ref.append(resp)
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+    # Dynamic-batch server: fire all n concurrently; a generous collection
+    # window lets every request join the leader's group.
+    httpd = make_http_server(path, "127.0.0.1", 0, dynamic_batch=True,
+                             batch_wait_ms=600.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    got = [None] * n
+    errs = []
+    try:
+        host, port = httpd.server_address[:2]
+
+        def fire(i):
+            try:
+                conn = HTTPConnection(host, port)
+                status, resp = _post(conn, "/explain", body(i))
+                assert status == 200, resp
+                got[i] = resp
+                conn.close()
+            except Exception as e:  # surfaced after join
+                errs.append((i, e))
+
+        threads = [threading.Thread(target=fire, args=(i,)) for i in range(n)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert not errs, errs
+
+        conn = HTTPConnection(host, port)
+        conn.request("GET", "/metrics")
+        snap = json.loads(conn.getresponse().read())
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+    for i in range(n):
+        assert got[i]["target"] == ref[i]["target"]
+        assert got[i]["xp"] == ref[i]["xp"]
+        np.testing.assert_allclose(got[i]["yp"], ref[i]["yp"], atol=1e-6)
+        assert got[i]["heatmap_b64"] == ref[i]["heatmap_b64"]
+
+    db = snap["dynamic_batch"]
+    assert db["requests"] == n
+    assert db["max_group"] >= 2  # coalescing actually happened
+    assert db["device_calls"] < n  # fewer device calls than requests

@@ -379,3 +379,89 @@ def test_factory_skip_is_used_on_resume(tmp_path):
                                     "b": t2.state.batch_stats})
     for p, q in zip(ra, rb):
         np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=1e-6)
+
+
+def test_model_best_swap_keeps_marker_invariant(tmp_path):
+    """model_best follows the same completeness-marker protocol as the main
+    checkpoint: the marker is written only AFTER the copy lands, a crashed
+    best-swap leaves a marked model_best.new that restore falls back to,
+    and the next best-save promotes it before its own (interruptible)
+    copytree."""
+    save_checkpoint({"params": {"w": np.ones(3, np.float32)},
+                     "epoch": np.asarray(1)}, str(tmp_path), is_best=True)
+    best = str(tmp_path / "model_best")
+    assert os.path.exists(os.path.join(best, "nit_complete"))
+
+    # Crash between rmtree(best) and the rename: only the marked .new left.
+    os.rename(best, best + ".new")
+    blob = restore_checkpoint(str(tmp_path), name="model_best")
+    assert blob is not None and int(blob["epoch"]) == 1
+
+    # The next best-save promotes the orphan first, then swaps in epoch 2.
+    save_checkpoint({"params": {"w": np.zeros(3, np.float32)},
+                     "epoch": np.asarray(2)}, str(tmp_path), is_best=True)
+    blob = restore_checkpoint(str(tmp_path), name="model_best")
+    assert int(blob["epoch"]) == 2
+    assert not os.path.exists(best + ".new")
+
+    # A torn (unmarked) model_best beside a marked .new: restore prefers
+    # the .new — save drops the old marker before rmtree, so torn dirs are
+    # never marked.
+    os.rename(best, best + ".new")
+    os.makedirs(best)
+    with open(os.path.join(best, "stray"), "w") as f:
+        f.write("partial")
+    blob = restore_checkpoint(str(tmp_path), name="model_best")
+    assert blob is not None and int(blob["epoch"]) == 2
+
+
+def test_zero_batch_resume_fails_loudly(tmp_path):
+    """steps_per_epoch overstating a LENGTH-LESS loader's true batch count
+    lets a mid-epoch save land on the true last batch; the resumed epoch
+    would then train zero batches and record bogus metrics (loss 0.0,
+    err 100.0) — fit() must raise instead of writing the row."""
+    base = _det_factory(n_batches=3)
+
+    def build(save_dir):
+        bundle = create_model("resnet", "cifar10", depth=8, num_classes=4)
+        cfg = TrainConfig(optimizer="sgd", lr=0.05, epochs=1, batch_size=8,
+                          seed=0)
+        # steps_per_epoch=4 overstates the 3-batch epoch (e.g. a rank slice
+        # that dropped the partial global batch without exposing __len__).
+        return Trainer(bundle, cfg, steps_per_epoch=4, save_dir=save_dir,
+                       save_every_steps=3)
+
+    def crash_at_epoch_end(e):
+        # Yields all 3 batches, then dies where StopIteration would land —
+        # a preemption between the last step and the epoch-end save.
+        yield from base(e)
+        raise RuntimeError("preempted")
+
+    val = base(99)[:1]
+    t = build(str(tmp_path))
+    with pytest.raises(RuntimeError, match="preempted"):
+        t.fit(crash_at_epoch_end, val)
+    blob = restore_checkpoint(str(tmp_path))
+    assert int(blob["mid_epoch_step"]) == 3  # landed on the true last batch
+
+    t2 = build(str(tmp_path))
+    assert t2.resume() and t2.resume_skip_steps == 3
+    with pytest.raises(RuntimeError, match="overstates"):
+        t2.fit(lambda e: iter(base(e)), val)
+
+
+def test_rank_slice_epochs_are_sized(tmp_path):
+    """_RankSlice epoch iterables expose the FULL-batch count so the
+    Trainer's boundary suppression is exact even though the partial global
+    batch is dropped."""
+    from network_interpretation_imagenet_tpu.cli.main import _RankSlice
+
+    x = np.zeros((22, 4, 4, 3), np.float32)
+    y = np.zeros((22,), np.int64)
+    inner = ArrayLoader(x, y, 8, shuffle=True, seed=0, drop_last=True)
+    rs = _RankSlice(inner, rank=0, world=2, global_batch=8)
+    ep = rs(0)
+    assert len(ep) == 2  # 22 // 8 full global batches
+    got = list(ep)
+    assert len(got) == 2
+    assert all(lab.shape[0] == 4 for _, lab in got)  # local slice of 8/2
