@@ -75,6 +75,68 @@ def main():
         print(f"explain_batch (N=16, 3+10): median {med:.1f} ms "
               f"({med / 16:.1f} ms/image), best {best / 16:.1f} ms/image")
 
+        # --- HTTP dynamic batching: 16 concurrent /explain ----------------
+        # Serialized baseline vs --dynamic-batch coalescing into ONE
+        # image-batched device call (cli.serve flags; r3d session drive).
+        import base64
+        import http.client
+        import json as _json
+        import threading
+
+        from network_interpretation_imagenet_tpu.serving_http import (
+            make_http_server,
+        )
+
+        def _b64(a):
+            return base64.b64encode(np.ascontiguousarray(a).tobytes()).decode()
+
+        def _drive_http(dynamic):
+            httpd = make_http_server(bo_dir, "127.0.0.1", 0,
+                                     dynamic_batch=dynamic,
+                                     batch_wait_ms=8.0)
+            th = threading.Thread(target=httpd.serve_forever, daemon=True)
+            th.start()
+            host, port = httpd.server_address[:2]
+            try:
+                httpd.service.warmup()
+
+                def fire(i, out):
+                    c = http.client.HTTPConnection(host, port, timeout=600)
+                    body = {"image_b64": _b64(imgs[i]),
+                            "image_shape": [28, 28, 1],
+                            "segments_b64": _b64(segs[i]),
+                            "segments_shape": [28, 28],
+                            "seed": 3 + i, "target": 5}
+                    c.request("POST", "/explain", _json.dumps(body))
+                    out[i] = c.getresponse().status
+
+                def once():
+                    codes = [0] * 16
+                    ts = [threading.Thread(target=fire, args=(i, codes))
+                          for i in range(16)]
+                    for t in ts:
+                        t.start()
+                    for t in ts:
+                        t.join()
+                    assert all(c == 200 for c in codes), codes
+
+                once()  # warm the chosen path
+                med, best = _median_ms(once, reps=5)
+                stats = (dict(httpd.service._batcher.stats)
+                         if dynamic else None)
+                return med, best, stats
+            finally:
+                httpd.shutdown()
+                httpd.server_close()
+
+        med_s, best_s, _ = _drive_http(dynamic=False)
+        print(f"HTTP 16 concurrent /explain, serialized: median {med_s:.0f} ms "
+              f"({med_s / 16:.1f} ms/image)")
+        med_d, best_d, stats = _drive_http(dynamic=True)
+        print(f"HTTP 16 concurrent /explain, dynamic-batch: median "
+              f"{med_d:.0f} ms ({med_d / 16:.1f} ms/image, "
+              f"{med_s / med_d:.2f}x) stats={stats}")
+
         # --- window + knockout forward artifact ---------------------------
         win_dir = f"{tmp}/win"
         t0 = time.perf_counter()

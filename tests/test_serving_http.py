@@ -653,3 +653,78 @@ def test_http_dynamic_batching_coalesces_and_matches(tmp_path, rng):
     assert db["requests"] == n
     assert db["max_group"] >= 2  # coalescing actually happened
     assert db["device_calls"] < n  # fewer device calls than requests
+
+
+def test_http_dynamic_batching_mixed_groups(tmp_path, rng):
+    """Concurrent requests with different window fractions can't share a
+    fused-loop call: the batcher runs them as separate groups in one drain
+    pass, and every response still matches the plain server."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+
+    engine = _engine()
+    path = str(tmp_path / "artifact")
+    serving.export_bo_engine(engine, path,
+                             bo_cfg=BOConfig(n_iters=3, n_pre_samples=2),
+                             candidate_buckets=(7,), image_batches=(4,))
+
+    img = rng.rand(28, 28, 1).astype(np.float32)
+    seg = ((np.arange(784).reshape(28, 28)) % 10).astype(np.int32)
+
+    def body(i):
+        return {"image_b64": _b64(img), "image_shape": [28, 28, 1],
+                "segments_b64": _b64(seg), "segments_shape": [28, 28],
+                "seed": 5 + i, "target": 2,
+                "window_fraction": 0.4 if i % 2 == 0 else 0.6}
+
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    ref = []
+    try:
+        conn = HTTPConnection(*httpd.server_address[:2])
+        for i in range(4):
+            status, resp = _post(conn, "/explain", body(i))
+            assert status == 200, resp
+            ref.append(resp)
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+    httpd = make_http_server(path, "127.0.0.1", 0, dynamic_batch=True,
+                             batch_wait_ms=600.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    got = [None] * 4
+    errs = []
+    try:
+        host, port = httpd.server_address[:2]
+
+        def fire(i):
+            try:
+                conn = HTTPConnection(host, port)
+                status, resp = _post(conn, "/explain", body(i))
+                assert status == 200, resp
+                got[i] = resp
+                conn.close()
+            except Exception as e:
+                errs.append((i, e))
+
+        threads = [threading.Thread(target=fire, args=(i,)) for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert not errs, errs
+        stats = dict(httpd.service._batcher.stats)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+    for i in range(4):
+        assert got[i]["xp"] == ref[i]["xp"]
+        assert got[i]["heatmap_b64"] == ref[i]["heatmap_b64"]
+    # Two window fractions → at least two device calls even when all four
+    # joined one drain pass; the even/odd halves each coalesced.
+    assert stats["requests"] == 4
+    assert 2 <= stats["device_calls"] <= 4
