@@ -67,6 +67,22 @@ def main(argv=None):
           f"http://{host}:{port}  endpoints: /healthz /metrics /explain "
           f"/explain_batch /eval_windows /eval_knockouts",
           flush=True)
+    # Graceful drain: SIGTERM (the orchestrator's stop signal) stops
+    # accepting connections but lets in-flight device calls finish —
+    # shutdown() must run off the serve_forever thread, so hand it to a
+    # helper thread and let serve_forever return normally.
+    import signal
+    import threading
+
+    def _drain(signum, frame):
+        print("SIGTERM: draining in-flight requests, no longer accepting",
+              flush=True)
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _drain)
+    except ValueError:
+        pass  # non-main thread (embedded use); orchestration handles stop
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

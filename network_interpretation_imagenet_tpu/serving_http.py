@@ -156,6 +156,11 @@ class ServiceMetrics:
             return out
 
 
+class ServiceOverloadedError(RuntimeError):
+    """Load-shed signal: the request was rejected before any work started
+    (HTTP layer maps it to 503 so clients can retry with backoff)."""
+
+
 class _DynamicBatcher:
     """Coalesce concurrent single-image BO ``/explain`` requests into ONE
     image-batched device call.
@@ -179,14 +184,17 @@ class _DynamicBatcher:
     bit-stable.
     """
 
-    def __init__(self, service: "SaliencyService", wait_s: float = 0.005):
+    def __init__(self, service: "SaliencyService", wait_s: float = 0.005,
+                 max_pending: int = 256):
         self._service = service
         self._wait_s = float(wait_s)
         batched = getattr(service.bo_server, "_batched_fns", None) or {}
         self._max_batch = max(batched) if batched else 1
+        self._max_pending = int(max_pending)
         self._lock = threading.Lock()
         self._queue: list = []
-        self.stats = {"requests": 0, "device_calls": 0, "max_group": 0}
+        self.stats = {"requests": 0, "device_calls": 0, "max_group": 0,
+                      "rejected": 0}
 
     def explain(self, image, segments, wf, seed, target):
         """Single request entry point; returns ``(out, bo_res, target)``
@@ -197,6 +205,15 @@ class _DynamicBatcher:
                "wf": float(wf), "seed": int(seed), "target": target,
                "event": threading.Event(), "result": None, "error": None}
         with self._lock:
+            if len(self._queue) >= self._max_pending:
+                # Backpressure: each pending request pins its decoded image
+                # in memory, so an unbounded queue under overload would OOM
+                # long before the device caught up. Shed load instead.
+                self.stats["rejected"] += 1
+                raise ServiceOverloadedError(
+                    f"dynamic-batch queue full ({self._max_pending} "
+                    "pending explains) — retry with backoff"
+                )
             self._queue.append(req)
             leader = len(self._queue) == 1
             self.stats["requests"] += 1
@@ -292,14 +309,17 @@ class SaliencyService:
             if s is not None
         )
 
-    def enable_dynamic_batching(self, wait_ms: float = 5.0) -> None:
+    def enable_dynamic_batching(self, wait_ms: float = 5.0,
+                                max_pending: int = 256) -> None:
         """Route ``mode='bo'`` ``/explain`` requests through a micro-batcher
         that coalesces concurrent arrivals into one image-batched device
         call (see :class:`_DynamicBatcher`). Requires a fused-BO artifact;
-        pays off when it was exported with ``image_batches``."""
+        pays off when it was exported with ``image_batches``. Beyond
+        ``max_pending`` queued requests the batcher sheds load
+        (:class:`ServiceOverloadedError` → HTTP 503)."""
         if self.bo_server is None:
             raise ValueError("dynamic batching needs a fused-BO artifact")
-        self._batcher = _DynamicBatcher(self, wait_ms / 1000.0)
+        self._batcher = _DynamicBatcher(self, wait_ms / 1000.0, max_pending)
 
     def warmup(self) -> int:
         """Compile-execute every loaded program once (both artifact kinds)
@@ -634,6 +654,10 @@ def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
                 code, payload = 200, fn(body)
+            except ServiceOverloadedError as e:
+                # Load shed (dynamic-batch queue full): retryable, so 503
+                # — distinct from client errors (400) and crashes (500).
+                code, payload = 503, {"error": str(e)}
             except (ValueError, KeyError, TypeError, AttributeError) as e:
                 # Malformed client input (wrong JSON shape, bad dtypes,
                 # unknown SegmentConfig keys) is a 400, not a 500.

@@ -728,3 +728,103 @@ def test_http_dynamic_batching_mixed_groups(tmp_path, rng):
     # joined one drain pass; the even/odd halves each coalesced.
     assert stats["requests"] == 4
     assert 2 <= stats["device_calls"] <= 4
+
+
+def test_http_dynamic_batch_sheds_load_with_503(tmp_path, rng):
+    """Beyond max_pending queued explains the batcher rejects BEFORE any
+    work starts: the client sees a retryable 503 (not 400/500) and
+    /metrics counts the rejection."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+
+    engine = _engine()
+    path = str(tmp_path / "artifact")
+    serving.export_bo_engine(engine, path,
+                             bo_cfg=BOConfig(n_iters=3, n_pre_samples=2),
+                             candidate_buckets=(7,), image_batches=(4,))
+    httpd = make_http_server(path, "127.0.0.1", 0, dynamic_batch=True,
+                             batch_wait_ms=800.0)
+    httpd.service.enable_dynamic_batching(wait_ms=800.0, max_pending=1)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    img = rng.rand(28, 28, 1).astype(np.float32)
+    seg = ((np.arange(784).reshape(28, 28)) % 10).astype(np.int32)
+    body = {"image_b64": _b64(img), "image_shape": [28, 28, 1],
+            "segments_b64": _b64(seg), "segments_shape": [28, 28],
+            "seed": 1, "target": 2}
+    statuses, errs = [], []
+    try:
+        host, port = httpd.server_address[:2]
+
+        def fire():
+            try:
+                conn = HTTPConnection(host, port)
+                status, resp = _post(conn, "/explain", body)
+                statuses.append((status, resp))
+                conn.close()
+            except Exception as e:
+                errs.append(e)
+
+        threads = [threading.Thread(target=fire) for _ in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert not errs, errs
+        conn = HTTPConnection(host, port)
+        conn.request("GET", "/metrics")
+        snap = json.loads(conn.getresponse().read())
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+    codes = sorted(s for s, _ in statuses)
+    # max_pending=1 and an 800ms window: the leader occupies the queue, so
+    # at least one concurrent arrival is shed; every accepted one succeeds.
+    assert codes.count(200) >= 1
+    assert codes.count(503) >= 1
+    assert codes.count(200) + codes.count(503) == 3
+    for s, resp in statuses:
+        if s == 503:
+            assert "queue full" in resp["error"]
+    assert snap["dynamic_batch"]["rejected"] >= 1
+    ep = snap["endpoints"]["/explain"]
+    assert ep["errors_5xx"] >= 1  # 503s are visible in endpoint counters
+
+
+def test_serve_cli_sigterm_drains_cleanly(tmp_path, rng):
+    """cli.serve exits 0 on SIGTERM after draining (graceful stop for
+    orchestrators), instead of dying mid-request with a traceback."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    engine = _engine()
+    path = str(tmp_path / "artifact")
+    serving.export_engine(engine, path, batch_sizes=(16,))
+    env = dict(os.environ)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "network_interpretation_imagenet_tpu.cli.serve",
+         "--artifact", path, "--port", "18372", "--platform", "cpu"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                conn = HTTPConnection("127.0.0.1", 18372, timeout=2)
+                conn.request("GET", "/healthz")
+                if conn.getresponse().status == 200:
+                    break
+            except Exception:
+                time.sleep(0.5)
+        else:
+            raise AssertionError("serve CLI never became healthy")
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+        assert proc.returncode == 0, out
+        assert "draining" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
