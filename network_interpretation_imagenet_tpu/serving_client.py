@@ -1,0 +1,232 @@
+"""First-party Python client for the HTTP explanation service.
+
+Closes the serving loop from the consumer side: ``cli.serve`` hosts an
+exported artifact, and this stdlib-only client (``http.client`` + base64)
+speaks its wire format so callers never hand-roll encoding. The reference
+has no serving story at all (SURVEY §1: its layers talk through PNG files
+on disk); this is the deployment-facing half of the framework's
+explanation-as-a-service surface (`serving_http.py` documents the wire
+format; responses round-trip through the same base64 little-endian raw
+arrays).
+
+Features:
+
+* Arrays in/out as numpy — images/segments are encoded to the compact
+  ``*_b64`` + ``*_shape`` form; ``heatmap_b64`` responses are decoded back
+  to float32 arrays.
+* Retry with exponential backoff on **503** (the dynamic batcher's
+  load-shed signal) and on transient socket errors; 4xx raises
+  immediately (client bugs don't deserve retries).
+* Connection reuse per client instance; thread-safe (one connection per
+  thread — ``http.client`` connections are not concurrency-safe).
+
+Example::
+
+    client = SaliencyClient("127.0.0.1", 8000)
+    client.healthz()["status"]                      # "ok"
+    res = client.explain(img, segments=seg, seed=3) # res["heatmap"]: f32[H,W]
+    batch = client.explain_batch(imgs, seeds=[1, 2, 3])
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class ServiceError(RuntimeError):
+    """Non-retryable service response (4xx or exhausted retries)."""
+
+    def __init__(self, status: int, message: str):
+        super().__init__(f"HTTP {status}: {message}")
+        self.status = status
+
+
+def _b64(arr: np.ndarray, dtype) -> str:
+    a = np.ascontiguousarray(np.asarray(arr, dtype))
+    return base64.b64encode(a.astype(a.dtype.newbyteorder("<")).tobytes()
+                            ).decode("ascii")
+
+
+def _decode_heatmap(item: dict, key: str = "heatmap") -> None:
+    """Replace ``{key}_b64``/``{key}_shape`` with a float32 array in-place."""
+    if f"{key}_b64" in item:
+        raw = base64.b64decode(item.pop(f"{key}_b64"))
+        shape = item.pop(f"{key}_shape")
+        item[key] = np.frombuffer(
+            raw, dtype=np.dtype(np.float32).newbyteorder("<")
+        ).reshape(shape).copy()
+
+
+class SaliencyClient:
+    """Stdlib HTTP client for ``cli.serve`` endpoints.
+
+    ``retries``/``backoff_s``: how many times to retry a 503 (load shed)
+    or transient connection error, sleeping ``backoff_s * 2**attempt``
+    between tries. ``timeout_s`` is per-request (device calls can be slow
+    on a cold artifact — warm the server with ``cli.serve --warmup``).
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8000,
+                 timeout_s: float = 600.0, retries: int = 4,
+                 backoff_s: float = 0.25):
+        self._host, self._port = host, int(port)
+        self._timeout = float(timeout_s)
+        self._retries = int(retries)
+        self._backoff = float(backoff_s)
+        self._local = threading.local()
+
+    # -- transport ------------------------------------------------------------
+
+    def _conn(self):
+        import http.client
+
+        conn = getattr(self._local, "conn", None)
+        if conn is None:
+            conn = http.client.HTTPConnection(
+                self._host, self._port, timeout=self._timeout)
+            self._local.conn = conn
+        return conn
+
+    def _drop_conn(self):
+        conn = getattr(self._local, "conn", None)
+        if conn is not None:
+            try:
+                conn.close()
+            except Exception:
+                pass
+            self._local.conn = None
+
+    def _request(self, method: str, path: str,
+                 body: Optional[dict] = None) -> dict:
+        payload = None if body is None else json.dumps(body)
+        last: Optional[Exception] = None
+        for attempt in range(self._retries + 1):
+            err: Optional[Exception] = None
+            r = data = None
+            try:
+                conn = self._conn()
+                conn.request(method, path, payload,
+                             {"Content-Type": "application/json"}
+                             if payload is not None else {})
+                r = conn.getresponse()
+                data = r.read()
+            except Exception as e:  # transient socket/HTTP state error
+                err = e
+                self._drop_conn()
+            if err is None:
+                if r.status == 503:
+                    # Load shed (dynamic-batch queue full): retryable.
+                    err = ServiceError(503, data.decode(errors="replace"))
+                elif r.status >= 400:
+                    try:
+                        msg = json.loads(data).get("error", "")
+                    except Exception:
+                        msg = data.decode(errors="replace")
+                    raise ServiceError(r.status, msg)  # no retry on 4xx/5xx
+                else:
+                    return json.loads(data)
+            last = err
+            if attempt < self._retries:
+                time.sleep(self._backoff * (2 ** attempt))
+        raise ServiceError(503, f"retries exhausted: {last}")
+
+    def close(self) -> None:
+        self._drop_conn()
+
+    # -- endpoints ------------------------------------------------------------
+
+    def healthz(self) -> dict:
+        return self._request("GET", "/healthz")
+
+    def metrics(self) -> dict:
+        return self._request("GET", "/metrics")
+
+    def explain(self, image: np.ndarray, segments: Optional[np.ndarray] = None,
+                mode: Optional[str] = None, seed: int = 0,
+                target: Optional[int] = None, window_fraction: float = 0.4,
+                **extra) -> dict:
+        """One image → explanation dict with ``heatmap`` as float32[H, W].
+
+        ``segments=None`` lets the server segment (Felzenszwalb reference
+        defaults, or pass ``segment={...}`` through ``extra``)."""
+        image = np.asarray(image, np.float32)
+        body = {"image_b64": _b64(image, np.float32),
+                "image_shape": list(image.shape),
+                "seed": int(seed), "window_fraction": float(window_fraction)}
+        if segments is not None:
+            segments = np.asarray(segments, np.int32)
+            body["segments_b64"] = _b64(segments, np.int32)
+            body["segments_shape"] = list(segments.shape)
+        if mode is not None:
+            body["mode"] = mode
+        if target is not None:
+            body["target"] = int(target)
+        body.update(extra)
+        out = self._request("POST", "/explain", body)
+        _decode_heatmap(out)
+        return out
+
+    def explain_batch(self, images: np.ndarray,
+                      segments: Optional[np.ndarray] = None,
+                      seeds: Optional[Sequence[int]] = None,
+                      targets: Optional[Sequence[int]] = None,
+                      seed: int = 0, window_fraction: float = 0.4,
+                      **extra) -> list:
+        """N images → list of explanation dicts (BO artifacts only)."""
+        images = np.asarray(images, np.float32)
+        if images.ndim != 4:
+            raise ValueError(f"images must be [N,H,W,C], got {images.shape}")
+        body = {"images_b64": _b64(images, np.float32),
+                "images_shape": list(images.shape),
+                "seed": int(seed), "window_fraction": float(window_fraction)}
+        if segments is not None:
+            segments = np.asarray(segments, np.int32)
+            body["segments_b64"] = _b64(segments, np.int32)
+            body["segments_shape"] = list(segments.shape)
+        if seeds is not None:
+            body["seeds"] = [int(s) for s in seeds]
+        if targets is not None:
+            body["targets"] = [int(t) for t in targets]
+        body.update(extra)
+        out = self._request("POST", "/explain_batch", body)
+        for item in out["results"]:
+            _decode_heatmap(item)
+        return out["results"]
+
+    def eval_windows(self, image: np.ndarray, segments: np.ndarray,
+                     firsts: np.ndarray, width: int, target: int) -> dict:
+        """Raw per-mask survive/prob arrays (engine artifacts)."""
+        image = np.asarray(image, np.float32)
+        segments = np.asarray(segments, np.int32)
+        firsts = np.asarray(firsts, np.int32)
+        return self._request("POST", "/eval_windows", {
+            "image_b64": _b64(image, np.float32),
+            "image_shape": list(image.shape),
+            "segments_b64": _b64(segments, np.int32),
+            "segments_shape": list(segments.shape),
+            "firsts_b64": _b64(firsts, np.int32),
+            "firsts_shape": list(firsts.shape),
+            "width": int(width), "target": int(target),
+        })
+
+    def eval_knockouts(self, image: np.ndarray, segments: np.ndarray,
+                       knock_ids: np.ndarray, target: int) -> dict:
+        """Knockout twin of :meth:`eval_windows` (knockout_m artifacts)."""
+        image = np.asarray(image, np.float32)
+        segments = np.asarray(segments, np.int32)
+        knock_ids = np.asarray(knock_ids, np.int32)
+        return self._request("POST", "/eval_knockouts", {
+            "image_b64": _b64(image, np.float32),
+            "image_shape": list(image.shape),
+            "segments_b64": _b64(segments, np.int32),
+            "segments_shape": list(segments.shape),
+            "knock_ids_b64": _b64(knock_ids, np.int32),
+            "knock_ids_shape": list(knock_ids.shape),
+            "target": int(target),
+        })

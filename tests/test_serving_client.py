@@ -1,0 +1,169 @@
+"""First-party serving client (serving_client.py): wire round-trips vs the
+raw HTTP format, 503 retry-with-backoff, no-retry on client errors."""
+
+import json
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from network_interpretation_imagenet_tpu import serving
+from network_interpretation_imagenet_tpu.config import BOConfig
+from network_interpretation_imagenet_tpu.models import create_model
+from network_interpretation_imagenet_tpu.saliency import SaliencyEngine
+from network_interpretation_imagenet_tpu.serving_client import (
+    SaliencyClient,
+    ServiceError,
+)
+from network_interpretation_imagenet_tpu.serving_http import make_http_server
+
+
+def _engine():
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    return SaliencyEngine(bundle, variables, mask_batch=16,
+                          compute_dtype=jnp.float32)
+
+
+@pytest.fixture
+def dual_server(tmp_path):
+    """One artifact dir holding BOTH kinds (engine incl. knockout + BO)."""
+    engine = _engine()
+    path = str(tmp_path / "artifact")
+    serving.export_engine(engine, path, batch_sizes=(16,), knockout_m=2)
+    serving.export_bo_engine(engine, path,
+                             bo_cfg=BOConfig(n_iters=3, n_pre_samples=2),
+                             candidate_buckets=(7,), image_batches=(4,))
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield httpd
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_client_round_trips_every_endpoint(dual_server, rng):
+    host, port = dual_server.server_address[:2]
+    client = SaliencyClient(host, port)
+
+    assert client.healthz()["status"] == "ok"
+
+    img = rng.rand(28, 28, 1).astype(np.float32)
+    seg = ((np.arange(784).reshape(28, 28)) % 10).astype(np.int32)
+
+    # BO explain (default mode on a dual artifact): heatmap decoded to f32.
+    out = client.explain(img, segments=seg, seed=3, target=2)
+    assert out["heatmap"].shape == (28, 28)
+    assert out["heatmap"].dtype == np.float32
+    assert out["target"] == 2 and len(out["xp"]) == len(out["yp"])
+
+    # window + knockout modes ride the engine artifact.
+    w = client.explain(img, segments=seg, mode="window", seed=1,
+                       num_samples=8)
+    assert w["num_samples"] == 8 and w["heatmap"].shape == (28, 28)
+    k = client.explain(img, segments=seg, mode="knockout", seed=1,
+                       num_samples=8, num_knockout=2)
+    assert k["num_knockout"] == 2
+
+    # explain_batch round-trip, server-side segmentation allowed.
+    imgs = np.stack([img, rng.rand(28, 28, 1).astype(np.float32)])
+    segs = np.stack([seg, seg])
+    res = client.explain_batch(imgs, segments=segs, seeds=[3, 4],
+                               targets=[2, 2])
+    assert len(res) == 2
+    np.testing.assert_array_equal(res[0]["heatmap"], out["heatmap"])
+
+    # raw per-mask endpoints.
+    ev = client.eval_windows(img, seg, np.arange(4, dtype=np.int32),
+                             width=4, target=2)
+    assert len(ev["survived"]) == 4 and len(ev["prob_target"]) == 4
+    kv = client.eval_knockouts(img, seg,
+                               rng.randint(0, 10, (5, 2)).astype(np.int32),
+                               target=2)
+    assert len(kv["survived"]) == 5
+    client.close()
+
+
+def test_client_matches_raw_wire_format(dual_server, rng):
+    """The client's decoded heatmap equals a hand-decoded raw response."""
+    import base64
+    from http.client import HTTPConnection
+
+    host, port = dual_server.server_address[:2]
+    img = rng.rand(28, 28, 1).astype(np.float32)
+    seg = ((np.arange(784).reshape(28, 28)) % 10).astype(np.int32)
+
+    client = SaliencyClient(host, port)
+    out = client.explain(img, segments=seg, seed=7, target=1)
+
+    conn = HTTPConnection(host, port)
+    body = {"image_b64": base64.b64encode(img.tobytes()).decode(),
+            "image_shape": [28, 28, 1],
+            "segments_b64": base64.b64encode(seg.tobytes()).decode(),
+            "segments_shape": [28, 28], "seed": 7, "target": 1}
+    conn.request("POST", "/explain", json.dumps(body))
+    raw = json.loads(conn.getresponse().read())
+    conn.close()
+    heat = np.frombuffer(base64.b64decode(raw["heatmap_b64"]),
+                         np.float32).reshape(raw["heatmap_shape"])
+    np.testing.assert_array_equal(out["heatmap"], heat)
+    assert out["xp"] == raw["xp"]
+
+
+def test_client_retries_503_until_accepted(tmp_path, rng):
+    """Against an overloaded dynamic-batch server (max_pending=1) every
+    concurrent client call eventually succeeds via 503 backoff-retry."""
+    engine = _engine()
+    path = str(tmp_path / "artifact")
+    serving.export_bo_engine(engine, path,
+                             bo_cfg=BOConfig(n_iters=3, n_pre_samples=2),
+                             candidate_buckets=(7,), image_batches=(4,))
+    httpd = make_http_server(path, "127.0.0.1", 0, dynamic_batch=True,
+                             batch_wait_ms=300.0)
+    httpd.service.enable_dynamic_batching(wait_ms=300.0, max_pending=1)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    img = rng.rand(28, 28, 1).astype(np.float32)
+    seg = ((np.arange(784).reshape(28, 28)) % 10).astype(np.int32)
+    outs, errs = [None] * 3, []
+    try:
+        host, port = httpd.server_address[:2]
+
+        def fire(i):
+            try:
+                c = SaliencyClient(host, port, retries=8, backoff_s=0.2)
+                outs[i] = c.explain(img, segments=seg, seed=1, target=2)
+                c.close()
+            except Exception as e:
+                errs.append((i, e))
+
+        threads = [threading.Thread(target=fire, args=(i,)) for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        stats = dict(httpd.service._batcher.stats)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+    assert not errs, errs
+    assert all(o is not None and o["heatmap"].shape == (28, 28) for o in outs)
+    assert stats["rejected"] >= 1  # the retry path was actually exercised
+
+
+def test_client_does_not_retry_4xx(dual_server):
+    """Malformed requests raise ServiceError(400) after exactly ONE
+    attempt — client bugs must not burn the retry budget."""
+    host, port = dual_server.server_address[:2]
+    client = SaliencyClient(host, port, retries=5, backoff_s=0.01)
+    with pytest.raises(ServiceError) as ei:
+        client.explain(np.zeros((4, 4, 1), np.float32), mode="nope")
+    assert ei.value.status == 400
+
+    conn_metrics = client.metrics()
+    assert conn_metrics["endpoints"]["/explain"]["count"] == 1
+    client.close()
