@@ -147,18 +147,41 @@ class SaliencyClient:
     def metrics(self) -> dict:
         return self._request("GET", "/metrics")
 
+    @staticmethod
+    def _image_fields(image: np.ndarray, key: str,
+                      normalize) -> dict:
+        """uint8 inputs ride the 4×-smaller u8 wire (server scales /255 and
+        applies ``normalize={"mean": ..., "std": ...}``); anything else is
+        sent as f32, already preprocessed."""
+        image = np.asarray(image)
+        if image.dtype == np.uint8:
+            out = {f"{key}_u8_b64": _b64(image, np.uint8),
+                   f"{key}_shape": list(image.shape)}
+            if normalize is not None:
+                mean, std = normalize["mean"], normalize["std"]
+                out["normalize"] = {
+                    "mean": np.asarray(mean, np.float32).tolist(),
+                    "std": np.asarray(std, np.float32).tolist(),
+                }
+            return out
+        if normalize is not None:
+            raise ValueError("normalize= applies to uint8 images only; "
+                             "float images must arrive preprocessed")
+        return {f"{key}_b64": _b64(image, np.float32),
+                f"{key}_shape": list(image.shape)}
+
     def explain(self, image: np.ndarray, segments: Optional[np.ndarray] = None,
                 mode: Optional[str] = None, seed: int = 0,
                 target: Optional[int] = None, window_fraction: float = 0.4,
-                **extra) -> dict:
+                normalize: Optional[dict] = None, **extra) -> dict:
         """One image → explanation dict with ``heatmap`` as float32[H, W].
 
         ``segments=None`` lets the server segment (Felzenszwalb reference
-        defaults, or pass ``segment={...}`` through ``extra``)."""
-        image = np.asarray(image, np.float32)
-        body = {"image_b64": _b64(image, np.float32),
-                "image_shape": list(image.shape),
-                "seed": int(seed), "window_fraction": float(window_fraction)}
+        defaults, or pass ``segment={...}`` through ``extra``). A uint8
+        ``image`` ships as raw bytes; ``normalize`` then applies the
+        eval-transform mean/std server-side after the /255."""
+        body = {"seed": int(seed), "window_fraction": float(window_fraction)}
+        body.update(self._image_fields(image, "image", normalize))
         if segments is not None:
             segments = np.asarray(segments, np.int32)
             body["segments_b64"] = _b64(segments, np.int32)
@@ -177,14 +200,13 @@ class SaliencyClient:
                       seeds: Optional[Sequence[int]] = None,
                       targets: Optional[Sequence[int]] = None,
                       seed: int = 0, window_fraction: float = 0.4,
-                      **extra) -> list:
+                      normalize: Optional[dict] = None, **extra) -> list:
         """N images → list of explanation dicts (BO artifacts only)."""
-        images = np.asarray(images, np.float32)
+        images = np.asarray(images)
         if images.ndim != 4:
             raise ValueError(f"images must be [N,H,W,C], got {images.shape}")
-        body = {"images_b64": _b64(images, np.float32),
-                "images_shape": list(images.shape),
-                "seed": int(seed), "window_fraction": float(window_fraction)}
+        body = {"seed": int(seed), "window_fraction": float(window_fraction)}
+        body.update(self._image_fields(images, "images", normalize))
         if segments is not None:
             segments = np.asarray(segments, np.int32)
             body["segments_b64"] = _b64(segments, np.int32)

@@ -38,7 +38,11 @@ Endpoints (JSON in/out):
 Arrays travel either as nested JSON lists (``"image": [[[...]]]``) or —
 preferred, ~4× smaller and lossless — as base64 raw little-endian bytes:
 ``"image_b64": ..., "image_shape": [H, W, C]`` (f32 for images, int32 for
-segments). Responses return ``heatmap_b64`` (f32) + ``heatmap_shape``.
+segments). Images can also ship as raw uint8 (another 4× smaller —
+``"image_u8_b64"`` / ``"images_u8_b64"``): the server scales to [0,1] and
+applies an optional ``"normalize": {"mean": [...], "std": [...]}``, so a
+client sends JPEG-decoded bytes untouched. Responses return
+``heatmap_b64`` (f32) + ``heatmap_shape``.
 ``"segments"`` is optional: when absent the server segments with the
 artifact-independent default (Felzenszwalb scale=100 sigma=0.5
 min_size=50, the reference's setting) or the request's ``"segment"``
@@ -71,6 +75,27 @@ def _decode_array(body: dict, key: str, dtype) -> "np.ndarray | None":
     if key in body:
         return np.asarray(body[key], dtype)
     return None
+
+
+def _decode_image(body: dict, key: str) -> "np.ndarray | None":
+    """Image array from ``key``: f32 (lists or ``_b64``) or — 4× smaller on
+    the wire — raw uint8 via ``{key}_u8_b64``, scaled to [0,1] server-side
+    with an optional ``"normalize": {"mean": [...], "std": [...]}`` applied
+    after the /255 (the eval-transform convention, so a client can ship
+    JPEG-decoded bytes untouched)."""
+    if f"{key}_u8_b64" in body:
+        raw = base64.b64decode(body[f"{key}_u8_b64"])
+        arr = np.frombuffer(raw, np.uint8).astype(np.float32) / 255.0
+        shape = body.get(f"{key}_shape")
+        if shape is not None:
+            arr = arr.reshape(shape)
+        norm = body.get("normalize")
+        if norm is not None:
+            mean = np.asarray(norm["mean"], np.float32)
+            std = np.asarray(norm["std"], np.float32)
+            arr = (arr - mean) / std
+        return arr
+    return _decode_array(body, key, np.float32)
 
 
 def _encode_array(arr: np.ndarray) -> dict:
@@ -342,7 +367,7 @@ class SaliencyService:
     def explain(self, body: dict) -> dict:
         if not isinstance(body, dict):
             raise ValueError("request body must be a JSON object")
-        image = _decode_array(body, "image", np.float32)
+        image = _decode_image(body, "image")
         if image is None:
             raise ValueError("missing 'image' (or 'image_b64'+'image_shape')")
         segments = _decode_array(body, "segments", np.int32)
@@ -452,7 +477,7 @@ class SaliencyService:
         if self.bo_server is None:
             raise ValueError("/explain_batch needs a fused-BO artifact "
                              "(export with cli.export_serving --bo)")
-        images = _decode_array(body, "images", np.float32)
+        images = _decode_image(body, "images")
         if images is None or images.ndim != 4:
             raise ValueError(
                 "missing 'images' (or 'images_b64'+'images_shape' [N,H,W,C])"
@@ -532,7 +557,7 @@ class SaliencyService:
         if self.engine_server is None:
             raise ValueError("/eval_windows needs an engine artifact "
                              "(this one is a fused-BO artifact)")
-        image = _decode_array(body, "image", np.float32)
+        image = _decode_image(body, "image")
         segments = _decode_array(body, "segments", np.int32)
         if image is None or segments is None:
             raise ValueError("missing 'image' or 'segments'")
@@ -555,7 +580,7 @@ class SaliencyService:
         if self.engine_server is None:
             raise ValueError("/eval_knockouts needs an engine artifact "
                              "(this one is a fused-BO artifact)")
-        image = _decode_array(body, "image", np.float32)
+        image = _decode_image(body, "image")
         segments = _decode_array(body, "segments", np.int32)
         if image is None or segments is None:
             raise ValueError("missing 'image' or 'segments'")

@@ -167,3 +167,38 @@ def test_client_does_not_retry_4xx(dual_server):
     conn_metrics = client.metrics()
     assert conn_metrics["endpoints"]["/explain"]["count"] == 1
     client.close()
+
+
+def test_client_uint8_wire_matches_f32(dual_server, rng):
+    """A uint8 image ships as raw bytes (4× smaller) and yields bit-equal
+    results to sending the pre-scaled f32 image; server-side normalize
+    applies mean/std after the /255 exactly like local preprocessing."""
+    host, port = dual_server.server_address[:2]
+    client = SaliencyClient(host, port)
+    seg = ((np.arange(784).reshape(28, 28)) % 10).astype(np.int32)
+    img_u8 = rng.randint(0, 256, (28, 28, 1)).astype(np.uint8)
+
+    a = client.explain(img_u8, segments=seg, seed=5, target=1)
+    b = client.explain(img_u8.astype(np.float32) / 255.0, segments=seg,
+                       seed=5, target=1)
+    np.testing.assert_array_equal(a["heatmap"], b["heatmap"])
+    assert a["xp"] == b["xp"]
+
+    norm = {"mean": [0.5], "std": [0.25]}
+    c = client.explain(img_u8, segments=seg, seed=5, target=1,
+                       normalize=norm)
+    local = (img_u8.astype(np.float32) / 255.0 - np.float32(0.5)) \
+        / np.float32(0.25)
+    d = client.explain(local, segments=seg, seed=5, target=1)
+    np.testing.assert_array_equal(c["heatmap"], d["heatmap"])
+
+    # normalize= on a float image is a client-side usage error.
+    with pytest.raises(ValueError, match="uint8"):
+        client.explain(local, segments=seg, normalize=norm)
+
+    # batch path takes u8 too.
+    res = client.explain_batch(np.stack([img_u8, img_u8]),
+                               segments=np.stack([seg, seg]),
+                               seeds=[5, 5], targets=[1, 1])
+    np.testing.assert_array_equal(res[0]["heatmap"], a["heatmap"])
+    client.close()
