@@ -41,6 +41,10 @@ def main(argv=None):
                    help="dynamic-batch collection window: how long the "
                         "first queued request waits for concurrent "
                         "arrivals to join its device call")
+    p.add_argument("--max-pending", type=int, default=256,
+                   help="dynamic-batch queue bound: beyond this many "
+                        "pending explains the service sheds load with a "
+                        "retryable 503")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -54,7 +58,8 @@ def main(argv=None):
 
     httpd = make_http_server(args.artifact, args.host, args.port,
                              dynamic_batch=args.dynamic_batch,
-                             batch_wait_ms=args.batch_wait_ms)
+                             batch_wait_ms=args.batch_wait_ms,
+                             max_pending=args.max_pending)
     if args.warmup:
         import time
 

@@ -605,17 +605,19 @@ class SaliencyService:
 
 def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
                      port: int = 0, dynamic_batch: bool = False,
-                     batch_wait_ms: float = 5.0) -> ThreadingHTTPServer:
+                     batch_wait_ms: float = 5.0,
+                     max_pending: int = 256) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; ``.server_address`` holds
     the bound (host, port) — port 0 picks a free one. ``dynamic_batch``
     coalesces concurrent BO ``/explain`` requests into one image-batched
     device call after a ``batch_wait_ms`` collection window (fused-BO
-    artifact required; see :class:`_DynamicBatcher`)."""
+    artifact required; see :class:`_DynamicBatcher`), shedding load with a
+    503 past ``max_pending`` queued requests."""
     import time
 
     service = SaliencyService(artifact_dir)
     if dynamic_batch:
-        service.enable_dynamic_batching(batch_wait_ms)
+        service.enable_dynamic_batching(batch_wait_ms, max_pending)
     metrics = ServiceMetrics()
     _POST_ROUTES = {
         "/explain": service.explain,
