@@ -75,7 +75,12 @@ def main(argv=None):
     # Graceful drain: SIGTERM (the orchestrator's stop signal) stops
     # accepting connections but lets in-flight device calls finish —
     # shutdown() must run off the serve_forever thread, so hand it to a
-    # helper thread and let serve_forever return normally.
+    # helper thread and let serve_forever return normally. Handler threads
+    # must be non-daemon (ThreadingHTTPServer defaults them to daemon, and
+    # daemon threads are killed at interpreter exit mid-device-call) so
+    # server_close() joins them; HTTP/1.0 per-request connections bound
+    # the join by the longest in-flight request.
+    httpd.daemon_threads = False
     import signal
     import threading
 

@@ -40,7 +40,12 @@ import numpy as np
 
 
 class ServiceError(RuntimeError):
-    """Non-retryable service response (4xx or exhausted retries)."""
+    """Non-retryable service response (4xx) or exhausted retries.
+
+    ``status``: the HTTP code; **503** after retries means the server kept
+    shedding load, **0** means no HTTP response was ever received
+    (connection refused / timeout / reset — a dead server, not an
+    overloaded one; the transport exception rides ``__cause__``)."""
 
     def __init__(self, status: int, message: str):
         super().__init__(f"HTTP {status}: {message}")
@@ -134,7 +139,13 @@ class SaliencyClient:
             last = err
             if attempt < self._retries:
                 time.sleep(self._backoff * (2 ** attempt))
-        raise ServiceError(503, f"retries exhausted: {last}")
+        if isinstance(last, ServiceError):
+            raise ServiceError(503, f"retries exhausted: {last}") from last
+        # Transport failure (refused/timeout/reset): status 0 = "no HTTP
+        # response ever received" so callers don't misread a dead server
+        # as load shedding.
+        raise ServiceError(
+            0, f"retries exhausted, no HTTP response: {last!r}") from last
 
     def close(self) -> None:
         self._drop_conn()

@@ -95,6 +95,13 @@ def _decode_image(body: dict, key: str) -> "np.ndarray | None":
             std = np.asarray(norm["std"], np.float32)
             arr = (arr - mean) / std
         return arr
+    if body.get("normalize") is not None and (
+            key in body or f"{key}_b64" in body):
+        # Silently skipping the normalization would run the model on
+        # un-preprocessed pixels and return a confidently wrong heatmap.
+        raise ValueError(
+            f"'normalize' applies only to uint8 images ({key}_u8_b64); "
+            "float images must arrive preprocessed")
     return _decode_array(body, key, np.float32)
 
 
@@ -218,6 +225,7 @@ class _DynamicBatcher:
         self._max_pending = int(max_pending)
         self._lock = threading.Lock()
         self._queue: list = []
+        self._outstanding = 0  # enqueued AND not yet answered (≠ len(queue))
         self.stats = {"requests": 0, "device_calls": 0, "max_group": 0,
                       "rejected": 0}
 
@@ -226,19 +234,26 @@ class _DynamicBatcher:
         exactly like the direct ``bo_server.explain`` path."""
         import time
 
-        req = {"image": np.asarray(image), "segments": np.asarray(segments),
-               "wf": float(wf), "seed": int(seed), "target": target,
+        # Per-request validation happens HERE, before the request can join
+        # a group — a malformed field must 400 its own request, never
+        # poison groupmates.
+        req = {"image": np.asarray(image, np.float32),
+               "segments": np.asarray(segments, np.int32),
+               "wf": float(wf), "seed": int(seed),
+               "target": None if target is None else int(target),
                "event": threading.Event(), "result": None, "error": None}
         with self._lock:
-            if len(self._queue) >= self._max_pending:
-                # Backpressure: each pending request pins its decoded image
-                # in memory, so an unbounded queue under overload would OOM
-                # long before the device caught up. Shed load instead.
+            if self._outstanding >= self._max_pending:
+                # Backpressure on OUTSTANDING work (queued + in device
+                # call), not just the current collection window: each
+                # pending request pins its decoded image in memory, so
+                # unbounded accumulation behind a slow device would OOM.
                 self.stats["rejected"] += 1
                 raise ServiceOverloadedError(
                     f"dynamic-batch queue full ({self._max_pending} "
                     "pending explains) — retry with backoff"
                 )
+            self._outstanding += 1
             self._queue.append(req)
             leader = len(self._queue) == 1
             self.stats["requests"] += 1
@@ -267,6 +282,7 @@ class _DynamicBatcher:
         service = self._service
         bo = service.bo_server
         n = len(reqs)
+        calls = 0
         try:
             images = np.stack([r["image"] for r in reqs])
             segs = [r["segments"] for r in reqs]
@@ -277,7 +293,6 @@ class _DynamicBatcher:
                     logits = bo.predict_logits_batch(images[missing])
                     for j, i in enumerate(missing):
                         targets[i] = int(logits[j].argmax())
-                targets = [int(t) for t in targets]
                 batched = getattr(bo, "_batched_fns", None) or {}
                 if n > 1 and any(b >= n for b in batched):
                     outs = bo.explain_batch(
@@ -292,15 +307,33 @@ class _DynamicBatcher:
                         for i in range(n)
                     ]
                     calls = n
+            for r, (out, bo_res), t in zip(reqs, outs, targets):
+                r["result"] = (out, bo_res, t)
+        except Exception:
+            # One request's data can fail the whole batched call (e.g. a
+            # segment count needing a bigger candidate bucket than the
+            # artifact exported). Isolate the offender: re-run each request
+            # serially so only ITS error propagates; groupmates still get
+            # their answers (at serialized cost for this group only).
+            for r in reqs:
+                try:
+                    with service._lock:
+                        t = r["target"]
+                        if t is None:
+                            t = int(bo.predict_logits(r["image"]).argmax())
+                        out, bo_res = bo.explain(
+                            r["image"], r["segments"], window_fraction=wf,
+                            seed=r["seed"], target=t,
+                        )
+                    calls += 1
+                    r["result"] = (out, bo_res, t)
+                except Exception as e:
+                    r["error"] = e
+        finally:
             with self._lock:
                 self.stats["device_calls"] += calls
                 self.stats["max_group"] = max(self.stats["max_group"], n)
-            for r, (out, bo_res), t in zip(reqs, outs, targets):
-                r["result"] = (out, bo_res, t)
-        except Exception as e:
-            for r in reqs:
-                r["error"] = e
-        finally:
+                self._outstanding -= n
             for r in reqs:
                 r["event"].set()
 

@@ -202,3 +202,21 @@ def test_client_uint8_wire_matches_f32(dual_server, rng):
                                seeds=[5, 5], targets=[1, 1])
     np.testing.assert_array_equal(res[0]["heatmap"], a["heatmap"])
     client.close()
+
+
+def test_client_dead_server_is_status_zero():
+    """A server that never answers yields ServiceError(status=0) — callers
+    must be able to tell 'unreachable' from 'overloaded (503)'."""
+    import socket
+
+    # Reserve a port and close it: nothing listens there.
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    client = SaliencyClient("127.0.0.1", port, retries=1, backoff_s=0.01,
+                            timeout_s=2)
+    with pytest.raises(ServiceError) as ei:
+        client.healthz()
+    assert ei.value.status == 0
+    assert ei.value.__cause__ is not None

@@ -794,8 +794,10 @@ def test_http_dynamic_batch_sheds_load_with_503(tmp_path, rng):
 
 def test_serve_cli_sigterm_drains_cleanly(tmp_path, rng):
     """cli.serve exits 0 on SIGTERM after draining (graceful stop for
-    orchestrators), instead of dying mid-request with a traceback."""
+    orchestrators) — and an IN-FLIGHT request still gets its response
+    (handler threads are joined, not killed as daemons)."""
     import os
+    import re
     import signal
     import subprocess
     import sys
@@ -807,24 +809,119 @@ def test_serve_cli_sigterm_drains_cleanly(tmp_path, rng):
     env = dict(os.environ)
     proc = subprocess.Popen(
         [sys.executable, "-m", "network_interpretation_imagenet_tpu.cli.serve",
-         "--artifact", path, "--port", "18372", "--platform", "cpu"],
+         "--artifact", path, "--port", "0", "--platform", "cpu"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    result = {}
     try:
+        # Port 0: parse the bound port from the startup line (hardcoded
+        # ports collide across concurrent test runs).
+        port = None
         deadline = time.time() + 120
         while time.time() < deadline:
-            try:
-                conn = HTTPConnection("127.0.0.1", 18372, timeout=2)
-                conn.request("GET", "/healthz")
-                if conn.getresponse().status == 200:
-                    break
-            except Exception:
-                time.sleep(0.5)
-        else:
-            raise AssertionError("serve CLI never became healthy")
+            line = proc.stdout.readline()
+            m = re.search(r"http://[^:]+:(\d+)", line or "")
+            if m:
+                port = int(m.group(1))
+                break
+        assert port, "serve CLI never printed its bound port"
+
+        # Fire a COLD /explain (first-compile keeps it in flight for
+        # seconds), then SIGTERM while it runs.
+        img = rng.rand(28, 28, 1).astype(np.float32)
+        seg = ((np.arange(784).reshape(28, 28)) % 10).astype(np.int32)
+        body = {"image_b64": _b64(img), "image_shape": [28, 28, 1],
+                "segments_b64": _b64(seg), "segments_shape": [28, 28],
+                "seed": 1, "num_samples": 8, "mode": "window"}
+
+        def fire():
+            conn = HTTPConnection("127.0.0.1", port, timeout=120)
+            result["resp"] = _post(conn, "/explain", body)
+            conn.close()
+
+        t = threading.Thread(target=fire)
+        t.start()
+        time.sleep(0.5)  # request is in flight (cold compile takes longer)
         proc.send_signal(signal.SIGTERM)
-        out, _ = proc.communicate(timeout=60)
+        out, _ = proc.communicate(timeout=120)
+        t.join(timeout=120)
         assert proc.returncode == 0, out
         assert "draining" in out
+        status, resp = result["resp"]
+        assert status == 200, resp  # the in-flight request was served
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_http_dynamic_batch_isolates_bad_groupmate(tmp_path, rng):
+    """A request whose segment count exceeds the artifact's candidate
+    buckets must fail ALONE: its coalesced groupmate still gets a 200 via
+    the serial-fallback path (no group poisoning)."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+
+    engine = _engine()
+    path = str(tmp_path / "artifact")
+    serving.export_bo_engine(engine, path,
+                             bo_cfg=BOConfig(n_iters=3, n_pre_samples=2),
+                             candidate_buckets=(7,), image_batches=(4,))
+    httpd = make_http_server(path, "127.0.0.1", 0, dynamic_batch=True,
+                             batch_wait_ms=600.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    img = rng.rand(28, 28, 1).astype(np.float32)
+    seg_ok = ((np.arange(784).reshape(28, 28)) % 10).astype(np.int32)
+    seg_bad = ((np.arange(784).reshape(28, 28)) % 24).astype(np.int32)
+    results, errs = {}, []
+    try:
+        host, port = httpd.server_address[:2]
+
+        def fire(name, seg):
+            try:
+                conn = HTTPConnection(host, port)
+                body = {"image_b64": _b64(img), "image_shape": [28, 28, 1],
+                        "segments_b64": _b64(seg),
+                        "segments_shape": [28, 28], "seed": 1, "target": 2}
+                results[name] = _post(conn, "/explain", body)
+                conn.close()
+            except Exception as e:
+                errs.append((name, e))
+
+        threads = [threading.Thread(target=fire, args=("ok", seg_ok)),
+                   threading.Thread(target=fire, args=("bad", seg_bad))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        stats = dict(httpd.service._batcher.stats)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+    assert not errs, errs
+    assert results["ok"][0] == 200, results["ok"]
+    assert results["bad"][0] == 400, results["bad"]
+    assert stats["requests"] == 2
+
+
+def test_http_normalize_requires_uint8_wire(http_engine_server, rng):
+    """'normalize' with an f32 image is a 400, not a silent no-op (the
+    model would otherwise run on un-preprocessed pixels)."""
+    engine, httpd = http_engine_server
+    host, port = httpd.server_address[:2]
+    conn = HTTPConnection(host, port)
+    img = rng.rand(28, 28, 1).astype(np.float32)
+    seg = ((np.arange(784).reshape(28, 28)) % 10).astype(np.int32)
+    body = {"image_b64": _b64(img), "image_shape": [28, 28, 1],
+            "segments_b64": _b64(seg), "segments_shape": [28, 28],
+            "seed": 1, "num_samples": 4,
+            "normalize": {"mean": [0.5], "std": [0.5]}}
+    status, resp = _post(conn, "/explain", body)
+    assert status == 400 and "uint8" in resp["error"]
+    # uint8 wire + normalize works.
+    u8 = (img * 255).astype(np.uint8)
+    body2 = {"image_u8_b64": _b64(u8), "image_shape": [28, 28, 1],
+             "segments_b64": _b64(seg), "segments_shape": [28, 28],
+             "seed": 1, "num_samples": 4,
+             "normalize": {"mean": [0.5], "std": [0.5]}}
+    status, resp = _post(conn, "/explain", body2)
+    assert status == 200, resp
+    conn.close()
