@@ -36,6 +36,9 @@ run bo_pipeline python benchmarks/probe_bo_pipeline.py
 # 3. Warm serving-path timings (explain/explain_batch/knockout artifacts).
 run serving python benchmarks/probe_serving.py
 
+# 3b. Sustained serving load: dynamic batching vs serialized at C=1/4/16.
+run load_test python benchmarks/load_test.py --requests 32
+
 # 4. TPU smoke subset of the test suite (recorded evidence).
 run tpu_smoke env NIT_TEST_TPU=1 python -m pytest tests/ -q -m tpu_smoke
 
