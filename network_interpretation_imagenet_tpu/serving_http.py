@@ -202,12 +202,18 @@ class _DynamicBatcher:
     carries image-batched programs (``export_bo_engine(image_batches=...)``)
     a group of N queued requests costs barely more than one
     (docs/PERFORMANCE.md: the N-vmapped loop measured 23-25 ms/image at
-    N=16 vs ~120 ms for a single loop). The first request to arrive on an
-    empty queue becomes the group leader: it sleeps ``wait_s`` (no locks
-    held) so concurrent arrivals can join, then drains the queue and runs
-    each (image-shape, window_fraction) group as one ``explain_batch``
-    device call — images must stack, and the fused loop takes one window
-    fraction per call. Followers block on a per-request event.
+    N=16 vs ~120 ms for a single loop). CONTINUOUS batching: the first
+    request to arrive on an empty queue becomes the group leader, takes
+    the device lock, then drains the queue — when the device was busy,
+    the lock wait IS the collection window, so everything that queued
+    during the previous batch's run coalesces with zero artificial sleep;
+    an isolated request on an idle device runs immediately (no added
+    latency at C=1). ``wait_s`` only pads the one remaining case — a
+    multi-request burst landing on an idle device — so the burst shares
+    the first call. Each (image-shape, window_fraction) group runs as one
+    ``explain_batch`` device call — images must stack, and the fused loop
+    takes one window fraction per call. Followers block on a per-request
+    event.
 
     Target inference for grouped requests goes through the batched predict
     head (one device call for all missing targets), which can differ from
@@ -258,12 +264,26 @@ class _DynamicBatcher:
             leader = len(self._queue) == 1
             self.stats["requests"] += 1
         if leader:
-            time.sleep(self._wait_s)  # collection window — no locks held
             with self._lock:
-                batch, self._queue = self._queue, []
-            # Arrivals after the drain see an empty queue and elect a new
-            # leader themselves, so no request can be left waiting.
-            self._run(batch)
+                solo = len(self._queue) == 1
+            if not solo and not self._service._lock.locked():
+                # A burst landed on an IDLE device: wait the collection
+                # window so the whole burst shares the first device call
+                # instead of the leader running alone.
+                time.sleep(self._wait_s)
+            # Continuous batching: take the device lock FIRST, then drain.
+            # When the device was busy, everything that queued during the
+            # previous batch's run becomes this group — the lock wait IS
+            # the collection window, so the hot path never sleeps, and an
+            # isolated request on an idle device runs immediately (zero
+            # added latency at C=1).
+            with self._service._lock:
+                with self._lock:
+                    batch, self._queue = self._queue, []
+                # Arrivals after the drain see an empty queue and elect a
+                # new leader themselves, so no request is left waiting.
+                if batch:
+                    self._run(batch)
         req["event"].wait()
         if req["error"] is not None:
             raise req["error"]
@@ -279,34 +299,34 @@ class _DynamicBatcher:
                 self._run_group(reqs[i:i + self._max_batch], wf)
 
     def _run_group(self, reqs: list, wf: float) -> None:
-        service = self._service
-        bo = service.bo_server
+        """Run one coalesced group. The CALLER holds the service's device
+        lock for the whole drain pass."""
+        bo = self._service.bo_server
         n = len(reqs)
         calls = 0
         try:
             images = np.stack([r["image"] for r in reqs])
             segs = [r["segments"] for r in reqs]
-            with service._lock:
-                targets = [r["target"] for r in reqs]
-                missing = [i for i, t in enumerate(targets) if t is None]
-                if missing:
-                    logits = bo.predict_logits_batch(images[missing])
-                    for j, i in enumerate(missing):
-                        targets[i] = int(logits[j].argmax())
-                batched = getattr(bo, "_batched_fns", None) or {}
-                if n > 1 and any(b >= n for b in batched):
-                    outs = bo.explain_batch(
-                        images, segs, window_fraction=wf, targets=targets,
-                        per_image_seeds=[r["seed"] for r in reqs],
-                    )
-                    calls = 1
-                else:
-                    outs = [
-                        bo.explain(images[i], segs[i], window_fraction=wf,
-                                   seed=reqs[i]["seed"], target=targets[i])
-                        for i in range(n)
-                    ]
-                    calls = n
+            targets = [r["target"] for r in reqs]
+            missing = [i for i, t in enumerate(targets) if t is None]
+            if missing:
+                logits = bo.predict_logits_batch(images[missing])
+                for j, i in enumerate(missing):
+                    targets[i] = int(logits[j].argmax())
+            batched = getattr(bo, "_batched_fns", None) or {}
+            if n > 1 and any(b >= n for b in batched):
+                outs = bo.explain_batch(
+                    images, segs, window_fraction=wf, targets=targets,
+                    per_image_seeds=[r["seed"] for r in reqs],
+                )
+                calls = 1
+            else:
+                outs = [
+                    bo.explain(images[i], segs[i], window_fraction=wf,
+                               seed=reqs[i]["seed"], target=targets[i])
+                    for i in range(n)
+                ]
+                calls = n
             for r, (out, bo_res), t in zip(reqs, outs, targets):
                 r["result"] = (out, bo_res, t)
         except Exception:
@@ -317,14 +337,13 @@ class _DynamicBatcher:
             # their answers (at serialized cost for this group only).
             for r in reqs:
                 try:
-                    with service._lock:
-                        t = r["target"]
-                        if t is None:
-                            t = int(bo.predict_logits(r["image"]).argmax())
-                        out, bo_res = bo.explain(
-                            r["image"], r["segments"], window_fraction=wf,
-                            seed=r["seed"], target=t,
-                        )
+                    t = r["target"]
+                    if t is None:
+                        t = int(bo.predict_logits(r["image"]).argmax())
+                    out, bo_res = bo.explain(
+                        r["image"], r["segments"], window_fraction=wf,
+                        seed=r["seed"], target=t,
+                    )
                     calls += 1
                     r["result"] = (out, bo_res, t)
                 except Exception as e:
