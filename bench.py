@@ -314,7 +314,43 @@ def tpu_rate_and_latency():
             ko_res.evals_per_sec)
 
 
+def tpu_reachable(timeout_s: float = 240.0) -> bool:
+    """Bounded tunnel probe. ``import jax`` HANGS (not errors) while the
+    axon tunnel is down, so probing must happen in a killable subprocess —
+    otherwise a dead tunnel turns the whole bench into a silent hang and
+    the round records nothing at all."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return "tpu" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
+    if not tpu_reachable():
+        log("TPU tunnel unreachable — emitting explicit outage record")
+        print(json.dumps({
+            "metric": "masked_forward_evals_per_sec_chip_resnet101_224",
+            "value": 0,
+            "unit": "evals/s",
+            "vs_baseline": 0,
+            "extra": {
+                "error": "axon TPU tunnel unreachable at bench time "
+                         "(import jax hangs); no fresh on-chip measurement "
+                         "possible. Staged rerun: "
+                         "benchmarks/run_onchip_backlog.sh executes the "
+                         "full bench + probes the moment the tunnel "
+                         "answers. Last real-chip measurement: "
+                         "BENCH_r02.json (7487.1 evals/s, 1450x baseline).",
+            },
+        }))
+        return
     cpu_rate = cpu_reference_rate()
     (rate, p50, sweep_rate, bo_p50, dn_rate,
      bo_batched_ms, bo_sweep_rate, ko_rate) = tpu_rate_and_latency()
