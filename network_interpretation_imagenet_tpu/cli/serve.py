@@ -21,8 +21,11 @@ import argparse
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--artifact", required=True,
-                   help="directory from cli.export_serving (engine or --bo)")
+    p.add_argument("--artifact", required=True, action="append",
+                   help="directory from cli.export_serving (engine or "
+                        "--bo). Repeatable as NAME=DIR for the multi-model "
+                        "registry: the first entry answers bare endpoints, "
+                        "every entry also serves under /m/NAME/...")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000,
                    help="0 picks a free port (printed on startup)")
@@ -56,7 +59,16 @@ def main(argv=None):
         make_http_server,
     )
 
-    httpd = make_http_server(args.artifact, args.host, args.port,
+    if len(args.artifact) == 1 and "=" not in args.artifact[0]:
+        artifacts = args.artifact[0]  # single-model (back-compat) shape
+    else:
+        artifacts = {}
+        for i, spec in enumerate(args.artifact):
+            name, _, d = spec.partition("=")
+            if not d:
+                name, d = f"model{i}" if i else "default", spec
+            artifacts[name] = d
+    httpd = make_http_server(artifacts, args.host, args.port,
                              dynamic_batch=args.dynamic_batch,
                              batch_wait_ms=args.batch_wait_ms,
                              max_pending=args.max_pending)
@@ -64,13 +76,16 @@ def main(argv=None):
         import time
 
         t0 = time.perf_counter()
-        n = httpd.service.warmup()
+        n = sum(s.warmup() for s in httpd.services.values())
         print(f"warmed {n} programs in {time.perf_counter() - t0:.1f}s",
               flush=True)
     host, port = httpd.server_address[:2]
-    print(f"serving {args.artifact} ({httpd.service.kind} artifact) on "
+    models = ", ".join(f"{n}:{s.kind}" for n, s in httpd.services.items())
+    print(f"serving {models} on "
           f"http://{host}:{port}  endpoints: /healthz /metrics /explain "
-          f"/explain_batch /eval_windows /eval_knockouts",
+          f"/explain_batch /eval_windows /eval_knockouts"
+          + (" (+ /m/<name>/... per model)" if len(httpd.services) > 1
+             else ""),
           flush=True)
     # Graceful drain: SIGTERM (the orchestrator's stop signal) stops
     # accepting connections but lets in-flight device calls finish —

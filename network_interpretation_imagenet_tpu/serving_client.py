@@ -79,11 +79,15 @@ class SaliencyClient:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 8000,
                  timeout_s: float = 600.0, retries: int = 4,
-                 backoff_s: float = 0.25):
+                 backoff_s: float = 0.25, model: Optional[str] = None):
+        """``model``: a registry name when the server hosts several
+        artifacts (``cli.serve --artifact name=dir ...``) — requests then
+        go to ``/m/<model>/...``; None hits the bare (default) model."""
         self._host, self._port = host, int(port)
         self._timeout = float(timeout_s)
         self._retries = int(retries)
         self._backoff = float(backoff_s)
+        self._prefix = f"/m/{model}" if model else ""
         self._local = threading.local()
 
     # -- transport ------------------------------------------------------------
@@ -109,6 +113,8 @@ class SaliencyClient:
 
     def _request(self, method: str, path: str,
                  body: Optional[dict] = None) -> dict:
+        if path != "/metrics":  # metrics are server-global, not per-model
+            path = self._prefix + path
         payload = None if body is None else json.dumps(body)
         last: Optional[Exception] = None
         for attempt in range(self._retries + 1):

@@ -359,12 +359,18 @@ class _DynamicBatcher:
 
 class SaliencyService:
     """Artifact wrapper the HTTP handler delegates to (also usable
-    directly in tests — the transport layer stays trivially thin)."""
+    directly in tests — the transport layer stays trivially thin).
 
-    def __init__(self, artifact_dir: str):
+    ``device_lock``: pass a SHARED lock when several services live in one
+    process (the multi-model registry) — there is one TPU context per
+    process, so device calls across models must serialize on one lock,
+    not one per model."""
+
+    def __init__(self, artifact_dir: str,
+                 device_lock: "threading.Lock | None" = None):
         import os
 
-        self._lock = threading.Lock()
+        self._lock = device_lock or threading.Lock()
         self._batcher = None
         # A directory may hold BOTH artifact kinds (export_engine and
         # export_bo_engine share the weights blob when pointed at one dir);
@@ -655,28 +661,61 @@ class SaliencyService:
         }
 
 
-def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
+_POST_ENDPOINTS = ("/explain", "/explain_batch", "/eval_windows",
+                   "/eval_knockouts")
+
+
+def make_http_server(artifact_dir, host: str = "127.0.0.1",
                      port: int = 0, dynamic_batch: bool = False,
                      batch_wait_ms: float = 5.0,
                      max_pending: int = 256) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; ``.server_address`` holds
-    the bound (host, port) — port 0 picks a free one. ``dynamic_batch``
-    coalesces concurrent BO ``/explain`` requests into one image-batched
-    device call after a ``batch_wait_ms`` collection window (fused-BO
-    artifact required; see :class:`_DynamicBatcher`), shedding load with a
-    503 past ``max_pending`` queued requests."""
+    the bound (host, port) — port 0 picks a free one.
+
+    ``artifact_dir``: a path (single model) or an ``{name: path}`` dict —
+    the multi-model registry. Bare endpoints (``/explain`` ...) hit the
+    FIRST entry; every model additionally serves under ``/m/<name>/...``
+    (same endpoints, plus ``/m/<name>/healthz``). All models share ONE
+    device lock (one TPU context per process), and ``/metrics`` keys by
+    full request path, so per-model latency/error stats come for free.
+
+    ``dynamic_batch`` coalesces concurrent BO ``/explain`` requests into
+    one image-batched device call (continuous batching — see
+    :class:`_DynamicBatcher`), shedding load with a 503 past
+    ``max_pending`` queued requests; in registry mode it applies to every
+    fused-BO-capable model."""
     import time
 
-    service = SaliencyService(artifact_dir)
+    dirs = ({"default": artifact_dir} if isinstance(artifact_dir, str)
+            else dict(artifact_dir))
+    if not dirs:
+        raise ValueError("artifact_dir registry is empty")
+    shared_lock = threading.Lock()
+    services = {name: SaliencyService(d, device_lock=shared_lock)
+                for name, d in dirs.items()}
+    default_name = next(iter(dirs))
+    service = services[default_name]  # bare-endpoint target
     if dynamic_batch:
-        service.enable_dynamic_batching(batch_wait_ms, max_pending)
+        bo_capable = [s for s in services.values() if s.bo_server is not None]
+        if not bo_capable:
+            raise ValueError("dynamic batching needs a fused-BO artifact")
+        for s in bo_capable:
+            s.enable_dynamic_batching(batch_wait_ms, max_pending)
     metrics = ServiceMetrics()
-    _POST_ROUTES = {
-        "/explain": service.explain,
-        "/explain_batch": service.explain_batch,
-        "/eval_windows": service.eval_windows,
-        "/eval_knockouts": service.eval_knockouts,
-    }
+
+    def _resolve(path):
+        """-> (service, endpoint) — registry prefix ``/m/<name>`` stripped;
+        (None, None) on unknown model or endpoint."""
+        svc = service
+        if path.startswith("/m/"):
+            parts = path.split("/", 3)  # ['', 'm', name, endpoint...]
+            if len(parts) != 4:
+                return None, None
+            svc = services.get(parts[2])
+            if svc is None:
+                return None, None
+            path = "/" + parts[3]
+        return svc, path
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -706,21 +745,32 @@ def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
                 pass
 
         def do_GET(self):
-            if self.path == "/healthz":
-                self._send(200, service.healthz())
+            svc, ep = _resolve(self.path)
+            if svc is not None and ep == "/healthz":
+                out = svc.healthz()
+                if len(services) > 1:
+                    out["models"] = {n: s.kind for n, s in services.items()}
+                self._send(200, out)
             elif self.path == "/metrics":
                 # /metrics observes only real work (POST endpoints), not
                 # itself or health probes.
                 snap = metrics.snapshot()
                 if service._batcher is not None:
                     snap["dynamic_batch"] = dict(service._batcher.stats)
+                named = {n: dict(s._batcher.stats)
+                         for n, s in services.items()
+                         if s._batcher is not None and s is not service}
+                if named:
+                    snap["dynamic_batch_models"] = named
                 self._send(200, snap)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
             t0 = time.perf_counter()
-            fn = _POST_ROUTES.get(self.path)
+            svc, ep = _resolve(self.path)
+            fn = (getattr(svc, ep[1:]) if svc is not None
+                  and ep in _POST_ENDPOINTS else None)
             if fn is None:
                 # Route miss is decided WITHOUT parsing the body, so unknown
                 # paths never enter the metrics dict and arbitrary client
@@ -756,6 +806,7 @@ def make_http_server(artifact_dir: str, host: str = "127.0.0.1",
                 pass  # client gone mid-write; nothing left to say
 
     httpd = ThreadingHTTPServer((host, port), Handler)
-    httpd.service = service  # for tests/introspection
+    httpd.service = service  # default model, for tests/introspection
+    httpd.services = services  # full registry ({name: SaliencyService})
     httpd.metrics = metrics
     return httpd

@@ -220,3 +220,61 @@ def test_client_dead_server_is_status_zero():
         client.healthz()
     assert ei.value.status == 0
     assert ei.value.__cause__ is not None
+
+
+def test_multi_model_registry(tmp_path, rng):
+    """One process serves several artifacts: bare endpoints hit the first
+    entry, /m/<name>/... routes per model, healthz lists the registry,
+    unknown model names 404 without entering metrics, and the client's
+    model= targets a named entry."""
+    from http.client import HTTPConnection
+
+    engine = _engine()
+    eng_dir = str(tmp_path / "eng")
+    serving.export_engine(engine, eng_dir, batch_sizes=(16,))
+    bo_dir = str(tmp_path / "bo")
+    serving.export_bo_engine(engine, bo_dir,
+                             bo_cfg=BOConfig(n_iters=3, n_pre_samples=2),
+                             candidate_buckets=(7,))
+    httpd = make_http_server({"windows": eng_dir, "bo": bo_dir},
+                             "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = httpd.server_address[:2]
+        img = rng.rand(28, 28, 1).astype(np.float32)
+        seg = ((np.arange(784).reshape(28, 28)) % 10).astype(np.int32)
+
+        default = SaliencyClient(host, port)
+        h = default.healthz()
+        assert h["kind"] == "engine"  # first entry answers bare endpoints
+        assert h["models"] == {"windows": "engine", "bo": "bo"}
+        w = default.explain(img, segments=seg, seed=1, num_samples=8)
+        assert w["num_samples"] == 8  # window mode via the engine artifact
+
+        bo = SaliencyClient(host, port, model="bo")
+        assert bo.healthz()["kind"] == "bo"
+        out = bo.explain(img, segments=seg, seed=1, target=2)
+        assert len(out["xp"]) == 5  # 2 pre + 3 iters
+
+        named_eng = SaliencyClient(host, port, model="windows")
+        ev = named_eng.eval_windows(img, seg, np.arange(3, dtype=np.int32),
+                                    width=4, target=2)
+        assert len(ev["survived"]) == 3
+
+        # Unknown model: 404, and the path never enters metrics.
+        conn = HTTPConnection(host, port)
+        conn.request("POST", "/m/nope/explain", "{}")
+        assert conn.getresponse().status == 404
+        conn.request("GET", "/m/nope/healthz")
+        assert conn.getresponse().status == 404
+        conn.close()
+        snap = default.metrics()
+        assert not any("nope" in k for k in snap["endpoints"])
+        # Per-model metrics key by full path.
+        assert "/m/bo/explain" in snap["endpoints"]
+        for c in (default, bo, named_eng):
+            c.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
