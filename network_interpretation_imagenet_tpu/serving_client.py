@@ -58,6 +58,12 @@ def _b64(arr: np.ndarray, dtype) -> str:
                             ).decode("ascii")
 
 
+def _array_fields(key: str, arr: np.ndarray, dtype) -> dict:
+    """The wire's ``{key}_b64`` + ``{key}_shape`` pair for one array."""
+    arr = np.asarray(arr, dtype)
+    return {f"{key}_b64": _b64(arr, dtype), f"{key}_shape": list(arr.shape)}
+
+
 def _decode_heatmap(item: dict, key: str = "heatmap") -> None:
     """Replace ``{key}_b64``/``{key}_shape`` with a float32 array in-place."""
     if f"{key}_b64" in item:
@@ -175,17 +181,15 @@ class SaliencyClient:
             out = {f"{key}_u8_b64": _b64(image, np.uint8),
                    f"{key}_shape": list(image.shape)}
             if normalize is not None:
-                mean, std = normalize["mean"], normalize["std"]
                 out["normalize"] = {
-                    "mean": np.asarray(mean, np.float32).tolist(),
-                    "std": np.asarray(std, np.float32).tolist(),
+                    "mean": np.asarray(normalize["mean"], np.float32).tolist(),
+                    "std": np.asarray(normalize["std"], np.float32).tolist(),
                 }
             return out
         if normalize is not None:
             raise ValueError("normalize= applies to uint8 images only; "
                              "float images must arrive preprocessed")
-        return {f"{key}_b64": _b64(image, np.float32),
-                f"{key}_shape": list(image.shape)}
+        return _array_fields(key, image, np.float32)
 
     def explain(self, image: np.ndarray, segments: Optional[np.ndarray] = None,
                 mode: Optional[str] = None, seed: int = 0,
@@ -200,9 +204,7 @@ class SaliencyClient:
         body = {"seed": int(seed), "window_fraction": float(window_fraction)}
         body.update(self._image_fields(image, "image", normalize))
         if segments is not None:
-            segments = np.asarray(segments, np.int32)
-            body["segments_b64"] = _b64(segments, np.int32)
-            body["segments_shape"] = list(segments.shape)
+            body.update(_array_fields("segments", segments, np.int32))
         if mode is not None:
             body["mode"] = mode
         if target is not None:
@@ -225,9 +227,7 @@ class SaliencyClient:
         body = {"seed": int(seed), "window_fraction": float(window_fraction)}
         body.update(self._image_fields(images, "images", normalize))
         if segments is not None:
-            segments = np.asarray(segments, np.int32)
-            body["segments_b64"] = _b64(segments, np.int32)
-            body["segments_shape"] = list(segments.shape)
+            body.update(_array_fields("segments", segments, np.int32))
         if seeds is not None:
             body["seeds"] = [int(s) for s in seeds]
         if targets is not None:
@@ -241,31 +241,19 @@ class SaliencyClient:
     def eval_windows(self, image: np.ndarray, segments: np.ndarray,
                      firsts: np.ndarray, width: int, target: int) -> dict:
         """Raw per-mask survive/prob arrays (engine artifacts)."""
-        image = np.asarray(image, np.float32)
-        segments = np.asarray(segments, np.int32)
-        firsts = np.asarray(firsts, np.int32)
         return self._request("POST", "/eval_windows", {
-            "image_b64": _b64(image, np.float32),
-            "image_shape": list(image.shape),
-            "segments_b64": _b64(segments, np.int32),
-            "segments_shape": list(segments.shape),
-            "firsts_b64": _b64(firsts, np.int32),
-            "firsts_shape": list(firsts.shape),
+            **_array_fields("image", image, np.float32),
+            **_array_fields("segments", segments, np.int32),
+            **_array_fields("firsts", firsts, np.int32),
             "width": int(width), "target": int(target),
         })
 
     def eval_knockouts(self, image: np.ndarray, segments: np.ndarray,
                        knock_ids: np.ndarray, target: int) -> dict:
         """Knockout twin of :meth:`eval_windows` (knockout_m artifacts)."""
-        image = np.asarray(image, np.float32)
-        segments = np.asarray(segments, np.int32)
-        knock_ids = np.asarray(knock_ids, np.int32)
         return self._request("POST", "/eval_knockouts", {
-            "image_b64": _b64(image, np.float32),
-            "image_shape": list(image.shape),
-            "segments_b64": _b64(segments, np.int32),
-            "segments_shape": list(segments.shape),
-            "knock_ids_b64": _b64(knock_ids, np.int32),
-            "knock_ids_shape": list(knock_ids.shape),
+            **_array_fields("image", image, np.float32),
+            **_array_fields("segments", segments, np.int32),
+            **_array_fields("knock_ids", knock_ids, np.int32),
             "target": int(target),
         })

@@ -58,6 +58,7 @@ from __future__ import annotations
 import base64
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -141,7 +142,6 @@ class ServiceMetrics:
 
     def __init__(self, window: int = 512):
         import collections
-        import time
 
         self._lock = threading.Lock()
         self._window = window
@@ -164,8 +164,6 @@ class ServiceMetrics:
             st["lat"].append(seconds)
 
     def snapshot(self) -> dict:
-        import time
-
         with self._lock:
             out = {"uptime_seconds": round(time.time() - self._t_start, 3),
                    "endpoints": {}}
@@ -238,8 +236,6 @@ class _DynamicBatcher:
     def explain(self, image, segments, wf, seed, target):
         """Single request entry point; returns ``(out, bo_res, target)``
         exactly like the direct ``bo_server.explain`` path."""
-        import time
-
         # Per-request validation happens HERE, before the request can join
         # a group — a malformed field must 400 its own request, never
         # poison groupmates.
@@ -684,8 +680,6 @@ def make_http_server(artifact_dir, host: str = "127.0.0.1",
     :class:`_DynamicBatcher`), shedding load with a 503 past
     ``max_pending`` queued requests; in registry mode it applies to every
     fused-BO-capable model."""
-    import time
-
     dirs = ({"default": artifact_dir} if isinstance(artifact_dir, str)
             else dict(artifact_dir))
     if not dirs:
@@ -769,6 +763,8 @@ def make_http_server(artifact_dir, host: str = "127.0.0.1",
         def do_POST(self):
             t0 = time.perf_counter()
             svc, ep = _resolve(self.path)
+            # Endpoint paths ARE the SaliencyService method names
+            # ("/explain" -> .explain) — _POST_ENDPOINTS pins the set.
             fn = (getattr(svc, ep[1:]) if svc is not None
                   and ep in _POST_ENDPOINTS else None)
             if fn is None:
