@@ -171,11 +171,33 @@ class SaliencyClient:
         return self._request("GET", "/metrics")
 
     @staticmethod
-    def _image_fields(image: np.ndarray, key: str,
-                      normalize) -> dict:
-        """uint8 inputs ride the 4×-smaller u8 wire (server scales /255 and
-        applies ``normalize={"mean": ..., "std": ...}``); anything else is
-        sent as f32, already preprocessed."""
+    def _image_fields(image, key: str, normalize,
+                      preprocess=None) -> dict:
+        """JPEG ``bytes`` (or a list of them for the batch key) ship
+        untouched — the server runs the bit-exact eval transform, tuned by
+        ``preprocess={"crop", "mean", "std"}``; uint8 arrays ride the
+        4×-smaller u8 wire (server scales /255 and applies
+        ``normalize={"mean": ..., "std": ...}``); anything else is sent as
+        f32, already preprocessed."""
+        is_jpeg = isinstance(image, (bytes, bytearray)) or (
+            isinstance(image, (list, tuple)) and image
+            and isinstance(image[0], (bytes, bytearray)))
+        if is_jpeg:
+            if normalize is not None:
+                raise ValueError("JPEG images take preprocess=, not "
+                                 "normalize=")
+            enc = (base64.b64encode(bytes(image)).decode("ascii")
+                   if isinstance(image, (bytes, bytearray)) else
+                   [base64.b64encode(bytes(b)).decode("ascii")
+                    for b in image])
+            out = {f"{key}_jpeg_b64": enc}
+            if preprocess is not None:
+                out["preprocess"] = preprocess
+            return out
+        if preprocess is not None:
+            raise ValueError("preprocess= applies to JPEG bytes only; "
+                             "arrays use normalize= (u8) or arrive "
+                             "preprocessed (f32)")
         image = np.asarray(image)
         if image.dtype == np.uint8:
             out = {f"{key}_u8_b64": _b64(image, np.uint8),
@@ -191,18 +213,21 @@ class SaliencyClient:
                              "float images must arrive preprocessed")
         return _array_fields(key, image, np.float32)
 
-    def explain(self, image: np.ndarray, segments: Optional[np.ndarray] = None,
+    def explain(self, image, segments: Optional[np.ndarray] = None,
                 mode: Optional[str] = None, seed: int = 0,
                 target: Optional[int] = None, window_fraction: float = 0.4,
-                normalize: Optional[dict] = None, **extra) -> dict:
+                normalize: Optional[dict] = None,
+                preprocess: Optional[dict] = None, **extra) -> dict:
         """One image → explanation dict with ``heatmap`` as float32[H, W].
 
-        ``segments=None`` lets the server segment (Felzenszwalb reference
-        defaults, or pass ``segment={...}`` through ``extra``). A uint8
-        ``image`` ships as raw bytes; ``normalize`` then applies the
-        eval-transform mean/std server-side after the /255."""
+        ``image``: preprocessed f32 array, uint8 array (raw-byte wire,
+        ``normalize`` applies mean/std server-side after the /255), or
+        JPEG ``bytes`` (server runs the full eval transform, tuned by
+        ``preprocess={"crop", "mean", "std"}``). ``segments=None`` lets
+        the server segment (Felzenszwalb reference defaults, or pass
+        ``segment={...}`` through ``extra``)."""
         body = {"seed": int(seed), "window_fraction": float(window_fraction)}
-        body.update(self._image_fields(image, "image", normalize))
+        body.update(self._image_fields(image, "image", normalize, preprocess))
         if segments is not None:
             body.update(_array_fields("segments", segments, np.int32))
         if mode is not None:
@@ -214,18 +239,24 @@ class SaliencyClient:
         _decode_heatmap(out)
         return out
 
-    def explain_batch(self, images: np.ndarray,
+    def explain_batch(self, images,
                       segments: Optional[np.ndarray] = None,
                       seeds: Optional[Sequence[int]] = None,
                       targets: Optional[Sequence[int]] = None,
                       seed: int = 0, window_fraction: float = 0.4,
-                      normalize: Optional[dict] = None, **extra) -> list:
-        """N images → list of explanation dicts (BO artifacts only)."""
-        images = np.asarray(images)
-        if images.ndim != 4:
-            raise ValueError(f"images must be [N,H,W,C], got {images.shape}")
+                      normalize: Optional[dict] = None,
+                      preprocess: Optional[dict] = None, **extra) -> list:
+        """N images → list of explanation dicts (BO artifacts only).
+        ``images``: [N,H,W,C] array or a list of JPEG ``bytes``."""
+        if not (isinstance(images, (list, tuple)) and images
+                and isinstance(images[0], (bytes, bytearray))):
+            images = np.asarray(images)
+            if images.ndim != 4:
+                raise ValueError(
+                    f"images must be [N,H,W,C], got {images.shape}")
         body = {"seed": int(seed), "window_fraction": float(window_fraction)}
-        body.update(self._image_fields(images, "images", normalize))
+        body.update(self._image_fields(images, "images", normalize,
+                                       preprocess))
         if segments is not None:
             body.update(_array_fields("segments", segments, np.int32))
         if seeds is not None:

@@ -41,7 +41,11 @@ preferred, ~4× smaller and lossless — as base64 raw little-endian bytes:
 segments). Images can also ship as raw uint8 (another 4× smaller —
 ``"image_u8_b64"`` / ``"images_u8_b64"``): the server scales to [0,1] and
 applies an optional ``"normalize": {"mean": [...], "std": [...]}``, so a
-client sends JPEG-decoded bytes untouched. Responses return
+client sends JPEG-decoded arrays untouched. Or as the ORIGINAL JPEG file
+(``"image_jpeg_b64"``, or a list of b64 strings for the batch key): the
+server runs the full bit-exact eval transform (resize → center-crop →
+/255 → mean/std; ``"preprocess": {"crop", "mean", "std"}``, ImageNet
+defaults), so clients never reimplement preprocessing. Responses return
 ``heatmap_b64`` (f32) + ``heatmap_shape``.
 ``"segments"`` is optional: when absent the server segments with the
 artifact-independent default (Felzenszwalb scale=100 sigma=0.5
@@ -79,11 +83,45 @@ def _decode_array(body: dict, key: str, dtype) -> "np.ndarray | None":
 
 
 def _decode_image(body: dict, key: str) -> "np.ndarray | None":
-    """Image array from ``key``: f32 (lists or ``_b64``) or — 4× smaller on
-    the wire — raw uint8 via ``{key}_u8_b64``, scaled to [0,1] server-side
-    with an optional ``"normalize": {"mean": [...], "std": [...]}`` applied
-    after the /255 (the eval-transform convention, so a client can ship
-    JPEG-decoded bytes untouched)."""
+    """Image array from ``key``: f32 (lists or ``_b64``), raw uint8 via
+    ``{key}_u8_b64`` (4× smaller; scaled to [0,1] server-side with an
+    optional ``"normalize": {"mean": [...], "std": [...]}`` applied after
+    the /255), or ORIGINAL JPEG bytes via ``{key}_jpeg_b64`` (a b64 string,
+    or a list of them for the batch key) — the server then runs the full
+    bit-exact torchvision eval transform (resize → center-crop → /255 →
+    mean/std), tuned by ``"preprocess": {"crop", "mean", "std"}``
+    (defaults: 224, ImageNet stats), so clients ship the file untouched
+    and never reimplement preprocessing. JPEG decodes as RGB (3-channel
+    models only)."""
+    if f"{key}_jpeg_b64" in body:
+        from io import BytesIO
+
+        from PIL import Image
+
+        from network_interpretation_imagenet_tpu.data.transform import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+            pil_eval_transform,
+        )
+
+        pp = body.get("preprocess") or {}
+        crop = int(pp.get("crop", 224))
+        mean = pp.get("mean", IMAGENET_MEAN)
+        std = pp.get("std", IMAGENET_STD)
+
+        def one(b64s: str) -> np.ndarray:
+            img = Image.open(BytesIO(base64.b64decode(b64s))).convert("RGB")
+            return pil_eval_transform(img, crop, mean, std)
+
+        blobs = body[f"{key}_jpeg_b64"]
+        if isinstance(blobs, str):
+            return one(blobs)
+        return np.stack([one(b) for b in blobs])
+    if body.get("preprocess") is not None:
+        raise ValueError(
+            f"'preprocess' applies only to JPEG images ({key}_jpeg_b64); "
+            "decoded arrays use 'normalize' (u8) or arrive preprocessed "
+            "(f32)")
     if f"{key}_u8_b64" in body:
         raw = base64.b64decode(body[f"{key}_u8_b64"])
         arr = np.frombuffer(raw, np.uint8).astype(np.float32) / 255.0

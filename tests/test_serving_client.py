@@ -278,3 +278,72 @@ def test_multi_model_registry(tmp_path, rng):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_client_jpeg_wire_runs_eval_transform_server_side(tmp_path, rng):
+    """JPEG bytes ship untouched; the server runs the bit-exact eval
+    transform (resize/center-crop//255/mean-std), so the result equals
+    sending the locally-transformed f32 array."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    from network_interpretation_imagenet_tpu.data.transform import (
+        pil_eval_transform,
+    )
+
+    bundle = create_model("resnet", "cifar10", depth=8)  # RGB 32x32 input
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=16,
+                            compute_dtype=jnp.float32)
+    path = str(tmp_path / "artifact")
+    serving.export_engine(engine, path, batch_sizes=(16,))
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = httpd.server_address[:2]
+        client = SaliencyClient(host, port)
+
+        # A 48x40 JPEG: the transform must resize+center-crop to 32.
+        src = (rng.rand(48, 40, 3) * 255).astype(np.uint8)
+        buf = BytesIO()
+        Image.fromarray(src).save(buf, format="JPEG", quality=95)
+        jpeg = buf.getvalue()
+        pp = {"crop": 32, "mean": [0.4914, 0.4822, 0.4465],
+              "std": [0.2470, 0.2435, 0.2616]}
+        seg = ((np.arange(1024).reshape(32, 32)) % 8).astype(np.int32)
+
+        a = client.explain(jpeg, segments=seg, mode="window", seed=1,
+                           num_samples=8, target=3, preprocess=pp)
+
+        local = pil_eval_transform(
+            Image.open(BytesIO(jpeg)).convert("RGB"), 32,
+            pp["mean"], pp["std"])
+        b = client.explain(local.astype(np.float32), segments=seg,
+                           mode="window", seed=1, num_samples=8, target=3)
+        np.testing.assert_array_equal(a["heatmap"], b["heatmap"])
+
+        # preprocess= with an array is a usage error on both sides.
+        with pytest.raises(ValueError, match="JPEG"):
+            client.explain(local, segments=seg, preprocess=pp)
+        status_err = None
+        try:
+            # raw wire: f32 + preprocess must 400 server-side too.
+            import base64 as _b64mod
+            import json as _json
+            from http.client import HTTPConnection
+
+            conn = HTTPConnection(host, port)
+            conn.request("POST", "/explain", _json.dumps({
+                "image_b64": _b64mod.b64encode(local.tobytes()).decode(),
+                "image_shape": [32, 32, 3], "preprocess": pp,
+            }))
+            status_err = conn.getresponse().status
+            conn.close()
+        finally:
+            assert status_err == 400
+        client.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
