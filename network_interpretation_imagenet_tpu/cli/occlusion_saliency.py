@@ -4,7 +4,8 @@ ResNet-18 occlusion/gradient saliency, 224×224 batched masks").
 Methods: ``occlusion`` (patch-sweep probability drop, batched masked
 forwards), ``gradient`` (input gradient — the reference's commented-out
 oracle, ``gp_superpixel_data_imagenet.py:235-251``), ``grad_input``,
-``integrated`` (integrated gradients).
+``integrated`` (integrated gradients), ``smoothgrad`` (noise-averaged
+input gradient, one vmapped backward; ``--sg-squared`` for SmoothGrad²).
 """
 
 from __future__ import annotations
@@ -22,10 +23,19 @@ from network_interpretation_imagenet_tpu.saliency.viz import save_panels
 def main(argv=None):
     p = common.build_parser(__doc__)
     p.add_argument("--method", default="occlusion",
-                   choices=["occlusion", "gradient", "grad_input", "integrated"])
+                   choices=["occlusion", "gradient", "grad_input",
+                            "integrated", "smoothgrad"])
     p.add_argument("--patch", type=int, default=32)
     p.add_argument("--stride", type=int, default=16)
     p.add_argument("--ig-steps", type=int, default=16)
+    p.add_argument("--sg-samples", type=int, default=16,
+                   help="smoothgrad: noisy copies averaged (one vmapped "
+                        "backward)")
+    p.add_argument("--sg-sigma", type=float, default=0.15,
+                   help="smoothgrad: Gaussian noise sigma RELATIVE to the "
+                        "image's value range (paper convention)")
+    p.add_argument("--sg-squared", action="store_true",
+                   help="smoothgrad: average squared gradients (SmoothGrad²)")
     p.add_argument("--bbox_threshold", type=int, default=180)
     args = p.parse_args(argv)
     common.apply_debug_flags(args)
@@ -47,6 +57,12 @@ def main(argv=None):
         heat = grad_mod.input_gradient(logits_fn, variables, image, target)
     elif args.method == "grad_input":
         heat = grad_mod.grad_times_input(logits_fn, variables, image, target)
+    elif args.method == "smoothgrad":
+        heat = grad_mod.smoothgrad(
+            logits_fn, variables, image, target, samples=args.sg_samples,
+            noise_sigma=args.sg_sigma, seed=args.seed,
+            magnitude=args.sg_squared,
+        )
     else:
         heat = grad_mod.integrated_gradients(
             logits_fn, variables, image, target, steps=args.ig_steps

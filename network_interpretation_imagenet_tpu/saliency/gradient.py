@@ -76,6 +76,33 @@ def integrated_gradients(
     return jnp.sum(jnp.abs((image - base) * avg), axis=-1)
 
 
+def smoothgrad(
+    logits_fn: Callable,
+    variables: Any,
+    image: Array,
+    target: int,
+    samples: int = 16,
+    noise_sigma: float = 0.15,
+    seed: int = 0,
+    magnitude: bool = False,
+) -> Array:
+    """SmoothGrad (Smilkov et al., 2017): the input gradient averaged over
+    Gaussian-noised copies of the image — ``noise_sigma`` is RELATIVE to
+    the image's value range, the paper's convention. One vmapped backward
+    over all samples. ``magnitude=True`` averages squared gradients
+    (SmoothGrad²) before the channel-sum."""
+    image = jnp.asarray(image, jnp.float32)
+    span = jnp.maximum(jnp.max(image) - jnp.min(image), 1e-6)
+    noise = (
+        jax.random.normal(jax.random.PRNGKey(seed), (samples, *image.shape))
+        * noise_sigma * span
+    )
+    grad_one = jax.grad(_target_logit_fn(logits_fn, variables, target))
+    grads = jax.vmap(grad_one)(image[None] + noise)  # [S, H, W, C]
+    g = jnp.mean(grads ** 2 if magnitude else grads, axis=0)
+    return jnp.sum(jnp.abs(g), axis=-1)
+
+
 def occlusion_map(
     logits_fn: Callable,
     variables: Any,

@@ -48,6 +48,31 @@ def test_grad_times_input_and_integrated_agree_for_linear_model():
     np.testing.assert_allclose(gi, ig, atol=1e-5)
 
 
+def test_smoothgrad_localizes_and_reduces_to_plain_grad():
+    """For a LINEAR model the gradient is input-independent, so smoothgrad
+    equals the plain input gradient regardless of noise; localization and
+    the SmoothGrad² flavor follow."""
+    logits_fn = _toy_model()
+    img = np.ones((16, 16, 1), np.float32)
+    sg = np.asarray(grad_mod.smoothgrad(logits_fn, None, img, 1, samples=8,
+                                        noise_sigma=0.3, seed=3))
+    plain = np.asarray(grad_mod.input_gradient(logits_fn, None, img, 1))
+    np.testing.assert_allclose(sg, plain, atol=1e-6)
+    assert sg[4:12, 4:12].min() > 0
+    assert sg[:4].max() == 0 and sg[:, :4].max() == 0
+    # SmoothGrad**2 squares before channel-sum: region value = grad**2.
+    sg2 = np.asarray(grad_mod.smoothgrad(logits_fn, None, img, 1, samples=8,
+                                         noise_sigma=0.3, seed=3,
+                                         magnitude=True))
+    np.testing.assert_allclose(sg2[4:12, 4:12], plain[4:12, 4:12] ** 2,
+                               atol=1e-6)
+    # Determinism: same seed -> same map.
+    again = np.asarray(grad_mod.smoothgrad(logits_fn, None, img, 1,
+                                           samples=8, noise_sigma=0.3,
+                                           seed=3))
+    np.testing.assert_array_equal(sg, again)
+
+
 def test_occlusion_map_finds_region():
     logits_fn = _toy_model()
     img = np.ones((16, 16, 1), np.float32)
