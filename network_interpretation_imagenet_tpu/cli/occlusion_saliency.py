@@ -5,7 +5,9 @@ Methods: ``occlusion`` (patch-sweep probability drop, batched masked
 forwards), ``gradient`` (input gradient — the reference's commented-out
 oracle, ``gp_superpixel_data_imagenet.py:235-251``), ``grad_input``,
 ``integrated`` (integrated gradients), ``smoothgrad`` (noise-averaged
-input gradient, one vmapped backward; ``--sg-squared`` for SmoothGrad²).
+input gradient, one vmapped backward; ``--sg-squared`` for SmoothGrad²),
+``rise`` (random upsampled soft masks, probability-weighted average —
+all mask generation and forwards on device).
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ def main(argv=None):
     p = common.build_parser(__doc__)
     p.add_argument("--method", default="occlusion",
                    choices=["occlusion", "gradient", "grad_input",
-                            "integrated", "smoothgrad"])
+                            "integrated", "smoothgrad", "rise"])
     p.add_argument("--patch", type=int, default=32)
     p.add_argument("--stride", type=int, default=16)
     p.add_argument("--ig-steps", type=int, default=16)
@@ -36,6 +38,13 @@ def main(argv=None):
                         "image's value range (paper convention)")
     p.add_argument("--sg-squared", action="store_true",
                    help="smoothgrad: average squared gradients (SmoothGrad²)")
+    p.add_argument("--rise-masks", type=int, default=1000,
+                   help="rise: random soft masks (rounded up to a batch "
+                        "multiple)")
+    p.add_argument("--rise-grid", type=int, default=7,
+                   help="rise: low-res Bernoulli grid size")
+    p.add_argument("--rise-keep", type=float, default=0.5,
+                   help="rise: per-cell keep probability")
     p.add_argument("--bbox_threshold", type=int, default=180)
     args = p.parse_args(argv)
     common.apply_debug_flags(args)
@@ -62,6 +71,13 @@ def main(argv=None):
             logits_fn, variables, image, target, samples=args.sg_samples,
             noise_sigma=args.sg_sigma, seed=args.seed,
             magnitude=args.sg_squared,
+        )
+    elif args.method == "rise":
+        heat = grad_mod.rise_map(
+            logits_fn, variables, image, target, num_masks=args.rise_masks,
+            grid=args.rise_grid, keep_prob=args.rise_keep,
+            batch=args.mask_batch, seed=args.seed,
+            compute_dtype=engine.compute_dtype,
         )
     else:
         heat = grad_mod.integrated_gradients(

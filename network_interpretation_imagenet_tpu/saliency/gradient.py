@@ -138,6 +138,91 @@ def occlusion_map(
     )
 
 
+def rise_map(
+    logits_fn: Callable,
+    variables: Any,
+    image: Array,
+    target: int,
+    num_masks: int = 1000,
+    grid: int = 7,
+    keep_prob: float = 0.5,
+    batch: int = 250,
+    seed: int = 0,
+    compute_dtype: Any = jnp.bfloat16,
+) -> Array:
+    """RISE (Petsiuk et al., 2018): random ``grid``² Bernoulli(keep_prob)
+    patterns, bilinearly upsampled with a random sub-cell shift into SOFT
+    [0,1] masks; the saliency map is the target-probability-weighted
+    average of the masks, ``Σ pᵢ·Mᵢ / (N·keep_prob)``. Everything runs on
+    device: mask generation (bernoulli → ``jax.image.resize`` → vmapped
+    dynamic crop), batched soft-masked forwards, and the weighted
+    accumulation — one ``lax.scan`` of ``batch``-sized chunks.
+
+    ``num_masks`` rounds UP to a multiple of ``batch`` (the actual count
+    normalizes the map, so this only adds samples)."""
+    image = jnp.asarray(image, jnp.float32)
+    h, w, _ = image.shape
+    chunks = -(-num_masks // batch)
+    run = _rise_core(logits_fn, int(grid), int(batch), int(chunks), h, w,
+                     compute_dtype)
+    return run(
+        variables, image, jnp.int32(target), jax.random.PRNGKey(seed),
+        jnp.float32(keep_prob),
+    )
+
+
+# (logits_fn, grid, batch, chunks, h, w, dtype) → jitted core (see
+# occlusion note; chunks is the static scan length).
+_RISE_CACHE: dict = {}
+
+
+def _rise_core(logits_fn, grid: int, batch: int, chunks: int, h: int,
+               w: int, compute_dtype):
+    key_t = (logits_fn, grid, batch, chunks, h, w,
+             jnp.dtype(compute_dtype).name)
+    if key_t not in _RISE_CACHE:
+        # Upsample target: one extra cell so a random sub-cell shift always
+        # leaves a full h×w crop (the paper's anti-gridding jitter).
+        ch, cw = -(-h // grid), -(-w // grid)
+        up_h, up_w = (grid + 1) * ch, (grid + 1) * cw
+        n_total = float(chunks * batch)
+
+        @jax.jit
+        def run(variables, image, target, key, keep_prob):
+            def one_chunk(key):
+                kg, ky, kx = jax.random.split(key, 3)
+                cells = jax.random.bernoulli(
+                    kg, keep_prob, (batch, grid, grid)
+                ).astype(jnp.float32)
+                big = jax.image.resize(
+                    cells, (batch, up_h, up_w), method="bilinear"
+                )
+                oy = jax.random.randint(ky, (batch,), 0, ch)
+                ox = jax.random.randint(kx, (batch,), 0, cw)
+                crop = jax.vmap(
+                    lambda m, y, x: jax.lax.dynamic_slice(m, (y, x), (h, w))
+                )(big, oy, ox)  # [B, h, w] soft masks in [0, 1]
+                imgs = image[None] * crop[:, :, :, None]
+                logits = logits_fn(variables, imgs.astype(compute_dtype))
+                probs = jax.nn.softmax(
+                    logits.astype(jnp.float32), -1)[:, target]
+                return jnp.einsum("k,khw->hw", probs, crop)
+
+            def step(carry, _):
+                key, acc = carry
+                key, sub = jax.random.split(key)
+                return (key, acc + one_chunk(sub)), None
+
+            (_, heat), _ = jax.lax.scan(
+                step, (key, jnp.zeros((h, w), jnp.float32)), None,
+                length=chunks,
+            )
+            return heat / (n_total * keep_prob)
+
+        _RISE_CACHE[key_t] = run
+    return _RISE_CACHE[key_t]
+
+
 # (logits_fn, patch, batch, dtype) → jitted core: image/target/base_prob are
 # traced operands, so a sweep of occlusion maps traces and compiles ONCE.
 _OCCLUSION_CACHE: dict = {}

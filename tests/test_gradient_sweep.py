@@ -73,6 +73,24 @@ def test_smoothgrad_localizes_and_reduces_to_plain_grad():
     np.testing.assert_array_equal(sg, again)
 
 
+def test_rise_map_localizes_and_is_deterministic():
+    """RISE's probability-weighted soft-mask average ranks the evidence
+    region above the background; same seed -> identical map; rounding
+    num_masks up to a batch multiple is absorbed by the normalization."""
+    logits_fn = _toy_model()
+    img = np.ones((16, 16, 1), np.float32)
+    heat = np.asarray(grad_mod.rise_map(
+        logits_fn, None, img, 1, num_masks=300, grid=4, batch=64, seed=0,
+        compute_dtype=jnp.float32))
+    assert heat.shape == (16, 16)
+    assert heat[4:12, 4:12].mean() > heat[:4].mean()
+    assert heat[4:12, 4:12].mean() > heat[:, :4].mean()
+    again = np.asarray(grad_mod.rise_map(
+        logits_fn, None, img, 1, num_masks=300, grid=4, batch=64, seed=0,
+        compute_dtype=jnp.float32))
+    np.testing.assert_array_equal(heat, again)
+
+
 def test_occlusion_map_finds_region():
     logits_fn = _toy_model()
     img = np.ones((16, 16, 1), np.float32)
