@@ -138,6 +138,115 @@ def occlusion_map(
     )
 
 
+def gradcam_target_layers(bundle, variables, image: Array) -> list:
+    """Every named module whose eval-mode output is a 4D feature map, as
+    ``("path/like/this", (B, h, w, c))`` pairs — the menu for
+    :func:`gradcam`'s ``layer=`` argument. One capture-mode forward."""
+    image = jnp.asarray(image, jnp.float32)
+    _, state = bundle.module.apply(
+        variables, image[None], False,
+        capture_intermediates=True, mutable=["intermediates"],
+    )
+    out = []
+    for path, val in jax.tree_util.tree_flatten_with_path(
+            state["intermediates"])[0]:
+        names = [p.key for p in path if hasattr(p, "key")]
+        if not names or names[-1] != "__call__" or len(names) < 2:
+            continue  # root-level sows have no module path to intercept
+        if getattr(val, "ndim", 0) == 4:
+            out.append(("/".join(names[:-1]), tuple(val.shape)))
+    # De-dup (sow tuples flatten to several leaves per module).
+    seen, uniq = set(), []
+    for name, shape in out:
+        if name not in seen:
+            seen.add(name)
+            uniq.append((name, shape))
+    return uniq
+
+
+def _default_gradcam_layer(layers: list) -> str:
+    """The canonical "last conv block": smallest spatial extent, then most
+    channels, then the LATEST stage by natural segment order (layer4_1
+    beats layer4_0; features_18 beats features_9), then the composite
+    block output (shortest path) over its inner convs."""
+    import re
+
+    def nat(seg: str):
+        return tuple(int(t) if t.isdigit() else t
+                     for t in re.split(r"(\d+)", seg))
+
+    min_spatial = min(s[1] * s[2] for _, s in layers)
+    cands = [(n, s) for n, s in layers if s[1] * s[2] == min_spatial]
+    max_ch = max(s[3] for _, s in cands)
+    cands = [(n, s) for n, s in cands if s[3] == max_ch]
+    top = max(cands, key=lambda ns: nat(ns[0].split("/")[0]))[0].split("/")[0]
+    cands = [(n, s) for n, s in cands if n.split("/")[0] == top]
+    return min(cands, key=lambda ns: len(ns[0]))[0]
+
+
+def gradcam(
+    bundle,
+    variables: Any,
+    image: Array,
+    target: int,
+    layer: Optional[str] = None,
+) -> Array:
+    """Grad-CAM (Selvaraju et al., 2017), architecture-generic.
+
+    Needs ∂logit_t/∂A for an INTERMEDIATE feature map A — no model
+    surgery: the map is found with ``capture_intermediates`` (default
+    ``layer=None`` picks the deepest stage — smallest spatial extent,
+    then most channels, then shortest module path — the canonical "last
+    conv block" across the zoo), and the gradient comes from
+    differentiating w.r.t. a zero perturbation ADDED to that module's
+    output via ``nn.intercept_methods``. cam = ReLU(Σ_c wᵢ·A_c) with
+    w = spatial-mean of the gradient, bilinearly upsampled to the input.
+    """
+    import flax.linen as nn
+
+    image = jnp.asarray(image, jnp.float32)
+    layers = gradcam_target_layers(bundle, variables, image)
+    if not layers:
+        raise ValueError("model exposes no 4D intermediate feature maps")
+    if layer is None:
+        layer = _default_gradcam_layer(layers)
+    else:
+        if layer not in {n for n, _ in layers}:
+            raise ValueError(
+                f"unknown layer {layer!r}; available: "
+                f"{[n for n, _ in layers]}")
+    target_path = tuple(layer.split("/"))
+
+    # The activation A at the chosen layer (first sow entry).
+    _, state = bundle.module.apply(
+        variables, image[None], False,
+        capture_intermediates=True, mutable=["intermediates"],
+    )
+    node = state["intermediates"]
+    for k in target_path:
+        node = node[k]
+    act = node["__call__"][0]  # [1, h, w, c]
+
+    def f(delta: Array) -> Array:
+        def interceptor(next_fun, args, kwargs, context):
+            out = next_fun(*args, **kwargs)
+            if (context.module.path == target_path
+                    and isinstance(out, jax.Array) and out.ndim == 4):
+                out = out + delta
+            return out
+
+        with nn.intercept_methods(interceptor):
+            out = bundle.module.apply(variables, image[None], False)
+        if isinstance(out, tuple):
+            out = out[-1]
+        return out.astype(jnp.float32)[0, target]
+
+    grads = jax.grad(f)(jnp.zeros_like(act))  # ∂y_t/∂A, [1, h, w, c]
+    weights = jnp.mean(grads, axis=(1, 2))  # [1, c]
+    cam = jax.nn.relu(jnp.einsum("bhwc,bc->bhw", act, weights))[0]
+    return jax.image.resize(cam, image.shape[:2], method="bilinear")
+
+
 def rise_map(
     logits_fn: Callable,
     variables: Any,

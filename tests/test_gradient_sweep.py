@@ -91,6 +91,55 @@ def test_rise_map_localizes_and_is_deterministic():
     np.testing.assert_array_equal(heat, again)
 
 
+def test_gradcam_analytic_and_zoo_layer_pick():
+    """On a module where grad-CAM is analytic (feature A = 2x, logit_0 =
+    sum of A over a fixed region) the map equals mean-region-weight * A;
+    the default layer pick finds the canonical deepest stage on a real
+    model and runs end-to-end."""
+    import types
+
+    import flax.linen as nn
+
+    class _ToyCam(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            class _Feat(nn.Module):
+                @nn.compact
+                def __call__(self, x):
+                    return x * 2.0
+
+            a = _Feat(name="feat")(x)
+            s = jnp.sum(a[:, 2:6, 2:6, :], axis=(1, 2, 3))
+            return jnp.stack([s, jnp.zeros_like(s)], 1)
+
+    bundle = types.SimpleNamespace(module=_ToyCam())
+    rng = np.random.RandomState(0)
+    img = rng.rand(8, 8, 1).astype(np.float32)
+    variables = bundle.module.init(jax.random.PRNGKey(0), img[None], False)
+
+    layers = grad_mod.gradcam_target_layers(bundle, variables, img)
+    assert ("feat", (1, 8, 8, 1)) in layers
+    cam = np.asarray(grad_mod.gradcam(bundle, variables, img, 0))
+    # dY/dA = region indicator -> weight = 16/64; cam = relu(w * A) = 0.5x.
+    np.testing.assert_allclose(cam, 0.5 * img[:, :, 0], atol=1e-6)
+
+    # Unknown layer names fail loudly with the menu.
+    try:
+        grad_mod.gradcam(bundle, variables, img, 0, layer="nope")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "feat" in str(e)
+
+    # Real model: default pick is the deepest stage; cam is nonneg HxW.
+    mb = create_model("mnist_cnn", "mnist")
+    mv = mb.init(jax.random.PRNGKey(0))
+    mimg = rng.rand(28, 28, 1).astype(np.float32)
+    names = [n for n, _ in grad_mod.gradcam_target_layers(mb, mv, mimg)]
+    assert any(n.startswith("conv") for n in names)
+    mcam = np.asarray(grad_mod.gradcam(mb, mv, mimg, 3))
+    assert mcam.shape == (28, 28) and mcam.min() >= 0
+
+
 def test_occlusion_map_finds_region():
     logits_fn = _toy_model()
     img = np.ones((16, 16, 1), np.float32)
