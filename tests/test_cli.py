@@ -327,3 +327,31 @@ def test_cli_fidelity_metrics(tmp_path):
     r = _json(os.path.join(out, "gp_training_data_result.json"))
     assert 0.0 <= r["deletion_auc"] <= 1.0
     assert 0.0 <= r["insertion_auc"] <= 1.0
+
+
+def test_cli_compare_saliency_methods(tmp_path):
+    """The method-comparison CLI runs a mixed method set end-to-end on
+    synthetic data and emits a ranking with both fidelity AUCs."""
+    import json
+
+    from network_interpretation_imagenet_tpu.cli import (
+        compare_saliency_methods,
+    )
+
+    rc = compare_saliency_methods.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num-images", "2", "--num_mask_samples", "8",
+        "--methods", "window,gradient,smoothgrad,rise,gradcam",
+        "--rise-masks", "32", "--rise-grid", "4", "--sg-samples", "4",
+        "--fidelity-steps", "8", "--out", str(tmp_path),
+        "--platform", "cpu", "--mask-batch", "16",
+    ])
+    assert rc == 0
+    payload = json.loads((tmp_path / "method_comparison.json").read_text())
+    assert payload["images_used"] == 2
+    assert set(payload["ranking"]) == {"window", "gradient", "smoothgrad",
+                                       "rise", "gradcam"}
+    for m, s in payload["methods"].items():
+        assert s["images"] == 2
+        assert 0.0 <= s["mean_deletion_auc"] <= 1.0
+        assert 0.0 <= s["mean_insertion_auc"] <= 1.0
