@@ -124,6 +124,11 @@ def occlusion_map(
     xs = np.arange(0, w - patch + 1, stride, dtype=np.int32)
     pos = np.stack(np.meshgrid(ys, xs, indexing="ij"), -1).reshape(-1, 2)
     k = len(pos)
+    if k == 0:
+        # Zero positions would silently return an all-zero heatmap.
+        raise ValueError(
+            f"patch {patch} exceeds the {h}x{w} image — no occlusion "
+            "positions (lower --patch)")
     pad = (-k) % batch
     pos_p = np.concatenate([pos, np.zeros((pad, 2), np.int32)]) if pad else pos
     valid = (np.arange(len(pos_p)) < k).astype(np.float32)

@@ -591,3 +591,12 @@ def test_bo_sweep_fidelity_fields():
         assert "deletion_auc" in row and "insertion_auc" in row
         assert "pointing" in row
     assert 0.0 <= res.pointing_game_acc <= 1.0
+
+
+def test_occlusion_patch_larger_than_image_fails_loudly():
+    logits_fn = _toy_model()
+    img = np.ones((16, 16, 1), np.float32)
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds"):
+        grad_mod.occlusion_map(logits_fn, None, img, 1, patch=32)
