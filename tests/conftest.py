@@ -58,6 +58,11 @@ _TPU_SMOKE = (
     "test_knockout_machinery.py::test_knockout_async_matches_sync",
     "test_serving.py::test_export_load_matches_engine",
     "test_bo.py::test_bo_window_saliency_end_to_end",
+    # r3 attribution family: cheap analytic cases, real-chip autodiff and
+    # soft-mask forwards covered in one short pass.
+    "test_gradient_sweep.py::test_smoothgrad_localizes_and_reduces_to_plain_grad",
+    "test_gradient_sweep.py::test_rise_map_localizes_and_is_deterministic",
+    "test_gradient_sweep.py::test_gradcam_analytic_and_zoo_layer_pick",
 )
 
 # Individually-slow tests inside otherwise-fast modules (compile-heavy
