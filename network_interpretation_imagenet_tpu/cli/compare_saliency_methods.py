@@ -110,7 +110,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     common.apply_debug_flags(args)
 
-    methods = [m.strip() for m in args.methods.split(",") if m.strip()]
+    methods = list(dict.fromkeys(
+        m.strip() for m in args.methods.split(",") if m.strip()))
     unknown = [m for m in methods if m not in METHODS]
     if unknown:
         p.error(f"unknown methods {unknown}; choose from {METHODS}")
@@ -121,8 +122,12 @@ def main(argv=None):
     rows = {m: [] for m in methods}
     times = {m: 0.0 for m in methods}
     used = 0
+    # --eval_img_index is the 1-based START of the slice (reference flag
+    # semantics, common.resolve_image does ds[idx-1]); iterate base + i like
+    # the sibling CLIs so image 0 isn't double-counted by the idx-1 clamp.
+    base_index = args.eval_img_index
     for i in range(args.num_images):
-        args.eval_img_index = i
+        args.eval_img_index = base_index + i
         image, disp, label, gt_bbox = common.resolve_image(args)
         target, _ = engine.predict_one(image)
         if label is not None and int(target) != int(label):

@@ -64,9 +64,14 @@ def main(argv=None):
     else:
         artifacts = {}
         for i, spec in enumerate(args.artifact):
-            name, _, d = spec.partition("=")
-            if not d:
+            name, sep, d = spec.partition("=")
+            if sep and not d:
+                p.error(f"--artifact {spec!r}: empty directory after '='")
+            if not sep:
                 name, d = f"model{i}" if i else "default", spec
+            if name in artifacts:
+                p.error(f"--artifact: duplicate model name {name!r} "
+                        f"({artifacts[name]!r} and {d!r})")
             artifacts[name] = d
     httpd = make_http_server(artifacts, args.host, args.port,
                              dynamic_batch=args.dynamic_batch,

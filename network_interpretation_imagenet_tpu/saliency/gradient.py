@@ -143,18 +143,27 @@ def occlusion_map(
     )
 
 
+def _capture_intermediates(bundle, variables, image: Array):
+    """One capture-mode forward → the ``intermediates`` collection."""
+    _, state = bundle.module.apply(
+        variables, image[None], False,
+        capture_intermediates=True, mutable=["intermediates"],
+    )
+    return state["intermediates"]
+
+
 def gradcam_target_layers(bundle, variables, image: Array) -> list:
     """Every named module whose eval-mode output is a 4D feature map, as
     ``("path/like/this", (B, h, w, c))`` pairs — the menu for
     :func:`gradcam`'s ``layer=`` argument. One capture-mode forward."""
     image = jnp.asarray(image, jnp.float32)
-    _, state = bundle.module.apply(
-        variables, image[None], False,
-        capture_intermediates=True, mutable=["intermediates"],
-    )
+    return _layer_menu(_capture_intermediates(bundle, variables, image))
+
+
+def _layer_menu(intermediates) -> list:
     out = []
     for path, val in jax.tree_util.tree_flatten_with_path(
-            state["intermediates"])[0]:
+            intermediates)[0]:
         names = [p.key for p in path if hasattr(p, "key")]
         if not names or names[-1] != "__call__" or len(names) < 2:
             continue  # root-level sows have no module path to intercept
@@ -210,7 +219,10 @@ def gradcam(
     import flax.linen as nn
 
     image = jnp.asarray(image, jnp.float32)
-    layers = gradcam_target_layers(bundle, variables, image)
+    # ONE capture forward serves both the layer menu and the activation
+    # fetch (they used to be two identical forwards).
+    inter = _capture_intermediates(bundle, variables, image)
+    layers = _layer_menu(inter)
     if not layers:
         raise ValueError("model exposes no 4D intermediate feature maps")
     if layer is None:
@@ -223,11 +235,7 @@ def gradcam(
     target_path = tuple(layer.split("/"))
 
     # The activation A at the chosen layer (first sow entry).
-    _, state = bundle.module.apply(
-        variables, image[None], False,
-        capture_intermediates=True, mutable=["intermediates"],
-    )
-    node = state["intermediates"]
+    node = inter
     for k in target_path:
         node = node[k]
     act = node["__call__"][0]  # [1, h, w, c]

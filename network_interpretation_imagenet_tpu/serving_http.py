@@ -104,13 +104,25 @@ def _decode_image(body: dict, key: str) -> "np.ndarray | None":
             pil_eval_transform,
         )
 
+        if body.get("normalize") is not None:
+            raise ValueError(
+                f"'normalize' applies only to u8 arrays ({key}_u8_b64); "
+                "JPEG images take mean/std inside 'preprocess'")
         pp = body.get("preprocess") or {}
         crop = int(pp.get("crop", 224))
         mean = pp.get("mean", IMAGENET_MEAN)
         std = pp.get("std", IMAGENET_STD)
 
         def one(b64s: str) -> np.ndarray:
-            img = Image.open(BytesIO(base64.b64decode(b64s))).convert("RGB")
+            try:
+                img = Image.open(
+                    BytesIO(base64.b64decode(b64s))).convert("RGB")
+            except (OSError, ValueError) as e:
+                # UnidentifiedImageError/truncated-file OSError and
+                # binascii.Error are malformed CLIENT input → ValueError so
+                # the handler's 400 tuple catches it (not a 500).
+                raise ValueError(
+                    f"invalid JPEG bytes in {key}_jpeg_b64: {e}") from e
             return pil_eval_transform(img, crop, mean, std)
 
         blobs = body[f"{key}_jpeg_b64"]

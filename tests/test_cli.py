@@ -341,7 +341,8 @@ def test_cli_compare_saliency_methods(tmp_path):
     rc = compare_saliency_methods.main([
         "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
         "--num-images", "2", "--num_mask_samples", "8",
-        "--methods", "window,gradient,smoothgrad,rise,gradcam",
+        # 'window' twice: duplicates dedup instead of double-counting rows.
+        "--methods", "window,window,gradient,smoothgrad,rise,gradcam",
         "--rise-masks", "32", "--rise-grid", "4", "--sg-samples", "4",
         "--fidelity-steps", "8", "--out", str(tmp_path),
         "--platform", "cpu", "--mask-batch", "16",
@@ -351,6 +352,7 @@ def test_cli_compare_saliency_methods(tmp_path):
     assert payload["images_used"] == 2
     assert set(payload["ranking"]) == {"window", "gradient", "smoothgrad",
                                        "rise", "gradcam"}
+    assert len(payload["ranking"]) == 5  # dup 'window' collapsed
     for m, s in payload["methods"].items():
         assert s["images"] == 2
         assert 0.0 <= s["mean_deletion_auc"] <= 1.0

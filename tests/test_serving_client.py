@@ -222,6 +222,19 @@ def test_client_dead_server_is_status_zero():
     assert ei.value.__cause__ is not None
 
 
+def test_serve_cli_rejects_malformed_registry_specs():
+    """--artifact 'name=' (empty dir) and duplicate names are argparse
+    errors, not a FileNotFoundError for the literal spec string or a
+    silent last-entry-wins overwrite."""
+    from network_interpretation_imagenet_tpu.cli import serve
+
+    with pytest.raises(SystemExit):
+        serve.main(["--artifact", "resnet=", "--port", "0"])
+    with pytest.raises(SystemExit):
+        serve.main(["--artifact", "m=a", "--artifact", "m=b",
+                    "--port", "0"])
+
+
 def test_multi_model_registry(tmp_path, rng):
     """One process serves several artifacts: bare endpoints hit the first
     entry, /m/<name>/... routes per model, healthz lists the registry,

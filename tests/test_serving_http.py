@@ -925,3 +925,28 @@ def test_http_normalize_requires_uint8_wire(http_engine_server, rng):
     status, resp = _post(conn, "/explain", body2)
     assert status == 200, resp
     conn.close()
+
+
+def test_http_jpeg_wire_client_errors_are_400(http_engine_server, rng):
+    """Malformed JPEG bytes and a stray 'normalize' on the JPEG wire are
+    CLIENT errors (400), never 500s: PIL's UnidentifiedImageError is an
+    OSError, which used to fall through to the generic 500 handler."""
+    _, httpd = http_engine_server
+    host, port = httpd.server_address[:2]
+    seg = ((np.arange(784).reshape(28, 28)) % 10).astype(np.int32)
+    seg_fields = {"segments_b64": _b64(seg), "segments_shape": [28, 28],
+                  "seed": 1, "num_samples": 4}
+    conn = HTTPConnection(host, port)
+    # Valid base64 of bytes that are not a JPEG.
+    garbage = base64.b64encode(b"definitely not a jpeg").decode()
+    status, resp = _post(conn, "/explain",
+                         {"image_jpeg_b64": garbage, **seg_fields})
+    assert status == 400 and "invalid JPEG" in resp["error"], (status, resp)
+    # 'normalize' belongs to the u8 wire; on the JPEG wire mean/std ride
+    # 'preprocess' — silent acceptance would produce a wrong heatmap.
+    status, resp = _post(conn, "/explain",
+                         {"image_jpeg_b64": garbage,
+                          "normalize": {"mean": [0.5], "std": [0.5]},
+                          **seg_fields})
+    assert status == 400 and "preprocess" in resp["error"], (status, resp)
+    conn.close()
