@@ -10,7 +10,8 @@ instead of by eyeballing heatmaps.
 
 Methods: ``window`` (reference random superpixel windows), ``knockout``,
 ``bo`` (the flagship fused BO loop), ``occlusion``, ``gradient``,
-``grad_input``, ``integrated``, ``smoothgrad``, ``rise``, ``gradcam``.
+``grad_input``, ``integrated``, ``smoothgrad``, ``rise``, ``gradcam``,
+``scorecam``.
 
     python -m network_interpretation_imagenet_tpu.cli.compare_saliency_methods \
         --arch resnet18 --ckpt weights.msgpack --data <imagenet> \
@@ -32,7 +33,8 @@ from network_interpretation_imagenet_tpu.saliency import (
 from network_interpretation_imagenet_tpu.saliency import gradient as grad_mod
 
 METHODS = ("window", "knockout", "bo", "occlusion", "gradient",
-           "grad_input", "integrated", "smoothgrad", "rise", "gradcam")
+           "grad_input", "integrated", "smoothgrad", "rise", "gradcam",
+           "scorecam")
 
 
 def _heatmap(method: str, engine, image, segments, target: int, args):
@@ -88,6 +90,11 @@ def _heatmap(method: str, engine, image, segments, target: int, args):
     if method == "gradcam":
         return grad_mod.gradcam(engine.bundle, variables, image, target,
                                 layer=args.gradcam_layer)
+    if method == "scorecam":
+        return grad_mod.scorecam(
+            engine.bundle, variables, image, target,
+            layer=args.gradcam_layer, channels=args.scorecam_channels,
+            batch=args.mask_batch, compute_dtype=engine.compute_dtype)
     raise ValueError(f"unknown method {method!r}")
 
 
@@ -105,7 +112,10 @@ def main(argv=None):
     p.add_argument("--rise-masks", type=int, default=500)
     p.add_argument("--rise-grid", type=int, default=7)
     p.add_argument("--rise-keep", type=float, default=0.5)
-    p.add_argument("--gradcam-layer", default=None)
+    p.add_argument("--gradcam-layer", default=None,
+                   help="target layer for gradcam AND scorecam (default: "
+                        "deepest conv stage)")
+    p.add_argument("--scorecam-channels", type=int, default=64)
     common.add_bo_flags(p)
     args = p.parse_args(argv)
     common.apply_debug_flags(args)

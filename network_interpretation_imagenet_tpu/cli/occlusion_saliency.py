@@ -9,7 +9,9 @@ input gradient, one vmapped backward; ``--sg-squared`` for SmoothGrad²),
 ``rise`` (random upsampled soft masks, probability-weighted average —
 all mask generation and forwards on device), ``gradcam`` (feature-map
 weighted activation map, architecture-generic via flax interceptors;
-``--gradcam-layer list`` prints the per-model layer menu).
+``--gradcam-layer list`` prints the per-model layer menu), ``scorecam``
+(gradient-free CAM: top-K activation channels become soft masks scored
+by batched masked forwards; shares ``--gradcam-layer``).
 """
 
 from __future__ import annotations
@@ -28,10 +30,14 @@ def main(argv=None):
     p = common.build_parser(__doc__)
     p.add_argument("--method", default="occlusion",
                    choices=["occlusion", "gradient", "grad_input",
-                            "integrated", "smoothgrad", "rise", "gradcam"])
+                            "integrated", "smoothgrad", "rise", "gradcam",
+                            "scorecam"])
     p.add_argument("--gradcam-layer", default=None,
-                   help="module path for gradcam (default: deepest conv "
-                        "block; --gradcam-layer list prints the menu)")
+                   help="module path for gradcam/scorecam (default: deepest "
+                        "conv block; --gradcam-layer list prints the menu)")
+    p.add_argument("--scorecam-channels", type=int, default=64,
+                   help="scorecam: top-K activation channels scored by "
+                        "masked forwards")
     p.add_argument("--patch", type=int, default=32)
     p.add_argument("--stride", type=int, default=16)
     p.add_argument("--ig-steps", type=int, default=16)
@@ -84,14 +90,20 @@ def main(argv=None):
             batch=args.mask_batch, seed=args.seed,
             compute_dtype=engine.compute_dtype,
         )
-    elif args.method == "gradcam":
+    elif args.method in ("gradcam", "scorecam"):
         if args.gradcam_layer == "list":
             for name, shape in grad_mod.gradcam_target_layers(
                     engine.bundle, variables, image):
                 print(f"{name}  {shape}")
             return 0
-        heat = grad_mod.gradcam(engine.bundle, variables, image, target,
-                                layer=args.gradcam_layer)
+        if args.method == "gradcam":
+            heat = grad_mod.gradcam(engine.bundle, variables, image, target,
+                                    layer=args.gradcam_layer)
+        else:
+            heat = grad_mod.scorecam(
+                engine.bundle, variables, image, target,
+                layer=args.gradcam_layer, channels=args.scorecam_channels,
+                batch=args.mask_batch, compute_dtype=engine.compute_dtype)
     else:
         heat = grad_mod.integrated_gradients(
             logits_fn, variables, image, target, steps=args.ig_steps

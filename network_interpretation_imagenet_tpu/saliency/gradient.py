@@ -260,6 +260,94 @@ def gradcam(
     return jax.image.resize(cam, image.shape[:2], method="bilinear")
 
 
+def scorecam(
+    bundle,
+    variables: Any,
+    image: Array,
+    target: int,
+    layer: Optional[str] = None,
+    channels: int = 64,
+    batch: int = 64,
+    compute_dtype: Any = jnp.bfloat16,
+) -> Array:
+    """Score-CAM (Wang et al., 2020): gradient-FREE CAM.
+
+    Each activation channel at the target layer (same menu/default as
+    :func:`gradcam`), min-max normalized and bilinearly upsampled, becomes
+    a SOFT mask over the input; the masked forward's target logit scores
+    that channel, and cam = ReLU(Σ_k softmax(s)_k · A_k). No backward
+    pass, so it survives non-differentiable heads, and the per-channel
+    scoring is exactly this framework's batched masked-forward shape (one
+    ``lax.scan`` of ``batch``-sized chunks, like RISE/occlusion).
+
+    ``channels`` bounds the forward cost: only the top-K channels by
+    spatial-max activation are scored (deep stages have 512-2048 channels;
+    the rest carry near-zero activation mass). K is jit-static.
+    """
+    image = jnp.asarray(image, jnp.float32)
+    inter = _capture_intermediates(bundle, variables, image)
+    layers = _layer_menu(inter)
+    if not layers:
+        raise ValueError("model exposes no 4D intermediate feature maps")
+    if layer is None:
+        layer = _default_gradcam_layer(layers)
+    elif layer not in {n for n, _ in layers}:
+        raise ValueError(f"unknown layer {layer!r}; available: "
+                         f"{[n for n, _ in layers]}")
+    node = inter
+    for k in layer.split("/"):
+        node = node[k]
+    act = node["__call__"][0]  # [1, h', w', c]
+    k = min(int(channels), int(act.shape[-1]))
+    h, w, _ = image.shape
+    run = _scorecam_core(bundle.module, k, int(batch), h, w,
+                         jnp.dtype(compute_dtype).name)
+    return run(variables, image, act, jnp.int32(target))
+
+
+# (module, k, batch, h, w, dtype) → jitted core (see occlusion note).
+_SCORECAM_CACHE: dict = {}
+
+
+def _scorecam_core(module, k: int, batch: int, h: int, w: int, dtype: str):
+    key_t = (module, k, batch, h, w, dtype)
+    if key_t not in _SCORECAM_CACHE:
+        chunks = -(-k // batch)
+        pad = chunks * batch - k
+        compute_dtype = jnp.dtype(dtype)
+
+        @jax.jit
+        def run(variables, image, act, target):
+            a = act[0].astype(jnp.float32)  # [h', w', c]
+            _, idx = jax.lax.top_k(jnp.max(a, axis=(0, 1)), k)
+            sel = jnp.moveaxis(a[:, :, idx], -1, 0)  # [k, h', w']
+            up = jax.image.resize(sel, (k, h, w), method="bilinear")
+            mn = up.min(axis=(1, 2), keepdims=True)
+            mx = up.max(axis=(1, 2), keepdims=True)
+            masks = (up - mn) / jnp.where(mx > mn, mx - mn, 1.0)
+
+            padded = jnp.concatenate(
+                [masks, jnp.zeros((pad, h, w), jnp.float32)]) if pad else masks
+
+            def one_chunk(ms):
+                imgs = image[None] * ms[:, :, :, None]
+                logits = module.apply(
+                    variables, imgs.astype(compute_dtype), False)
+                if isinstance(logits, tuple):
+                    logits = logits[-1]
+                return logits.astype(jnp.float32)[:, target]
+
+            scores = jax.lax.scan(
+                lambda c, ms: (c, one_chunk(ms)), None,
+                padded.reshape(chunks, batch, h, w),
+            )[1].reshape(-1)[:k]
+            weights = jax.nn.softmax(scores)
+            return jax.nn.relu(jnp.einsum("k,khw->hw", weights, up))
+
+        _SCORECAM_CACHE[key_t] = run
+    return _SCORECAM_CACHE[key_t]
+
+
 def rise_map(
     logits_fn: Callable,
     variables: Any,

@@ -63,6 +63,7 @@ _TPU_SMOKE = (
     "test_gradient_sweep.py::test_smoothgrad_localizes_and_reduces_to_plain_grad",
     "test_gradient_sweep.py::test_rise_map_localizes_and_is_deterministic",
     "test_gradient_sweep.py::test_gradcam_analytic_and_zoo_layer_pick",
+    "test_gradient_sweep.py::test_scorecam_analytic_and_zoo",
 )
 
 # Individually-slow tests inside otherwise-fast modules (compile-heavy

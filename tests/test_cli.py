@@ -342,7 +342,8 @@ def test_cli_compare_saliency_methods(tmp_path):
         "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
         "--num-images", "2", "--num_mask_samples", "8",
         # 'window' twice: duplicates dedup instead of double-counting rows.
-        "--methods", "window,window,gradient,smoothgrad,rise,gradcam",
+        "--methods", "window,window,gradient,smoothgrad,rise,gradcam,"
+                     "scorecam",
         "--rise-masks", "32", "--rise-grid", "4", "--sg-samples", "4",
         "--fidelity-steps", "8", "--out", str(tmp_path),
         "--platform", "cpu", "--mask-batch", "16",
@@ -351,8 +352,8 @@ def test_cli_compare_saliency_methods(tmp_path):
     payload = json.loads((tmp_path / "method_comparison.json").read_text())
     assert payload["images_used"] == 2
     assert set(payload["ranking"]) == {"window", "gradient", "smoothgrad",
-                                       "rise", "gradcam"}
-    assert len(payload["ranking"]) == 5  # dup 'window' collapsed
+                                       "rise", "gradcam", "scorecam"}
+    assert len(payload["ranking"]) == 6  # dup 'window' collapsed
     for m, s in payload["methods"].items():
         assert s["images"] == 2
         assert 0.0 <= s["mean_deletion_auc"] <= 1.0

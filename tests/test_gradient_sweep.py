@@ -140,6 +140,67 @@ def test_gradcam_analytic_and_zoo_layer_pick():
     assert mcam.shape == (28, 28) and mcam.min() >= 0
 
 
+def test_scorecam_analytic_and_zoo():
+    """On a module where Score-CAM is analytic — feature channel 0 is a
+    region indicator, channel 1 is zero, logit_0 sums input over the
+    region — the map equals softmax([s, 0])[0] * indicator where s is the
+    masked forward's region sum. Then a real model end-to-end."""
+    import types
+
+    import flax.linen as nn
+
+    region = np.zeros((8, 8), np.float32)
+    region[2:6, 2:6] = 1.0
+
+    class _ToyScore(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            class _Feat(nn.Module):
+                @nn.compact
+                def __call__(self, x):
+                    c0 = jnp.broadcast_to(jnp.asarray(region),
+                                          x.shape[:3])
+                    return jnp.stack([c0, jnp.zeros_like(c0)], -1)
+
+            _ = _Feat(name="feat")(x)
+            s = jnp.sum(x[:, 2:6, 2:6, :], axis=(1, 2, 3))
+            return jnp.stack([s, jnp.zeros_like(s)], 1)
+
+    bundle = types.SimpleNamespace(module=_ToyScore())
+    rng = np.random.RandomState(0)
+    img = rng.rand(8, 8, 1).astype(np.float32)
+    variables = bundle.module.init(jax.random.PRNGKey(0), img[None], False)
+
+    cam = np.asarray(grad_mod.scorecam(
+        bundle, variables, img, 0, layer="feat", channels=2, batch=2,
+        compute_dtype=jnp.float32))
+    # Mask 0 = indicator (already [0,1]); its masked forward keeps exactly
+    # the region pixels → s = Σ img[region]. Mask 1 is all-zero → s = 0.
+    s = float(img[2:6, 2:6, 0].sum())
+    w0 = np.exp(s) / (np.exp(s) + 1.0)
+    np.testing.assert_allclose(cam, w0 * region, atol=1e-5)
+
+    # channels > available clamps; unknown layer fails with the menu.
+    cam2 = np.asarray(grad_mod.scorecam(
+        bundle, variables, img, 0, layer="feat", channels=16, batch=4,
+        compute_dtype=jnp.float32))
+    np.testing.assert_allclose(cam2, cam, atol=1e-5)
+    try:
+        grad_mod.scorecam(bundle, variables, img, 0, layer="nope")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "feat" in str(e)
+
+    # Real model: default layer pick, nonneg HxW map.
+    mb = create_model("mnist_cnn", "mnist")
+    mv = mb.init(jax.random.PRNGKey(0))
+    mimg = rng.rand(28, 28, 1).astype(np.float32)
+    mcam = np.asarray(grad_mod.scorecam(mb, mv, mimg, 3, channels=8,
+                                        batch=8,
+                                        compute_dtype=jnp.float32))
+    assert mcam.shape == (28, 28) and mcam.min() >= 0
+
+
 def test_occlusion_map_finds_region():
     logits_fn = _toy_model()
     img = np.ones((16, 16, 1), np.float32)
