@@ -198,6 +198,29 @@ def _default_gradcam_layer(layers: list) -> str:
     return min(cands, key=lambda ns: len(ns[0]))[0]
 
 
+def _resolve_layer_activation(
+    bundle, variables: Any, image: Array, layer: Optional[str],
+) -> tuple:
+    """Shared CAM-family layer resolution: ONE capture forward serves both
+    the layer menu and the activation fetch. ``layer=None`` picks the
+    canonical last conv block (:func:`_default_gradcam_layer`); a named
+    layer is validated against the menu. Returns ``(layer, act)`` with
+    ``act`` the module's first sown output, shape [1, h', w', c]."""
+    inter = _capture_intermediates(bundle, variables, image)
+    layers = _layer_menu(inter)
+    if not layers:
+        raise ValueError("model exposes no 4D intermediate feature maps")
+    if layer is None:
+        layer = _default_gradcam_layer(layers)
+    elif layer not in {n for n, _ in layers}:
+        raise ValueError(
+            f"unknown layer {layer!r}; available: {[n for n, _ in layers]}")
+    node = inter
+    for k in layer.split("/"):
+        node = node[k]
+    return layer, node["__call__"][0]
+
+
 def gradcam(
     bundle,
     variables: Any,
@@ -219,26 +242,8 @@ def gradcam(
     import flax.linen as nn
 
     image = jnp.asarray(image, jnp.float32)
-    # ONE capture forward serves both the layer menu and the activation
-    # fetch (they used to be two identical forwards).
-    inter = _capture_intermediates(bundle, variables, image)
-    layers = _layer_menu(inter)
-    if not layers:
-        raise ValueError("model exposes no 4D intermediate feature maps")
-    if layer is None:
-        layer = _default_gradcam_layer(layers)
-    else:
-        if layer not in {n for n, _ in layers}:
-            raise ValueError(
-                f"unknown layer {layer!r}; available: "
-                f"{[n for n, _ in layers]}")
+    layer, act = _resolve_layer_activation(bundle, variables, image, layer)
     target_path = tuple(layer.split("/"))
-
-    # The activation A at the chosen layer (first sow entry).
-    node = inter
-    for k in target_path:
-        node = node[k]
-    act = node["__call__"][0]  # [1, h, w, c]
 
     def f(delta: Array) -> Array:
         def interceptor(next_fun, args, kwargs, context):
@@ -284,23 +289,18 @@ def scorecam(
     spatial-max activation are scored (deep stages have 512-2048 channels;
     the rest carry near-zero activation mass). K is jit-static.
     """
+    if int(channels) <= 0:
+        raise ValueError(f"channels must be positive, got {channels}")
+    if int(batch) <= 0:
+        raise ValueError(f"batch must be positive, got {batch}")
     image = jnp.asarray(image, jnp.float32)
-    inter = _capture_intermediates(bundle, variables, image)
-    layers = _layer_menu(inter)
-    if not layers:
-        raise ValueError("model exposes no 4D intermediate feature maps")
-    if layer is None:
-        layer = _default_gradcam_layer(layers)
-    elif layer not in {n for n, _ in layers}:
-        raise ValueError(f"unknown layer {layer!r}; available: "
-                         f"{[n for n, _ in layers]}")
-    node = inter
-    for k in layer.split("/"):
-        node = node[k]
-    act = node["__call__"][0]  # [1, h', w', c]
+    _, act = _resolve_layer_activation(bundle, variables, image, layer)
     k = min(int(channels), int(act.shape[-1]))
     h, w, _ = image.shape
-    run = _scorecam_core(bundle.module, k, int(batch), h, w,
+    # Clamp the chunk size to k: with CLI defaults (--mask-batch 1024,
+    # 64 channels) an unclamped batch would pad one forward to 16x the
+    # needed masks.
+    run = _scorecam_core(bundle.module, k, min(int(batch), k), h, w,
                          jnp.dtype(compute_dtype).name)
     return run(variables, image, act, jnp.int32(target))
 
@@ -324,6 +324,7 @@ def _scorecam_core(module, k: int, batch: int, h: int, w: int, dtype: str):
             up = jax.image.resize(sel, (k, h, w), method="bilinear")
             mn = up.min(axis=(1, 2), keepdims=True)
             mx = up.max(axis=(1, 2), keepdims=True)
+            active = (mx > mn)[:, 0, 0]  # constant channels mask to zero
             masks = (up - mn) / jnp.where(mx > mn, mx - mn, 1.0)
 
             padded = jnp.concatenate(
@@ -341,7 +342,16 @@ def _scorecam_core(module, k: int, batch: int, h: int, w: int, dtype: str):
                 lambda c, ms: (c, one_chunk(ms)), None,
                 padded.reshape(chunks, batch, h, w),
             )[1].reshape(-1)[:k]
-            weights = jax.nn.softmax(scores)
+            # Dead (constant-activation) channels would each inject
+            # exp(f(black)) into the softmax denominator, uniformly
+            # diluting the live channels' weights — exclude them. (Their
+            # forwards still run: k is jit-static, and top_k already
+            # ranks live channels first, so they only appear when fewer
+            # than k channels are active at all.)
+            scores = jnp.where(active, scores, -jnp.inf)
+            weights = jnp.where(
+                jnp.any(active), jax.nn.softmax(scores),
+                jnp.zeros_like(scores))
             return jax.nn.relu(jnp.einsum("k,khw->hw", weights, up))
 
         _SCORECAM_CACHE[key_t] = run

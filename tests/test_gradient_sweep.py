@@ -142,15 +142,19 @@ def test_gradcam_analytic_and_zoo_layer_pick():
 
 def test_scorecam_analytic_and_zoo():
     """On a module where Score-CAM is analytic — feature channel 0 is a
-    region indicator, channel 1 is zero, logit_0 sums input over the
-    region — the map equals softmax([s, 0])[0] * indicator where s is the
-    masked forward's region sum. Then a real model end-to-end."""
+    region indicator, channel 1 a disjoint-corner indicator, channel 2
+    all-zero (dead), logit_0 sums input over the region — the map equals
+    softmax over the LIVE channels' masked-forward scores, blended over
+    their indicators; the dead channel must NOT dilute the softmax (its
+    exp(f(black)) would change the denominator). Then a real model."""
     import types
 
     import flax.linen as nn
 
     region = np.zeros((8, 8), np.float32)
     region[2:6, 2:6] = 1.0
+    corner = np.zeros((8, 8), np.float32)
+    corner[0:2, 0:2] = 1.0  # disjoint from region → masked score 0
 
     class _ToyScore(nn.Module):
         @nn.compact
@@ -160,7 +164,9 @@ def test_scorecam_analytic_and_zoo():
                 def __call__(self, x):
                     c0 = jnp.broadcast_to(jnp.asarray(region),
                                           x.shape[:3])
-                    return jnp.stack([c0, jnp.zeros_like(c0)], -1)
+                    c1 = jnp.broadcast_to(jnp.asarray(corner),
+                                          x.shape[:3])
+                    return jnp.stack([c0, c1, jnp.zeros_like(c0)], -1)
 
             _ = _Feat(name="feat")(x)
             s = jnp.sum(x[:, 2:6, 2:6, :], axis=(1, 2, 3))
@@ -172,13 +178,15 @@ def test_scorecam_analytic_and_zoo():
     variables = bundle.module.init(jax.random.PRNGKey(0), img[None], False)
 
     cam = np.asarray(grad_mod.scorecam(
-        bundle, variables, img, 0, layer="feat", channels=2, batch=2,
+        bundle, variables, img, 0, layer="feat", channels=3, batch=2,
         compute_dtype=jnp.float32))
-    # Mask 0 = indicator (already [0,1]); its masked forward keeps exactly
-    # the region pixels → s = Σ img[region]. Mask 1 is all-zero → s = 0.
-    s = float(img[2:6, 2:6, 0].sum())
-    w0 = np.exp(s) / (np.exp(s) + 1.0)
-    np.testing.assert_allclose(cam, w0 * region, atol=1e-5)
+    # Mask 0 = region indicator → s0 = Σ img[region]; mask 1 = corner
+    # indicator, disjoint from the logit's region → s1 = 0; channel 2 is
+    # dead → excluded from the softmax entirely.
+    s0 = float(img[2:6, 2:6, 0].sum())
+    w0 = np.exp(s0) / (np.exp(s0) + 1.0)
+    np.testing.assert_allclose(cam, w0 * region + (1.0 - w0) * corner,
+                               atol=1e-5)
 
     # channels > available clamps; unknown layer fails with the menu.
     cam2 = np.asarray(grad_mod.scorecam(
