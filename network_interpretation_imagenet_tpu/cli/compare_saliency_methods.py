@@ -11,7 +11,7 @@ instead of by eyeballing heatmaps.
 Methods: ``window`` (reference random superpixel windows), ``knockout``,
 ``bo`` (the flagship fused BO loop), ``occlusion``, ``gradient``,
 ``grad_input``, ``integrated``, ``smoothgrad``, ``rise``, ``gradcam``,
-``scorecam``.
+``scorecam``, ``xrai``.
 
     python -m network_interpretation_imagenet_tpu.cli.compare_saliency_methods \
         --arch resnet18 --ckpt weights.msgpack --data <imagenet> \
@@ -34,10 +34,10 @@ from network_interpretation_imagenet_tpu.saliency import gradient as grad_mod
 
 METHODS = ("window", "knockout", "bo", "occlusion", "gradient",
            "grad_input", "integrated", "smoothgrad", "rise", "gradcam",
-           "scorecam")
+           "scorecam", "xrai")
 
 
-def _heatmap(method: str, engine, image, segments, target: int, args):
+def _heatmap(method: str, engine, image, disp, segments, target: int, args):
     """One method's heatmap for one image (all paths share the engine)."""
     from network_interpretation_imagenet_tpu.config import BOConfig
 
@@ -95,6 +95,13 @@ def _heatmap(method: str, engine, image, segments, target: int, args):
             engine.bundle, variables, image, target,
             layer=args.gradcam_layer, channels=args.scorecam_channels,
             batch=args.mask_batch, compute_dtype=engine.compute_dtype)
+    if method == "xrai":
+        from network_interpretation_imagenet_tpu.saliency import xrai
+        return xrai.xrai_saliency(
+            logits_fn, variables, image, target, disp,
+            steps=args.ig_steps,
+            scales=[float(s) for s in args.xrai_scales.split(",")],
+        ).heatmap
     raise ValueError(f"unknown method {method!r}")
 
 
@@ -116,6 +123,8 @@ def main(argv=None):
                    help="target layer for gradcam AND scorecam (default: "
                         "deepest conv stage)")
     p.add_argument("--scorecam-channels", type=int, default=64)
+    p.add_argument("--xrai-scales", default="50,100,150,250,500",
+                   help="felzenszwalb scale ladder for xrai")
     common.add_bo_flags(p)
     args = p.parse_args(argv)
     common.apply_debug_flags(args)
@@ -146,7 +155,7 @@ def main(argv=None):
         used += 1
         for m in methods:
             t0 = time.perf_counter()
-            heat = np.asarray(_heatmap(m, engine, image, segments,
+            heat = np.asarray(_heatmap(m, engine, image, disp, segments,
                                        int(target), args))
             times[m] += time.perf_counter() - t0
             d = eval_metrics.deletion_insertion_auc(

@@ -11,7 +11,9 @@ all mask generation and forwards on device), ``gradcam`` (feature-map
 weighted activation map, architecture-generic via flax interceptors;
 ``--gradcam-layer list`` prints the per-model layer menu), ``scorecam``
 (gradient-free CAM: top-K activation channels become soft masks scored
-by batched masked forwards; shares ``--gradcam-layer``).
+by batched masked forwards; shares ``--gradcam-layer``), ``xrai``
+(region-ranked integrated gradients over a multi-scale felzenszwalb
+oversegmentation; ``--xrai-scales`` sets the segmentation ladder).
 """
 
 from __future__ import annotations
@@ -29,12 +31,15 @@ from network_interpretation_imagenet_tpu.saliency.viz import save_panels
 def main(argv=None):
     p = common.build_parser(__doc__)
     p.add_argument("--method", default="occlusion",
-                   choices=["occlusion", "gradient", "grad_input",
+                   choices=["occlusion", "gradient", "grad_input", "xrai",
                             "integrated", "smoothgrad", "rise", "gradcam",
                             "scorecam"])
     p.add_argument("--gradcam-layer", default=None,
                    help="module path for gradcam/scorecam (default: deepest "
                         "conv block; --gradcam-layer list prints the menu)")
+    p.add_argument("--xrai-scales", default="50,100,150,250,500",
+                   help="comma list of felzenszwalb scales for the xrai "
+                        "oversegmentation ladder")
     p.add_argument("--scorecam-channels", type=int, default=64,
                    help="scorecam: top-K activation channels scored by "
                         "masked forwards")
@@ -104,6 +109,14 @@ def main(argv=None):
                 engine.bundle, variables, image, target,
                 layer=args.gradcam_layer, channels=args.scorecam_channels,
                 batch=args.mask_batch, compute_dtype=engine.compute_dtype)
+    elif args.method == "xrai":
+        from network_interpretation_imagenet_tpu.saliency import xrai
+        res = xrai.xrai_saliency(
+            logits_fn, variables, image, target, disp,
+            steps=args.ig_steps,
+            scales=[float(s) for s in args.xrai_scales.split(",")])
+        heat = res.heatmap
+        num_regions = res.num_regions
     else:
         heat = grad_mod.integrated_gradients(
             logits_fn, variables, image, target, steps=args.ig_steps
@@ -121,6 +134,8 @@ def main(argv=None):
         "target": int(target),
         "heat_range": [float(heat.min()), float(heat.max())],
     }
+    if args.method == "xrai":
+        payload["num_regions"] = int(num_regions)
     if gt_bbox is not None:
         iou, pred_box = localization_score(heat, gt_bbox, args.bbox_threshold)
         payload["IOU"] = round(float(iou), 4)

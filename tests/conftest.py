@@ -64,6 +64,7 @@ _TPU_SMOKE = (
     "test_gradient_sweep.py::test_rise_map_localizes_and_is_deterministic",
     "test_gradient_sweep.py::test_gradcam_analytic_and_zoo_layer_pick",
     "test_gradient_sweep.py::test_scorecam_analytic_and_zoo",
+    "test_gradient_sweep.py::test_xrai_saliency_end_to_end",
 )
 
 # Individually-slow tests inside otherwise-fast modules (compile-heavy

@@ -158,6 +158,14 @@ def test_cli_occlusion_and_gradient(tmp_path):
         "--method", "gradient", "--dtype", "float32", "--out", out2,
     ])
     assert os.path.exists(os.path.join(out2, "gradient_result.json"))
+    out3 = str(tmp_path / "xrai")
+    cli_occ.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--method", "xrai", "--xrai-scales", "10,50", "--ig-steps", "4",
+        "--dtype", "float32", "--out", out3,
+    ])
+    r3 = _json(os.path.join(out3, "xrai_result.json"))
+    assert r3["num_regions"] >= 1 and r3["heat_range"][1] <= 1.0
 
 
 def test_cli_saliency_sweep(tmp_path):
@@ -343,7 +351,7 @@ def test_cli_compare_saliency_methods(tmp_path):
         "--num-images", "2", "--num_mask_samples", "8",
         # 'window' twice: duplicates dedup instead of double-counting rows.
         "--methods", "window,window,gradient,smoothgrad,rise,gradcam,"
-                     "scorecam",
+                     "scorecam,xrai",
         "--rise-masks", "32", "--rise-grid", "4", "--sg-samples", "4",
         "--fidelity-steps", "8", "--out", str(tmp_path),
         "--platform", "cpu", "--mask-batch", "16",
@@ -352,8 +360,9 @@ def test_cli_compare_saliency_methods(tmp_path):
     payload = json.loads((tmp_path / "method_comparison.json").read_text())
     assert payload["images_used"] == 2
     assert set(payload["ranking"]) == {"window", "gradient", "smoothgrad",
-                                       "rise", "gradcam", "scorecam"}
-    assert len(payload["ranking"]) == 6  # dup 'window' collapsed
+                                       "rise", "gradcam", "scorecam",
+                                       "xrai"}
+    assert len(payload["ranking"]) == 7  # dup 'window' collapsed
     for m, s in payload["methods"].items():
         assert s["images"] == 2
         assert 0.0 <= s["mean_deletion_auc"] <= 1.0

@@ -669,3 +669,72 @@ def test_occlusion_patch_larger_than_image_fails_loudly():
 
     with pytest.raises(ValueError, match="exceeds"):
         grad_mod.occlusion_map(logits_fn, None, img, 1, patch=32)
+
+
+def test_xrai_greedy_analytic():
+    """Hand-built attribution + a fine and a coarse segment map: regions
+    must be claimed in density order, every pixel claimed once (the
+    coarse map guarantees coverage), and rank values strictly ordered."""
+    from network_interpretation_imagenet_tpu.saliency import xrai
+
+    attr = np.zeros((4, 4), np.float32)
+    attr[0:2, 0:2] = 1.0    # density 1.00 in fine quadrant 0
+    attr[2:4, 2:4] = 0.25   # density 0.25 in fine quadrant 3
+    fine = np.zeros((4, 4), np.int32)
+    fine[0:2, 2:4] = 1
+    fine[2:4, 0:2] = 2
+    fine[2:4, 2:4] = 3
+    coarse = np.zeros((4, 4), np.int32)  # one segment over everything
+
+    heat, n = xrai.greedy_region_ranking(attr, [fine, coarse], min_area=1)
+    assert n >= 3 and np.all(heat > 0)  # coarse map covers every pixel
+    # Quadrant 0 is the densest → rank 1 → value 1.0, constant over it.
+    assert np.all(heat[0:2, 0:2] == 1.0)
+    # Quadrant 3 comes second (its 0.25 beats the coarse remainder's
+    # 4·0.25/12); the zero-attribution quadrants come later still.
+    assert np.all(heat[2:4, 2:4] < 1.0)
+    assert np.all(heat[2:4, 2:4] > heat[0:2, 2:4])
+    assert np.all(heat[2:4, 2:4] > heat[2:4, 0:2])
+
+    # min_area larger than every segment → nothing claimable.
+    heat0, n0 = xrai.greedy_region_ranking(attr, [fine], min_area=99)
+    assert n0 == 0 and np.all(heat0 == 0)
+
+
+def test_xrai_attribution_linear_exact():
+    """For a LINEAR logit the integrated gradient is exact: grads are the
+    constant weights, so attr = mean_b w·(x−b) = w·(x − (lo+hi)/2) with
+    the default black/white baseline pair — sign preserved."""
+    from network_interpretation_imagenet_tpu.saliency import xrai
+
+    rng = np.random.RandomState(0)
+    wmat = rng.randn(6, 6, 1).astype(np.float32)
+
+    def logits_fn(variables, imgs):
+        s = jnp.sum(imgs * jnp.asarray(wmat)[None], axis=(1, 2, 3))
+        return jnp.stack([jnp.zeros_like(s), s], axis=1)
+
+    img = rng.rand(6, 6, 1).astype(np.float32)
+    attr = np.asarray(xrai.xrai_attribution(logits_fn, {}, img, 1, steps=8))
+    mid = (img.min() + img.max()) / 2.0
+    expected = (wmat * (img - mid))[:, :, 0]
+    np.testing.assert_allclose(attr, expected, rtol=1e-4, atol=1e-6)
+    assert attr.min() < 0 < attr.max()  # signedness preserved
+
+
+def test_xrai_saliency_end_to_end():
+    """Real zoo model end-to-end: multi-scale felzenszwalb ladder, device
+    IG, greedy ranking → rank-valued [0,1] map covering the image."""
+    from network_interpretation_imagenet_tpu.saliency import xrai
+
+    rng = np.random.RandomState(1)
+    mb = create_model("mnist_cnn", "mnist")
+    mv = mb.init(jax.random.PRNGKey(0))
+    img = rng.rand(28, 28, 1).astype(np.float32)
+    disp = (img[:, :, 0] * 255).astype(np.uint8)
+    res = xrai.xrai_saliency(mb.logits, mv, img, 3, disp,
+                             steps=4, scales=(10.0, 50.0))
+    assert res.heatmap.shape == (28, 28)
+    assert res.attribution.shape == (28, 28)
+    assert res.num_regions >= 1
+    assert 0.0 <= res.heatmap.min() and res.heatmap.max() == 1.0
