@@ -11,7 +11,7 @@ instead of by eyeballing heatmaps.
 Methods: ``window`` (reference random superpixel windows), ``knockout``,
 ``bo`` (the flagship fused BO loop), ``occlusion``, ``gradient``,
 ``grad_input``, ``integrated``, ``smoothgrad``, ``rise``, ``gradcam``,
-``scorecam``, ``xrai``.
+``scorecam``, ``xrai``, ``meaningful``.
 
     python -m network_interpretation_imagenet_tpu.cli.compare_saliency_methods \
         --arch resnet18 --ckpt weights.msgpack --data <imagenet> \
@@ -34,7 +34,7 @@ from network_interpretation_imagenet_tpu.saliency import gradient as grad_mod
 
 METHODS = ("window", "knockout", "bo", "occlusion", "gradient",
            "grad_input", "integrated", "smoothgrad", "rise", "gradcam",
-           "scorecam", "xrai")
+           "scorecam", "xrai", "meaningful")
 
 
 def _heatmap(method: str, engine, image, disp, segments, target: int, args):
@@ -102,6 +102,14 @@ def _heatmap(method: str, engine, image, disp, segments, target: int, args):
             steps=args.ig_steps,
             scales=[float(s) for s in args.xrai_scales.split(",")],
         ).heatmap
+    if method == "meaningful":
+        from network_interpretation_imagenet_tpu.saliency import learned_mask
+        return learned_mask.learned_mask_saliency(
+            logits_fn, variables, image, target,
+            mask_size=args.lm_mask_size, iters=args.lm_iters,
+            jitter=args.lm_jitter, baseline=args.lm_baseline,
+            seed=args.seed, compute_dtype=engine.compute_dtype,
+        ).heatmap
     raise ValueError(f"unknown method {method!r}")
 
 
@@ -125,6 +133,11 @@ def main(argv=None):
     p.add_argument("--scorecam-channels", type=int, default=64)
     p.add_argument("--xrai-scales", default="50,100,150,250,500",
                    help="felzenszwalb scale ladder for xrai")
+    p.add_argument("--lm-mask-size", type=int, default=28)
+    p.add_argument("--lm-iters", type=int, default=150)
+    p.add_argument("--lm-jitter", type=int, default=4)
+    p.add_argument("--lm-baseline", default="blur",
+                   choices=["blur", "zero"])
     common.add_bo_flags(p)
     args = p.parse_args(argv)
     common.apply_debug_flags(args)

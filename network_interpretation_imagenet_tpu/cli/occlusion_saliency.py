@@ -13,7 +13,9 @@ weighted activation map, architecture-generic via flax interceptors;
 (gradient-free CAM: top-K activation channels become soft masks scored
 by batched masked forwards; shares ``--gradcam-layer``), ``xrai``
 (region-ranked integrated gradients over a multi-scale felzenszwalb
-oversegmentation; ``--xrai-scales`` sets the segmentation ladder).
+oversegmentation; ``--xrai-scales`` sets the segmentation ladder),
+``meaningful`` (Fong-Vedaldi learned deletion mask — the whole Adam
+optimization runs as ONE jitted fori_loop on device; ``--lm-*`` flags).
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ from network_interpretation_imagenet_tpu.saliency.viz import save_panels
 def main(argv=None):
     p = common.build_parser(__doc__)
     p.add_argument("--method", default="occlusion",
-                   choices=["occlusion", "gradient", "grad_input", "xrai",
+                   choices=["occlusion", "gradient", "grad_input", "xrai", "meaningful",
                             "integrated", "smoothgrad", "rise", "gradcam",
                             "scorecam"])
     p.add_argument("--gradcam-layer", default=None,
@@ -40,6 +42,17 @@ def main(argv=None):
     p.add_argument("--xrai-scales", default="50,100,150,250,500",
                    help="comma list of felzenszwalb scales for the xrai "
                         "oversegmentation ladder")
+    p.add_argument("--lm-mask-size", type=int, default=28,
+                   help="meaningful: low-res mask grid side")
+    p.add_argument("--lm-iters", type=int, default=150)
+    p.add_argument("--lm-l1", type=float, default=0.05,
+                   help="meaningful: deletion-area weight")
+    p.add_argument("--lm-tv", type=float, default=0.1,
+                   help="meaningful: mean-TV smoothness weight")
+    p.add_argument("--lm-jitter", type=int, default=4,
+                   help="meaningful: shifted copies per step")
+    p.add_argument("--lm-baseline", default="blur",
+                   choices=["blur", "zero"])
     p.add_argument("--scorecam-channels", type=int, default=64,
                    help="scorecam: top-K activation channels scored by "
                         "masked forwards")
@@ -117,6 +130,15 @@ def main(argv=None):
             scales=[float(s) for s in args.xrai_scales.split(",")])
         heat = res.heatmap
         num_regions = res.num_regions
+    elif args.method == "meaningful":
+        from network_interpretation_imagenet_tpu.saliency import learned_mask
+        lm_res = learned_mask.learned_mask_saliency(
+            logits_fn, variables, image, target,
+            mask_size=args.lm_mask_size, iters=args.lm_iters,
+            l1=args.lm_l1, tv=args.lm_tv, jitter=args.lm_jitter,
+            baseline=args.lm_baseline, seed=args.seed,
+            compute_dtype=engine.compute_dtype)
+        heat = lm_res.heatmap
     else:
         heat = grad_mod.integrated_gradients(
             logits_fn, variables, image, target, steps=args.ig_steps
@@ -136,6 +158,9 @@ def main(argv=None):
     }
     if args.method == "xrai":
         payload["num_regions"] = int(num_regions)
+    if args.method == "meaningful":
+        payload["prob_original"] = round(lm_res.prob_original, 6)
+        payload["prob_masked"] = round(lm_res.prob_masked, 6)
     if gt_bbox is not None:
         iou, pred_box = localization_score(heat, gt_bbox, args.bbox_threshold)
         payload["IOU"] = round(float(iou), 4)

@@ -65,6 +65,7 @@ _TPU_SMOKE = (
     "test_gradient_sweep.py::test_gradcam_analytic_and_zoo_layer_pick",
     "test_gradient_sweep.py::test_scorecam_analytic_and_zoo",
     "test_gradient_sweep.py::test_xrai_saliency_end_to_end",
+    "test_gradient_sweep.py::test_learned_mask_deletes_evidence_region",
 )
 
 # Individually-slow tests inside otherwise-fast modules (compile-heavy

@@ -166,6 +166,14 @@ def test_cli_occlusion_and_gradient(tmp_path):
     ])
     r3 = _json(os.path.join(out3, "xrai_result.json"))
     assert r3["num_regions"] >= 1 and r3["heat_range"][1] <= 1.0
+    out4 = str(tmp_path / "lm")
+    cli_occ.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--method", "meaningful", "--lm-iters", "5", "--lm-mask-size", "7",
+        "--lm-jitter", "2", "--dtype", "float32", "--out", out4,
+    ])
+    r4 = _json(os.path.join(out4, "meaningful_result.json"))
+    assert 0.0 <= r4["prob_masked"] <= 1.0 and 0.0 <= r4["prob_original"] <= 1.0
 
 
 def test_cli_saliency_sweep(tmp_path):
@@ -351,7 +359,8 @@ def test_cli_compare_saliency_methods(tmp_path):
         "--num-images", "2", "--num_mask_samples", "8",
         # 'window' twice: duplicates dedup instead of double-counting rows.
         "--methods", "window,window,gradient,smoothgrad,rise,gradcam,"
-                     "scorecam,xrai",
+                     "scorecam,xrai,meaningful",
+        "--lm-iters", "5", "--lm-mask-size", "7", "--lm-jitter", "2",
         "--rise-masks", "32", "--rise-grid", "4", "--sg-samples", "4",
         "--fidelity-steps", "8", "--out", str(tmp_path),
         "--platform", "cpu", "--mask-batch", "16",
@@ -361,8 +370,8 @@ def test_cli_compare_saliency_methods(tmp_path):
     assert payload["images_used"] == 2
     assert set(payload["ranking"]) == {"window", "gradient", "smoothgrad",
                                        "rise", "gradcam", "scorecam",
-                                       "xrai"}
-    assert len(payload["ranking"]) == 7  # dup 'window' collapsed
+                                       "xrai", "meaningful"}
+    assert len(payload["ranking"]) == 8  # dup 'window' collapsed
     for m, s in payload["methods"].items():
         assert s["images"] == 2
         assert 0.0 <= s["mean_deletion_auc"] <= 1.0

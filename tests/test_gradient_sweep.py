@@ -738,3 +738,60 @@ def test_xrai_saliency_end_to_end():
     assert res.attribution.shape == (28, 28)
     assert res.num_regions >= 1
     assert 0.0 <= res.heatmap.min() and res.heatmap.max() == 1.0
+
+
+def test_learned_mask_deletes_evidence_region():
+    """Fong-Vedaldi learned mask on the toy region model: the optimized
+    deletion mask must kill the target probability, concentrate deletion
+    on the evidence region (far background stays kept), and be
+    deterministic per seed."""
+    from network_interpretation_imagenet_tpu.saliency import learned_mask as lm
+
+    logits_fn = _toy_model()
+    img = np.ones((16, 16, 1), np.float32)
+    res = lm.learned_mask_saliency(
+        logits_fn, None, img, 1, mask_size=8, iters=150, baseline="zero",
+        jitter=2, max_shift=1, seed=0, l1=0.1)
+    h = res.heatmap
+    assert h.shape == (16, 16)
+    assert res.prob_masked < res.prob_original - 0.3
+    # Evidence region (img[4:12,4:12]) is deleted hard; the far corners
+    # (outside the one-lowres-cell bilinear bleed ring) stay kept.
+    assert h[4:12, 4:12].mean() > 0.9
+    corners = np.concatenate([h[:2, :2], h[:2, -2:], h[-2:, :2],
+                              h[-2:, -2:]], axis=None)
+    assert corners.mean() < 0.3
+    again = lm.learned_mask_saliency(
+        logits_fn, None, img, 1, mask_size=8, iters=150, baseline="zero",
+        jitter=2, max_shift=1, seed=0, l1=0.1)
+    np.testing.assert_array_equal(h, again.heatmap)
+
+    # Guards fail loudly.
+    for kw in ({"mask_size": 0}, {"iters": 0}, {"baseline": "nope"}):
+        try:
+            lm.learned_mask_saliency(logits_fn, None, img, 1, **kw)
+            raise AssertionError(f"expected ValueError for {kw}")
+        except ValueError:
+            pass
+
+
+def test_learned_mask_blur_baseline_and_zoo():
+    """The blur baseline path runs end-to-end on a real zoo model, and
+    gaussian_blur preserves constants / reduces to identity-ish maps."""
+    from network_interpretation_imagenet_tpu.saliency import learned_mask as lm
+
+    const = np.full((9, 9, 3), 0.7, np.float32)
+    blurred = np.asarray(lm.gaussian_blur(const, sigma=2.0))
+    # SAME padding with zeros darkens edges; the interior is exact.
+    np.testing.assert_allclose(blurred[4, 4], 0.7, atol=1e-5)
+
+    rng = np.random.RandomState(0)
+    mb = create_model("mnist_cnn", "mnist")
+    mv = mb.init(jax.random.PRNGKey(0))
+    img = rng.rand(28, 28, 1).astype(np.float32)
+    res = lm.learned_mask_saliency(mb.logits, mv, img, 3, mask_size=7,
+                                   iters=10, jitter=2, max_shift=2,
+                                   baseline="blur", seed=1)
+    assert res.heatmap.shape == (28, 28)
+    assert 0.0 <= res.heatmap.min() and res.heatmap.max() <= 1.0
+    assert np.isfinite(res.final_loss)
