@@ -36,22 +36,7 @@ def main(argv=None):
     p = common.build_parser(__doc__)
     p.add_argument("--methods", default=_DEFAULT,
                    help=f"comma list from {','.join(METHODS)}")
-    p.add_argument("--patch", type=int, default=32)
-    p.add_argument("--stride", type=int, default=16)
-    p.add_argument("--ig-steps", type=int, default=16)
-    p.add_argument("--sg-samples", type=int, default=8)
-    p.add_argument("--sg-sigma", type=float, default=0.15)
-    p.add_argument("--rise-masks", type=int, default=500)
-    p.add_argument("--rise-grid", type=int, default=7)
-    p.add_argument("--rise-keep", type=float, default=0.5)
-    p.add_argument("--gradcam-layer", default=None)
-    p.add_argument("--scorecam-channels", type=int, default=64)
-    p.add_argument("--xrai-scales", default="50,100,150,250,500")
-    p.add_argument("--lm-mask-size", type=int, default=28)
-    p.add_argument("--lm-iters", type=int, default=50)
-    p.add_argument("--lm-jitter", type=int, default=2)
-    p.add_argument("--lm-baseline", default="blur",
-                   choices=["blur", "zero"])
+    common.add_method_flags(p, sg_samples=8, lm_iters=50, lm_jitter=2)
     common.add_bo_flags(p)
     args = p.parse_args(argv)
     common.apply_debug_flags(args)
@@ -70,20 +55,31 @@ def main(argv=None):
     target = int(target)
 
     bundle = engine.bundle
-    stages = sanity.randomization_stages(engine.variables)
-    report = {}
-    for m in methods:
-        def heatmap_fn(variables, _m=m):
-            eng = SaliencyEngine(bundle, variables,
-                                 mask_batch=args.mask_batch,
-                                 compute_dtype=engine.compute_dtype)
-            return _heatmap(_m, eng, image, disp, segments, target, args)
+    # Stage order comes from a RAW bundle.init (definition order);
+    # engine.variables has been through device_put, whose dicts sort
+    # alphabetically and would randomize e.g. resnet18's 'fc' head last.
+    stages = sanity.randomization_stages(bundle)
+    random_vars = sanity.fresh_random_variables(bundle, args.seed)
 
-        rows = sanity.cascading_randomization(
-            heatmap_fn, bundle, engine.variables, seed=args.seed,
-            stages=stages)["stages"]
-        report[m] = [{"randomized_through": s, "spearman": round(c, 4)}
-                     for s, c in rows]
+    base = {m: np.asarray(_heatmap(m, engine, image, disp, segments,
+                                   target, args))
+            for m in methods}
+    report = {m: [] for m in methods}
+    done = []
+    # Stage-outer so each spliced weight tree is built and device_put
+    # ONCE (one engine per stage), not once per method.
+    for stage in stages:
+        done.append(stage)
+        rand = sanity.randomize_modules(engine.variables, random_vars, done)
+        eng = SaliencyEngine(bundle, rand, mask_batch=args.mask_batch,
+                             compute_dtype=engine.compute_dtype)
+        for m in methods:
+            heat = np.asarray(_heatmap(m, eng, image, disp, segments,
+                                       target, args))
+            report[m].append({
+                "randomized_through": stage,
+                "spearman": round(sanity.spearman_abs(base[m], heat), 4),
+            })
 
     width = max(len(s) for s in stages)
     print(f"{'stage (cumulative)':>{width + 4}}  " +

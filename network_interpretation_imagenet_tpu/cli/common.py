@@ -137,6 +137,62 @@ def apply_debug_flags(args) -> None:
     enable_compilation_cache(None if cache is None else cache)
 
 
+def add_method_flags(
+    p: argparse.ArgumentParser,
+    rise_masks: int = 500,
+    sg_samples: int = 16,
+    lm_iters: int = 150,
+    lm_jitter: int = 4,
+) -> None:
+    """Per-method attribution hyperparameters, shared by every CLI that
+    dispatches through ``compare_saliency_methods._heatmap`` (occlusion_
+    saliency, compare_saliency_methods, attribution_sanity) — one flag
+    set, per-CLI default overrides via the keyword args."""
+    g = p.add_argument_group("attribution method hyperparameters")
+    g.add_argument("--patch", type=int, default=32,
+                   help="occlusion: patch side")
+    g.add_argument("--stride", type=int, default=16)
+    g.add_argument("--ig-steps", type=int, default=16,
+                   help="integrated/xrai: path steps")
+    g.add_argument("--sg-samples", type=int, default=sg_samples,
+                   help="smoothgrad: noisy copies averaged (one vmapped "
+                        "backward)")
+    g.add_argument("--sg-sigma", type=float, default=0.15,
+                   help="smoothgrad: Gaussian noise sigma RELATIVE to the "
+                        "image's value range (paper convention)")
+    g.add_argument("--sg-squared", action="store_true",
+                   help="smoothgrad: average squared gradients "
+                        "(SmoothGrad²)")
+    g.add_argument("--rise-masks", type=int, default=rise_masks,
+                   help="rise: random soft masks (rounded up to a batch "
+                        "multiple)")
+    g.add_argument("--rise-grid", type=int, default=7,
+                   help="rise: low-res Bernoulli grid size")
+    g.add_argument("--rise-keep", type=float, default=0.5,
+                   help="rise: per-cell keep probability")
+    g.add_argument("--gradcam-layer", default=None,
+                   help="module path for gradcam/scorecam (default: "
+                        "deepest conv block; 'list' prints the menu in "
+                        "occlusion_saliency)")
+    g.add_argument("--scorecam-channels", type=int, default=64,
+                   help="scorecam: top-K activation channels scored by "
+                        "masked forwards")
+    g.add_argument("--xrai-scales", default="50,100,150,250,500",
+                   help="xrai: comma list of felzenszwalb scales for the "
+                        "oversegmentation ladder")
+    g.add_argument("--lm-mask-size", type=int, default=28,
+                   help="meaningful: low-res mask grid side")
+    g.add_argument("--lm-iters", type=int, default=lm_iters)
+    g.add_argument("--lm-l1", type=float, default=0.05,
+                   help="meaningful: deletion-area weight")
+    g.add_argument("--lm-tv", type=float, default=0.1,
+                   help="meaningful: mean-TV smoothness weight")
+    g.add_argument("--lm-jitter", type=int, default=lm_jitter,
+                   help="meaningful: shifted copies per step")
+    g.add_argument("--lm-baseline", default="blur",
+                   choices=["blur", "zero"])
+
+
 def add_bo_flags(p: argparse.ArgumentParser) -> None:
     g = p.add_argument_group("bayesian optimization")
     g.add_argument("--n_iters", type=int, default=10)

@@ -79,7 +79,8 @@ def _heatmap(method: str, engine, image, disp, segments, target: int, args):
     if method == "smoothgrad":
         return grad_mod.smoothgrad(
             logits_fn, variables, image, target, samples=args.sg_samples,
-            noise_sigma=args.sg_sigma, seed=args.seed)
+            noise_sigma=args.sg_sigma, seed=args.seed,
+            magnitude=args.sg_squared)
     if method == "rise":
         return grad_mod.rise_map(
             logits_fn, variables, image, target, num_masks=args.rise_masks,
@@ -107,6 +108,7 @@ def _heatmap(method: str, engine, image, disp, segments, target: int, args):
         return learned_mask.learned_mask_saliency(
             logits_fn, variables, image, target,
             mask_size=args.lm_mask_size, iters=args.lm_iters,
+            l1=args.lm_l1, tv=args.lm_tv,
             jitter=args.lm_jitter, baseline=args.lm_baseline,
             seed=args.seed, compute_dtype=engine.compute_dtype,
         ).heatmap
@@ -119,25 +121,7 @@ def main(argv=None):
                    help=f"comma list from {','.join(METHODS)}")
     p.add_argument("--num-images", type=int, default=8)
     p.add_argument("--fidelity-steps", type=int, default=32)
-    p.add_argument("--patch", type=int, default=32)
-    p.add_argument("--stride", type=int, default=16)
-    p.add_argument("--ig-steps", type=int, default=16)
-    p.add_argument("--sg-samples", type=int, default=16)
-    p.add_argument("--sg-sigma", type=float, default=0.15)
-    p.add_argument("--rise-masks", type=int, default=500)
-    p.add_argument("--rise-grid", type=int, default=7)
-    p.add_argument("--rise-keep", type=float, default=0.5)
-    p.add_argument("--gradcam-layer", default=None,
-                   help="target layer for gradcam AND scorecam (default: "
-                        "deepest conv stage)")
-    p.add_argument("--scorecam-channels", type=int, default=64)
-    p.add_argument("--xrai-scales", default="50,100,150,250,500",
-                   help="felzenszwalb scale ladder for xrai")
-    p.add_argument("--lm-mask-size", type=int, default=28)
-    p.add_argument("--lm-iters", type=int, default=150)
-    p.add_argument("--lm-jitter", type=int, default=4)
-    p.add_argument("--lm-baseline", default="blur",
-                   choices=["blur", "zero"])
+    common.add_method_flags(p)
     common.add_bo_flags(p)
     args = p.parse_args(argv)
     common.apply_debug_flags(args)

@@ -36,44 +36,7 @@ def main(argv=None):
                    choices=["occlusion", "gradient", "grad_input", "xrai", "meaningful",
                             "integrated", "smoothgrad", "rise", "gradcam",
                             "scorecam"])
-    p.add_argument("--gradcam-layer", default=None,
-                   help="module path for gradcam/scorecam (default: deepest "
-                        "conv block; --gradcam-layer list prints the menu)")
-    p.add_argument("--xrai-scales", default="50,100,150,250,500",
-                   help="comma list of felzenszwalb scales for the xrai "
-                        "oversegmentation ladder")
-    p.add_argument("--lm-mask-size", type=int, default=28,
-                   help="meaningful: low-res mask grid side")
-    p.add_argument("--lm-iters", type=int, default=150)
-    p.add_argument("--lm-l1", type=float, default=0.05,
-                   help="meaningful: deletion-area weight")
-    p.add_argument("--lm-tv", type=float, default=0.1,
-                   help="meaningful: mean-TV smoothness weight")
-    p.add_argument("--lm-jitter", type=int, default=4,
-                   help="meaningful: shifted copies per step")
-    p.add_argument("--lm-baseline", default="blur",
-                   choices=["blur", "zero"])
-    p.add_argument("--scorecam-channels", type=int, default=64,
-                   help="scorecam: top-K activation channels scored by "
-                        "masked forwards")
-    p.add_argument("--patch", type=int, default=32)
-    p.add_argument("--stride", type=int, default=16)
-    p.add_argument("--ig-steps", type=int, default=16)
-    p.add_argument("--sg-samples", type=int, default=16,
-                   help="smoothgrad: noisy copies averaged (one vmapped "
-                        "backward)")
-    p.add_argument("--sg-sigma", type=float, default=0.15,
-                   help="smoothgrad: Gaussian noise sigma RELATIVE to the "
-                        "image's value range (paper convention)")
-    p.add_argument("--sg-squared", action="store_true",
-                   help="smoothgrad: average squared gradients (SmoothGrad²)")
-    p.add_argument("--rise-masks", type=int, default=1000,
-                   help="rise: random soft masks (rounded up to a batch "
-                        "multiple)")
-    p.add_argument("--rise-grid", type=int, default=7,
-                   help="rise: low-res Bernoulli grid size")
-    p.add_argument("--rise-keep", type=float, default=0.5,
-                   help="rise: per-cell keep probability")
+    common.add_method_flags(p, rise_masks=1000)
     p.add_argument("--bbox_threshold", type=int, default=180)
     args = p.parse_args(argv)
     common.apply_debug_flags(args)

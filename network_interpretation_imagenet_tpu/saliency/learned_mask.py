@@ -91,6 +91,12 @@ def learned_mask_saliency(
     if mask_size <= 0 or iters <= 0:
         raise ValueError(f"mask_size/iters must be positive, got "
                          f"{mask_size}/{iters}")
+    if jitter < 0 or max_shift < 0:
+        # A negative max_shift would reach jax.random.randint with
+        # minval > maxval, which JAX does not validate — silent garbage
+        # shifts instead of an error.
+        raise ValueError(f"jitter/max_shift must be >= 0, got "
+                         f"{jitter}/{max_shift}")
     if baseline not in ("blur", "zero"):
         raise ValueError(f"baseline must be 'blur' or 'zero', got "
                          f"{baseline!r}")

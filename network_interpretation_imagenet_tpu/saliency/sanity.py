@@ -22,41 +22,42 @@ from typing import Any, Callable, Sequence
 
 import jax
 import numpy as np
+from scipy.stats import rankdata
 
 
 def spearman_abs(a: np.ndarray, b: np.ndarray) -> float:
-    """Spearman rank correlation of |a| vs |b| (flattened). Constant
-    inputs have no ranking — returns 0.0 (maximally non-informative)
-    rather than NaN."""
+    """Spearman rank correlation of |a| vs |b| (flattened), ties
+    averaged (scipy ``rankdata``). Constant inputs have no ranking —
+    returns 0.0 (maximally non-informative) rather than NaN."""
     x = np.abs(np.asarray(a, np.float64)).ravel()
     y = np.abs(np.asarray(b, np.float64)).ravel()
     if x.shape != y.shape:
         raise ValueError(f"shape mismatch {x.shape} vs {y.shape}")
-
-    def ranks(v):
-        order = np.argsort(v, kind="stable")
-        r = np.empty_like(v)
-        r[order] = np.arange(len(v), dtype=np.float64)
-        # Average ties so equal values can't fake correlation structure.
-        uniq, inv, cnt = np.unique(v, return_inverse=True,
-                                   return_counts=True)
-        sums = np.zeros(len(uniq))
-        np.add.at(sums, inv, r)
-        return sums[inv] / cnt[inv]
-
     if np.ptp(x) == 0 or np.ptp(y) == 0:
         return 0.0
-    rx, ry = ranks(x), ranks(y)
-    rx -= rx.mean()
-    ry -= ry.mean()
+    rx = rankdata(x) - (len(x) + 1) / 2.0
+    ry = rankdata(y) - (len(y) + 1) / 2.0
     denom = np.sqrt((rx ** 2).sum() * (ry ** 2).sum())
     return float((rx * ry).sum() / denom) if denom else 0.0
 
 
-def randomization_stages(variables: Any) -> list:
-    """Top-level 'params' module names, OUTPUT side first — flax dicts
-    preserve definition order (input → output), so the reversed key list
-    is the cascading-randomization order of the paper."""
+def fresh_random_variables(bundle, seed: int = 0) -> Any:
+    """A full re-draw from the model's own init distribution (the
+    paper's randomization source), as host numpy leaves."""
+    return jax.tree.map(np.asarray,
+                        bundle.init(jax.random.PRNGKey(seed + 7919)))
+
+
+def randomization_stages(bundle) -> list:
+    """Top-level 'params' module names, OUTPUT side first.
+
+    Derived from a FRESH ``bundle.init`` tree: flax preserves module
+    definition order there, whereas any tree that has been through
+    ``jax.device_put``/``jax.tree.map`` (e.g. ``SaliencyEngine
+    .variables``) comes back with ALPHABETICALLY SORTED keys — on
+    resnet18 that order randomizes the 'fc' head 10th instead of first,
+    silently breaking the cascading protocol."""
+    variables = bundle.init(jax.random.PRNGKey(0))
     params = variables["params"] if "params" in variables else variables
     return list(reversed(list(params.keys())))
 
@@ -89,27 +90,27 @@ def cascading_randomization(
     variables: Any,
     seed: int = 0,
     stages: Sequence[str] | None = None,
+    random_variables: Any = None,
 ) -> dict:
     """Run the cascading test for ONE method.
 
     ``heatmap_fn(variables) -> heat`` computes the method's map with the
     given weights (everything else — image, target, hyperparams — is
-    closed over by the caller). Returns ``{"baseline_stage": None,
-    "stages": [(module, spearman_vs_trained), ...]}`` with modules
-    randomized CUMULATIVELY from the output side; the last row is the
-    fully-random network. Fresh weights come from ``bundle.init`` with a
-    distinct seed, i.e. the model's own init distribution (the paper's
-    protocol)."""
-    random_vars = bundle.init(jax.random.PRNGKey(seed + 7919))
-    random_vars = jax.tree.map(np.asarray, random_vars)
+    closed over by the caller). Returns ``{"stages": [(module,
+    spearman_vs_trained), ...]}`` with modules randomized CUMULATIVELY
+    from the output side; the last row is the fully-random network.
+    Pass ``random_variables`` (see :func:`fresh_random_variables`) to
+    share one random draw across several methods' runs."""
+    if random_variables is None:
+        random_variables = fresh_random_variables(bundle, seed)
     base = np.asarray(heatmap_fn(variables))
     if stages is None:
-        stages = randomization_stages(variables)
+        stages = randomization_stages(bundle)
     rows = []
     done: list = []
     for stage in stages:
         done.append(stage)
-        rand = randomize_modules(variables, random_vars, done)
+        rand = randomize_modules(variables, random_variables, done)
         heat = np.asarray(heatmap_fn(rand))
         rows.append((stage, spearman_abs(base, heat)))
     return {"stages": rows}

@@ -767,7 +767,8 @@ def test_learned_mask_deletes_evidence_region():
     np.testing.assert_array_equal(h, again.heatmap)
 
     # Guards fail loudly.
-    for kw in ({"mask_size": 0}, {"iters": 0}, {"baseline": "nope"}):
+    for kw in ({"mask_size": 0}, {"iters": 0}, {"baseline": "nope"},
+               {"jitter": -1}, {"max_shift": -3}):
         try:
             lm.learned_mask_saliency(logits_fn, None, img, 1, **kw)
             raise AssertionError(f"expected ValueError for {kw}")

@@ -45,8 +45,26 @@ def test_randomize_modules_splices_all_collections():
     assert (out["batch_stats"]["m1"]["mean"] == 9.0).all()  # stats too
     assert (out["params"]["m2"]["w"] == 1.0).all()          # untouched
 
-    # Output-side-first stage order from flax definition order.
-    assert sanity.randomization_stages(trained) == ["m2", "m1"]
+
+
+
+def test_randomization_stages_definition_order():
+    """Stage order must come from a RAW bundle.init (definition order) —
+    trees that passed through device_put/tree.map sort alphabetically,
+    which on resnet-style names would randomize the head last."""
+    import jax as _jax
+
+    bundle = types.SimpleNamespace(
+        init=lambda key: {"params": {
+            "conv1": {"w": np.zeros(1)}, "bn1": {"s": np.zeros(1)},
+            "layer1_0": {"w": np.zeros(1)}, "fc": {"w": np.zeros(1)},
+        }})
+    assert sanity.randomization_stages(bundle) == [
+        "fc", "layer1_0", "bn1", "conv1"]
+    # The sorted order a device_put tree would give is NOT what we use.
+    sorted_keys = list(_jax.device_put(
+        bundle.init(None))["params"].keys())
+    assert sorted_keys == ["bn1", "conv1", "fc", "layer1_0"]
 
 
 def test_cascading_randomization_detects_dependence():
