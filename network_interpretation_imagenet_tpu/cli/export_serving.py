@@ -28,6 +28,22 @@ def main(argv=None) -> int:
                    help="also export knockout-mask forwards with M "
                         "knockouts per mask (reference MNIST=1 / CIFAR=5 "
                         "semantics; m<=M requests pad with the -1 sentinel)")
+    p.add_argument("--attribution", default="",
+                   help="comma-separated gradient-family attribution "
+                        "programs to bundle (gradient, grad_input, "
+                        "integrated, smoothgrad, gradcam) — the backward "
+                        "pass ships inside the AOT artifact, served by "
+                        "ExportedSaliencyServer.attribute / POST /attribute")
+    p.add_argument("--gradcam-layer", default=None,
+                   help="intermediate layer for the gradcam export "
+                        "(default: the deepest conv stage, resolved at "
+                        "export time)")
+    p.add_argument("--ig-steps", type=int, default=16,
+                   help="integrated-gradients path steps (jit-static)")
+    p.add_argument("--sg-samples", type=int, default=16,
+                   help="smoothgrad noise samples (jit-static)")
+    p.add_argument("--sg-sigma", type=float, default=0.15,
+                   help="smoothgrad relative noise sigma (jit-static)")
     p.add_argument("--bo", action="store_true",
                    help="also export the fused BO loop (full active-learning "
                         "explanation as one AOT program)")
@@ -54,6 +70,13 @@ def main(argv=None) -> int:
         engine, args.out, batch_sizes=batch_sizes,
         include_weights=not args.no_weights,
         knockout_m=args.knockout_m,
+        attribution=tuple(
+            m.strip() for m in args.attribution.split(",") if m.strip()
+        ),
+        attribution_cfg={
+            "ig_steps": args.ig_steps, "sg_samples": args.sg_samples,
+            "sg_sigma": args.sg_sigma, "gradcam_layer": args.gradcam_layer,
+        },
     )
     if args.bo:
         from network_interpretation_imagenet_tpu.config import BOConfig

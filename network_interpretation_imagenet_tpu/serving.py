@@ -59,6 +59,8 @@ def export_engine(
     host_variables: Any = None,
     input_size: int = None,
     knockout_m: int = 0,
+    attribution: Sequence[str] = (),
+    attribution_cfg: dict = None,
 ) -> dict:
     """Serialize the engine's window-mask forward for serving.
 
@@ -83,6 +85,16 @@ def export_engine(
     serving a 224² data pipeline must export at 224 (every zoo model is
     global-pooled, so any resolution traces). The chosen size is recorded in
     the manifest and enforced by the loader at call time.
+
+    ``attribution`` exports gradient-family attribution programs
+    (``attr_{method}.stablehlo``, uniform signature ``(variables, image,
+    target, seed) → f32[H, W]``) from {gradient, grad_input, integrated,
+    smoothgrad, gradcam} — the backward pass ships INSIDE the AOT program,
+    so a serving host explains without the model zoo or autodiff setup.
+    ``attribution_cfg`` fixes the jit-static hyperparameters
+    (``ig_steps``/``sg_samples``/``sg_sigma``/``gradcam_layer``; the layer
+    defaults to the menu's deepest conv stage, resolved at export time and
+    recorded in the manifest).
     """
     import jax
     import jax.numpy as jnp
@@ -141,6 +153,62 @@ def export_engine(
                 f.write(exp.serialize())
             knockout_files[str(b)] = fname
 
+    attribution = tuple(attribution)
+    attr_files = {}
+    attr_cfg = {}
+    if attribution:
+        from network_interpretation_imagenet_tpu.saliency import (
+            gradient as grad_mod,
+        )
+
+        supported = ("gradient", "grad_input", "integrated", "smoothgrad",
+                     "gradcam")
+        unknown = [m for m in attribution if m not in supported]
+        if unknown:
+            raise ValueError(f"unsupported attribution methods {unknown}; "
+                             f"choose from {supported}")
+        attr_cfg = {"ig_steps": 16, "sg_samples": 16, "sg_sigma": 0.15,
+                    "gradcam_layer": None}
+        attr_cfg.update(attribution_cfg or {})
+        if "gradcam" in attribution and attr_cfg["gradcam_layer"] is None:
+            # The layer must be jit-static: resolve the menu's default on
+            # a zero image at export time, record it in the manifest.
+            menu = grad_mod.gradcam_target_layers(
+                bundle, engine.variables, np.zeros((h, w, c), np.float32))
+            if not menu:
+                raise ValueError(
+                    "gradcam export needs a 4D intermediate feature map")
+            attr_cfg["gradcam_layer"] = grad_mod._default_gradcam_layer(menu)
+
+        def _attr_fn(method):
+            if method == "gradient":
+                return lambda v, img, t, s: grad_mod.input_gradient(
+                    apply_fn, v, img, t)
+            if method == "grad_input":
+                return lambda v, img, t, s: grad_mod.grad_times_input(
+                    apply_fn, v, img, t)
+            if method == "integrated":
+                return lambda v, img, t, s: grad_mod.integrated_gradients(
+                    apply_fn, v, img, t, steps=attr_cfg["ig_steps"])
+            if method == "smoothgrad":
+                return lambda v, img, t, s: grad_mod.smoothgrad(
+                    apply_fn, v, img, t, samples=attr_cfg["sg_samples"],
+                    noise_sigma=attr_cfg["sg_sigma"], seed=s)
+            return lambda v, img, t, s: grad_mod.gradcam(
+                bundle, v, img, t, layer=attr_cfg["gradcam_layer"])
+
+        for method in dict.fromkeys(attribution):
+            exp = jexport.export(jax.jit(_attr_fn(method)))(
+                var_spec,
+                jax.ShapeDtypeStruct((h, w, c), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.int32),
+                jax.ShapeDtypeStruct((), jnp.int32),
+            )
+            fname = f"attr_{method}.stablehlo"
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(exp.serialize())
+            attr_files[method] = fname
+
     if include_weights:
         if host_variables is None:
             host_variables = getattr(engine, "host_variables", None)
@@ -165,6 +233,7 @@ def export_engine(
         "files": files,
         "knockout_m": knockout_m,
         "knockout_files": knockout_files,
+        "attribution": {"files": attr_files, "config": attr_cfg},
         "weights": WEIGHTS if include_weights else None,
         # The artifact is lowered for the exporting platform only; the
         # loader fails fast on a mismatched host instead of erroring deep
@@ -214,6 +283,12 @@ class ExportedSaliencyServer:
         for b, fname in self.manifest.get("knockout_files", {}).items():
             with open(os.path.join(path, fname), "rb") as f:
                 self._ko_fns[int(b)] = jexport.deserialize(f.read())
+        attr = self.manifest.get("attribution") or {}
+        self.attribution_config = attr.get("config", {})
+        self._attr_fns = {}
+        for method, fname in attr.get("files", {}).items():
+            with open(os.path.join(path, fname), "rb") as f:
+                self._attr_fns[method] = jexport.deserialize(f.read())
         if variables is None:
             wpath = self.manifest.get("weights")
             if not wpath:
@@ -276,6 +351,11 @@ class ExportedSaliencyServer:
             jax.block_until_ready(self._ko_fns[b].call(
                 self.variables, image, segments,
                 jnp.full((b, self.knockout_m), -1, jnp.int32),
+            ))
+            n += 1
+        for fn in self._attr_fns.values():
+            jax.block_until_ready(fn.call(
+                self.variables, image, jnp.int32(0), jnp.int32(0)
             ))
             n += 1
         return n
@@ -363,6 +443,36 @@ class ExportedSaliencyServer:
         (same :class:`MaskEvalResult` contract)."""
         logits = self.logits_for_knockouts(image, segments, knock_ids)
         return self._result_from_logits(logits, target)
+
+    @property
+    def attribution_methods(self) -> tuple:
+        """Gradient-family attribution programs bundled in this artifact
+        (empty unless exported with ``attribution=...``)."""
+        return tuple(sorted(self._attr_fns))
+
+    def attribute(self, image, target: int, method: str,
+                  seed: int = 0) -> np.ndarray:
+        """f32 [H, W] attribution heatmap from the artifact's AOT
+        ``attr_{method}.stablehlo`` program — same math as the live
+        ``saliency.gradient`` functions (the backward pass is baked into
+        the exported program, so no model zoo or autodiff setup is needed
+        on this host). ``seed`` only affects stochastic methods
+        (smoothgrad); hyperparameters are fixed at export time
+        (``self.attribution_config``)."""
+        import jax
+        import jax.numpy as jnp
+
+        if method not in self._attr_fns:
+            raise ValueError(
+                f"artifact has no {method!r} attribution program "
+                f"(available: {list(self.attribution_methods)}); re-export "
+                "with attribution=[...] (CLI: --attribution)"
+            )
+        out = self._attr_fns[method].call(
+            self.variables, jnp.asarray(image, jnp.float32),
+            jnp.int32(target), jnp.int32(seed),
+        )
+        return np.asarray(jax.device_get(out), np.float32)
 
 
 def load_exported(path: str, variables: Any = None) -> ExportedSaliencyServer:

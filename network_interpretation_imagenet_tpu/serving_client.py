@@ -288,3 +288,20 @@ class SaliencyClient:
             **_array_fields("knock_ids", knock_ids, np.int32),
             "target": int(target),
         })
+
+    def attribute(self, image, method: str, target: Optional[int] = None,
+                  seed: int = 0, normalize: Optional[dict] = None,
+                  preprocess: Optional[dict] = None, **extra) -> dict:
+        """Gradient-family attribution from the artifact's AOT programs
+        (artifacts exported with ``--attribution``). Returns a dict with
+        ``heatmap`` float32[H, W]; ``target=None`` lets the server infer
+        it. Image wire formats match :meth:`explain` (f32 / uint8 / JPEG
+        bytes)."""
+        body = {"method": str(method), "seed": int(seed)}
+        body.update(self._image_fields(image, "image", normalize, preprocess))
+        if target is not None:
+            body["target"] = int(target)
+        body.update(extra)
+        out = self._request("POST", "/attribute", body)
+        _decode_heatmap(out)
+        return out

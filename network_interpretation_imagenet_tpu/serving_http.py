@@ -34,6 +34,12 @@ Endpoints (JSON in/out):
 * ``POST /eval_knockouts`` — engine artifact exported with
   ``knockout_m``: ``knock_ids`` int32[K, m] → the same per-mask arrays
   (the MNIST/CIFAR knockout family).
+* ``POST /attribute`` — engine artifact exported with
+  ``attribution=[...]``: one image + ``"method"`` (one of the artifact's
+  bundled gradient-family programs — gradient / grad_input / integrated /
+  smoothgrad / gradcam) → ``heatmap_b64`` f32[H, W]. The backward pass is
+  baked into the AOT program; optional ``"target"`` (inferred when
+  absent) and ``"seed"`` (stochastic methods only).
 
 Arrays travel either as nested JSON lists (``"image": [[[...]]]``) or —
 preferred, ~4× smaller and lossless — as base64 raw little-endian bytes:
@@ -675,6 +681,56 @@ class SaliencyService:
             )
         return self._mask_eval_json(res)
 
+    def attribute(self, body: dict) -> dict:
+        """Gradient-family attribution from the artifact's AOT programs
+        (``export_engine(attribution=[...])``). ``"method"`` selects the
+        program; ``"target"`` is inferred via the engine's full-width
+        window forward when absent; ``"seed"`` feeds stochastic methods
+        (smoothgrad)."""
+        if not isinstance(body, dict):
+            raise ValueError("request body must be a JSON object")
+        if self.engine_server is None:
+            raise ValueError("/attribute needs an engine artifact "
+                             "(this one is a fused-BO artifact)")
+        methods = self.engine_server.attribution_methods
+        if not methods:
+            raise ValueError(
+                "artifact has no attribution programs; re-export with "
+                "--attribution gradient,integrated,..."
+            )
+        method = body.get("method")
+        if method is None:
+            raise ValueError(f"missing 'method' (available: {list(methods)})")
+        image = _decode_image(body, "image")
+        if image is None:
+            raise ValueError("missing 'image' (or 'image_b64'+'image_shape')")
+        target = body.get("target")
+        seed = int(body.get("seed", 0))
+        with self._lock:
+            if target is None:
+                # The full-width window (keeps every segment) IS the
+                # unmasked forward; a constant-0 segment map makes it
+                # image-independent.
+                segments = np.zeros(image.shape[:2], np.int32)
+                logits = self.engine_server.logits_for_windows(
+                    image, segments, np.zeros(1, np.int32), 1
+                )
+                target = int(logits[0].argmax())
+            heat = self.engine_server.attribute(
+                image, int(target), str(method), seed=seed
+            )
+        enc = _encode_array(heat)
+        resp = {
+            "target": int(target),
+            "method": str(method),
+            "config": self.engine_server.attribution_config,
+            "heatmap_b64": enc["b64"],
+            "heatmap_shape": enc["shape"],
+        }
+        if body.get("json_arrays"):
+            resp["heatmap"] = heat.tolist()
+        return resp
+
     def eval_knockouts(self, body: dict) -> dict:
         """Knockout twin of :meth:`eval_windows` — ``knock_ids`` int32[K, m]
         (m ≤ the artifact's exported ``knockout_m``) instead of
@@ -708,7 +764,7 @@ class SaliencyService:
 
 
 _POST_ENDPOINTS = ("/explain", "/explain_batch", "/eval_windows",
-                   "/eval_knockouts")
+                   "/eval_knockouts", "/attribute")
 
 
 def make_http_server(artifact_dir, host: str = "127.0.0.1",

@@ -285,3 +285,86 @@ def test_export_knockout_matches_engine(tmp_path, rng):
         serving.load_exported(plain).eval_knockout_masks(
             image, segments, knock1, target
         )
+
+
+def test_export_attribution_matches_live(tmp_path, rng):
+    """attr_{method}.stablehlo programs must reproduce the live
+    saliency.gradient functions (the backward pass is baked into the AOT
+    artifact), including the smoothgrad seed as a runtime operand and the
+    gradcam layer resolved at export time into the manifest."""
+    import pytest
+
+    from network_interpretation_imagenet_tpu.saliency import (
+        gradient as grad_mod,
+    )
+
+    engine = _engine()
+    path = str(tmp_path / "attr_artifact")
+    methods = ("gradient", "grad_input", "integrated", "smoothgrad",
+               "gradcam")
+    manifest = serving.export_engine(
+        engine, path, batch_sizes=(4,), attribution=methods,
+        attribution_cfg={"ig_steps": 4, "sg_samples": 3, "sg_sigma": 0.1},
+    )
+    cfg = manifest["attribution"]["config"]
+    assert set(manifest["attribution"]["files"]) == set(methods)
+    assert cfg["ig_steps"] == 4 and cfg["sg_samples"] == 3
+    assert cfg["gradcam_layer"]  # resolved at export time
+
+    server = serving.load_exported(path)
+    assert server.attribution_methods == tuple(sorted(methods))
+    image = rng.rand(28, 28, 1).astype(np.float32)
+    target = 3
+    bundle, variables = engine.bundle, engine.variables
+
+    live = {
+        "gradient": grad_mod.input_gradient(
+            bundle.logits, variables, image, target),
+        "grad_input": grad_mod.grad_times_input(
+            bundle.logits, variables, image, target),
+        "integrated": grad_mod.integrated_gradients(
+            bundle.logits, variables, image, target, steps=4),
+        "smoothgrad": grad_mod.smoothgrad(
+            bundle.logits, variables, image, target, samples=3,
+            noise_sigma=0.1, seed=7),
+        "gradcam": grad_mod.gradcam(
+            bundle, variables, image, target, layer=cfg["gradcam_layer"]),
+    }
+    for m in methods:
+        heat = server.attribute(image, target, m, seed=7)
+        assert heat.shape == (28, 28) and heat.dtype == np.float32
+        np.testing.assert_allclose(heat, np.asarray(live[m]), atol=1e-4,
+                                   err_msg=m)
+
+    # Unknown / unexported methods fail loudly, at export and at call.
+    with pytest.raises(ValueError, match="unsupported"):
+        serving.export_engine(engine, str(tmp_path / "bad"),
+                              batch_sizes=(4,), attribution=("nope",))
+    plain = str(tmp_path / "plain")
+    serving.export_engine(engine, plain, batch_sizes=(4,))
+    plain_server = serving.load_exported(plain)
+    assert plain_server.attribution_methods == ()
+    with pytest.raises(ValueError, match="attribution"):
+        plain_server.attribute(image, target, "gradient")
+    with pytest.raises(ValueError, match="re-export"):
+        server.attribute(image, target, "rise")
+
+
+def test_export_attribution_cli_and_warmup(tmp_path):
+    """--attribution flows hyperparameters through to the manifest; warmup
+    touches the attr programs."""
+    from network_interpretation_imagenet_tpu.cli import export_serving
+
+    out = str(tmp_path / "artifact")
+    rc = export_serving.main([
+        "--arch", "mnist_cnn", "--dataset", "mnist", "--synthetic",
+        "--dtype", "float32", "--out", out, "--batch-sizes", "4",
+        "--attribution", "gradient,integrated", "--ig-steps", "2",
+        "--no-compilation-cache",
+    ])
+    assert rc == 0
+    server = serving.load_exported(out)
+    assert server.attribution_methods == ("gradient", "integrated")
+    assert server.attribution_config["ig_steps"] == 2
+    # 1 window bucket + 2 attribution programs.
+    assert server.warmup() == 3

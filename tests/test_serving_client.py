@@ -32,7 +32,8 @@ def dual_server(tmp_path):
     """One artifact dir holding BOTH kinds (engine incl. knockout + BO)."""
     engine = _engine()
     path = str(tmp_path / "artifact")
-    serving.export_engine(engine, path, batch_sizes=(16,), knockout_m=2)
+    serving.export_engine(engine, path, batch_sizes=(16,), knockout_m=2,
+                          attribution=("gradient",))
     serving.export_bo_engine(engine, path,
                              bo_cfg=BOConfig(n_iters=3, n_pre_samples=2),
                              candidate_buckets=(7,), image_batches=(4,))
@@ -85,6 +86,11 @@ def test_client_round_trips_every_endpoint(dual_server, rng):
                                rng.randint(0, 10, (5, 2)).astype(np.int32),
                                target=2)
     assert len(kv["survived"]) == 5
+
+    # AOT attribution program (artifact exported with attribution=).
+    at = client.attribute(img, "gradient", target=2)
+    assert at["heatmap"].shape == (28, 28)
+    assert at["heatmap"].dtype == np.float32 and at["target"] == 2
     client.close()
 
 

@@ -950,3 +950,76 @@ def test_http_jpeg_wire_client_errors_are_400(http_engine_server, rng):
                           **seg_fields})
     assert status == 400 and "preprocess" in resp["error"], (status, resp)
     conn.close()
+
+
+def test_http_attribute_endpoint(tmp_path, rng):
+    """POST /attribute serves the artifact's AOT gradient-family programs:
+    parity with the direct server call, inferred target, and 400s for
+    missing method / attribution-free artifacts."""
+    from network_interpretation_imagenet_tpu.saliency import (
+        gradient as grad_mod,
+    )
+
+    engine = _engine()
+    path = str(tmp_path / "attr_artifact")
+    serving.export_engine(
+        engine, path, batch_sizes=(4,),
+        attribution=("gradient", "smoothgrad"),
+        attribution_cfg={"sg_samples": 3, "sg_sigma": 0.1},
+    )
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = httpd.server_address[:2]
+        conn = HTTPConnection(host, port)
+        image = rng.rand(28, 28, 1).astype(np.float32)
+
+        body = {"image_b64": _b64(image), "image_shape": [28, 28, 1],
+                "method": "smoothgrad", "target": 3, "seed": 7}
+        status, resp = _post(conn, "/attribute", body)
+        assert status == 200
+        heat = np.frombuffer(
+            base64.b64decode(resp["heatmap_b64"]), np.float32
+        ).reshape(resp["heatmap_shape"])
+        live = grad_mod.smoothgrad(
+            engine.bundle.logits, engine.variables, image, 3,
+            samples=3, noise_sigma=0.1, seed=7,
+        )
+        np.testing.assert_allclose(heat, np.asarray(live), atol=1e-4)
+        assert resp["target"] == 3 and resp["method"] == "smoothgrad"
+        assert resp["config"]["sg_samples"] == 3
+
+        # Inferred target == the unmasked forward's argmax.
+        status, resp = _post(conn, "/attribute", {
+            "image_b64": _b64(image), "image_shape": [28, 28, 1],
+            "method": "gradient",
+        })
+        assert status == 200
+        pred = int(np.asarray(
+            engine.predict(image[None])
+        ).argmax())
+        assert resp["target"] == pred
+
+        # Missing method and unknown method are client errors.
+        status, resp = _post(conn, "/attribute", {
+            "image_b64": _b64(image), "image_shape": [28, 28, 1]})
+        assert status == 400 and "method" in resp["error"]
+        status, resp = _post(conn, "/attribute", {
+            "image_b64": _b64(image), "image_shape": [28, 28, 1],
+            "method": "gradcam"})
+        assert status == 400 and "re-export" in resp["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_http_attribute_without_programs_is_400(http_engine_server, rng):
+    _, httpd = http_engine_server
+    host, port = httpd.server_address[:2]
+    conn = HTTPConnection(host, port)
+    image = rng.rand(28, 28, 1).astype(np.float32)
+    status, resp = _post(conn, "/attribute", {
+        "image_b64": _b64(image), "image_shape": [28, 28, 1],
+        "method": "gradient"})
+    assert status == 400 and "attribution" in resp["error"]
