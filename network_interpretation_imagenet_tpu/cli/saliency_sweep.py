@@ -104,6 +104,15 @@ def main(argv=None):
                    help="drive the sweep with the FLAGSHIP GP-EI BO path "
                         "(batched vmapped fused loops per flush) instead of "
                         "random window masks")
+    p.add_argument("--attribute", default=None, metavar="METHOD",
+                   choices=["gradient", "grad_input", "integrated",
+                            "smoothgrad", "gradcam"],
+                   help="drive the sweep with a gradient-family attribution "
+                        "method instead of masks: every --image-batch "
+                        "images' backward passes run as ONE vmapped program "
+                        "(no segmentation step; hyperparameters via "
+                        "--ig-steps/--sg-samples/--sg-sigma/--gradcam-layer)")
+    common.add_method_flags(p)
     common.add_bo_flags(p)
     p.add_argument("--proposals-per-iter", type=int, default=1,
                    help="(--bo) q-batched BO proposals per GP refit")
@@ -135,6 +144,8 @@ def main(argv=None):
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
+    if args.bo and args.attribute:
+        p.error("--bo and --attribute are mutually exclusive sweep drivers")
     common.apply_debug_flags(args)
 
     multihost_mod = None
@@ -216,6 +227,10 @@ def main(argv=None):
         # silently average incomparable rows, so the journal refuses it.
         jconfig = {
             "bo": bool(args.bo), "mode": args.mode,
+            "attribute": args.attribute,
+            "ig_steps": args.ig_steps, "sg_samples": args.sg_samples,
+            "sg_sigma": args.sg_sigma, "sg_squared": bool(args.sg_squared),
+            "gradcam_layer": args.gradcam_layer,
             "num_mask_samples": args.num_mask_samples,
             "window_fraction": args.window_fraction,
             "num_knockout": args.num_knockout,
@@ -267,7 +282,32 @@ def main(argv=None):
 
         mesh = make_mesh()
     logger = PhaseLogger(enabled=args.trace)
-    if args.bo:
+    if args.attribute:
+        from network_interpretation_imagenet_tpu.saliency.sweep import (
+            attribution_sweep,
+        )
+
+        res = attribution_sweep(
+            engine,
+            dataset,
+            method=args.attribute,
+            bbox_threshold=args.bbox_threshold,
+            image_batch=max(args.image_batch, 1),
+            max_images=args.num_images,
+            seed=args.seed,
+            logger=logger,
+            mesh=mesh,
+            keep_heatmaps=args.gp_heatmaps or args.gp_class_heatmaps,
+            dataset_indices=dataset_indices,
+            journal=journal,
+            fidelity_steps=args.fidelity_steps if args.fidelity else 0,
+            steps=args.ig_steps,
+            samples=args.sg_samples,
+            noise_sigma=args.sg_sigma,
+            magnitude=args.sg_squared,
+            gradcam_layer=args.gradcam_layer,
+        )
+    elif args.bo:
         from network_interpretation_imagenet_tpu.config import BOConfig
         from network_interpretation_imagenet_tpu.saliency.sweep import (
             bo_saliency_sweep,

@@ -484,3 +484,139 @@ def _occlusion_core(logits_fn, patch: int, batch: int, compute_dtype):
 
         _OCCLUSION_CACHE[key] = run
     return _OCCLUSION_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# Batched attribution: N images' backward passes as ONE program
+# ---------------------------------------------------------------------------
+
+#: Methods `attribute_batch` can vmap (the per-image fn is pure in
+#: (variables, image, target, seed); occlusion/rise/scorecam batch
+#: internally over masks instead and stay per-image).
+BATCHABLE_METHODS = ("gradient", "grad_input", "integrated", "smoothgrad",
+                     "gradcam")
+
+# (method, fn/bundle, hyperparams, bucket, shape, mesh, axis) → jitted
+# vmapped (optionally shard_map'd) core — one compile per pow-2 image
+# bucket, shared across sweep flushes (see the occlusion-cache note).
+_ATTR_BATCH_CACHE: dict = {}
+
+
+def _attr_one_fn(logits_fn, bundle, method: str, steps: int, samples: int,
+                 noise_sigma: float, magnitude: bool, gradcam_layer):
+    """Per-image ``(variables, image, target, seed) → f32[H, W]`` with the
+    hyperparameters closed over (jit-static), uniform across methods so one
+    vmap signature serves all of ``BATCHABLE_METHODS``."""
+    if method == "gradient":
+        return lambda v, img, t, s: input_gradient(logits_fn, v, img, t)
+    if method == "grad_input":
+        return lambda v, img, t, s: grad_times_input(logits_fn, v, img, t)
+    if method == "integrated":
+        return lambda v, img, t, s: integrated_gradients(
+            logits_fn, v, img, t, steps=steps)
+    if method == "smoothgrad":
+        return lambda v, img, t, s: smoothgrad(
+            logits_fn, v, img, t, samples=samples, noise_sigma=noise_sigma,
+            seed=s, magnitude=magnitude)
+    return lambda v, img, t, s: gradcam(bundle, v, img, t,
+                                        layer=gradcam_layer)
+
+
+def attribute_batch(
+    logits_fn: Callable,
+    variables: Any,
+    images: Array,
+    targets,
+    method: str = "gradient",
+    *,
+    bundle=None,
+    steps: int = 16,
+    samples: int = 16,
+    noise_sigma: float = 0.15,
+    magnitude: bool = False,
+    gradcam_layer: Optional[str] = None,
+    seeds=None,
+    mesh=None,
+    data_axis: str = "data",
+) -> Array:
+    """N images' attribution maps in ONE device program → f32[N, H, W].
+
+    The per-image backward (``input_gradient`` / ``grad_times_input`` /
+    ``integrated_gradients`` / ``smoothgrad`` / ``gradcam``) vmaps over the
+    image axis, so a val-set sweep runs N backward passes per dispatch
+    instead of N dispatches — the attribution twin of the engine's flat
+    N·K mask grid (``saliency/engine.py``). N pads to the next power of
+    two (results trim back), bounding compiled shapes across sweep
+    flushes. With ``mesh`` the padded image axis additionally shards over
+    ``data_axis`` via ``shard_map`` (variables replicate; no collectives
+    — each device runs its slice's vmapped program), the same composition
+    as ``kron.fit_posterior_batch``.
+
+    ``seeds`` (int32[N], default zeros) feeds stochastic methods only;
+    derive them from dataset indices for flush-invariant sweeps.
+    ``gradcam_layer=None`` resolves the canonical deepest conv stage ONCE
+    (host-side, on ``images[0]``) — pass ``bundle`` for gradcam.
+    """
+    from network_interpretation_imagenet_tpu.bo.loop import next_pow2
+
+    if method not in BATCHABLE_METHODS:
+        raise ValueError(f"unknown batchable method {method!r}; choose "
+                         f"from {BATCHABLE_METHODS}")
+    images = jnp.asarray(images, jnp.float32)
+    if images.ndim != 4:
+        raise ValueError(f"images must be [N, H, W, C], got {images.shape}")
+    n = int(images.shape[0])
+    if n == 0:
+        return jnp.zeros((0,) + images.shape[1:3], jnp.float32)
+    if method == "gradcam":
+        if bundle is None:
+            raise ValueError("method='gradcam' needs bundle=")
+        if gradcam_layer is None:
+            # The layer is jit-static: resolve the menu's default once,
+            # outside the batched program.
+            gradcam_layer = _default_gradcam_layer(gradcam_target_layers(
+                bundle, variables, images[0]))
+
+    bucket = next_pow2(n)
+    if mesh is not None:
+        d = int(mesh.shape[data_axis])
+        bucket = -(-bucket // d) * d  # shard_map needs d | N_padded
+    targets = jnp.asarray(targets, jnp.int32)
+    seeds = (jnp.zeros(n, jnp.int32) if seeds is None
+             else jnp.asarray(seeds, jnp.int32))
+    if targets.shape != (n,) or seeds.shape != (n,):
+        raise ValueError(
+            f"targets/seeds must be [N={n}], got {targets.shape} / "
+            f"{seeds.shape}")
+    if bucket > n:
+        # Pad lanes rerun image 0 (real data keeps every lane numerically
+        # boring-free: an all-zero pad image can NaN through normalize-by-
+        # range paths like smoothgrad's span guard — cheap either way).
+        pad = bucket - n
+        images = jnp.concatenate(
+            [images, jnp.broadcast_to(images[0], (pad,) + images.shape[1:])])
+        targets = jnp.concatenate([targets, jnp.zeros(pad, jnp.int32)])
+        seeds = jnp.concatenate([seeds, jnp.zeros(pad, jnp.int32)])
+
+    key = (method, bundle if method == "gradcam" else logits_fn,
+           int(steps), int(samples), float(noise_sigma), bool(magnitude),
+           gradcam_layer, bucket, images.shape[1:], mesh, data_axis)
+    if key not in _ATTR_BATCH_CACHE:
+        one = _attr_one_fn(logits_fn, bundle, method, int(steps),
+                           int(samples), float(noise_sigma), bool(magnitude),
+                           gradcam_layer)
+        batched = jax.vmap(one, in_axes=(None, 0, 0, 0))
+        if mesh is None:
+            _ATTR_BATCH_CACHE[key] = jax.jit(batched)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            _ATTR_BATCH_CACHE[key] = jax.jit(shard_map(
+                batched,
+                mesh=mesh,
+                in_specs=(P(), P(data_axis), P(data_axis), P(data_axis)),
+                out_specs=P(data_axis),
+                check_vma=False,
+            ))
+    return _ATTR_BATCH_CACHE[key](variables, images, targets, seeds)[:n]

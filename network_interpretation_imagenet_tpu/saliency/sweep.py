@@ -790,3 +790,192 @@ def bo_saliency_sweep(
     res.evals_per_sec = total_evals / wall if wall > 0 else 0.0
     _finalize_fidelity_means(res)  # rows are the source (journal/merge too)
     return res
+
+
+def attribution_sweep(
+    engine: SaliencyEngine,
+    dataset: Iterable,
+    method: str = "gradient",
+    bbox_threshold: int = 180,
+    image_batch: int = 16,
+    max_images: Optional[int] = None,
+    seed: int = 0,
+    logger: Optional[PhaseLogger] = None,
+    mesh=None,
+    keep_heatmaps: bool = False,
+    dataset_indices=None,
+    journal=None,
+    fidelity_steps: int = 0,
+    steps: int = 16,
+    samples: int = 16,
+    noise_sigma: float = 0.15,
+    magnitude: bool = False,
+    gradcam_layer: Optional[str] = None,
+) -> SweepResult:
+    """Val-set sweep driven by the gradient-family attribution path: every
+    ``image_batch`` images' backward passes run as ONE vmapped program
+    (``gradient.attribute_batch``), optionally image-sharded over ``mesh``
+    — the attribution twin of :func:`bo_saliency_sweep`'s batched flushes.
+    No segmentation step: these methods attribute pixels directly.
+
+    ``method`` ∈ ``gradient.BATCHABLE_METHODS`` (gradient / grad_input /
+    integrated / smoothgrad / gradcam). Stochastic seeds derive from
+    DATASET indices (``seed + index``), so per-image results are invariant
+    to flush composition and journal resume matches an uninterrupted run.
+    ``evals_per_sec`` counts backward passes (``steps`` per image for
+    integrated, ``samples`` for smoothgrad, 1 otherwise); images/s =
+    ``images_explained`` / wall is the companion metric.
+    """
+    from network_interpretation_imagenet_tpu.saliency import gradient as gmod
+
+    if method not in gmod.BATCHABLE_METHODS:
+        raise ValueError(f"unknown attribution method {method!r}; choose "
+                         f"from {gmod.BATCHABLE_METHODS}")
+    log = logger or PhaseLogger(enabled=False)
+    res = SweepResult()
+    iou_m, surv_m = AverageMeter(), AverageMeter()
+    latencies = []
+    done = ()
+    if journal is not None:
+        from network_interpretation_imagenet_tpu.saliency.journal import (
+            JournalingLogger,
+        )
+
+        journal.restore_into(res, iou_m, surv_m, latencies, keep_heatmaps)
+        done = journal.done
+        log = JournalingLogger(log, journal)
+    evals_per_image = {"integrated": int(steps),
+                       "smoothgrad": int(samples)}.get(method, 1)
+    if method == "gradcam" and gradcam_layer is None:
+        # Resolve the jit-static layer ONCE so every flush shares one
+        # compiled program (attribute_batch would re-resolve per call).
+        probe = np.zeros(
+            (engine.bundle.input_size, engine.bundle.input_size,
+             engine.bundle.input_channels), np.float32)
+        gradcam_layer = gmod._default_gradcam_layer(
+            gmod.gradcam_target_layers(
+                engine.bundle, engine.variables, probe))
+    total_evals = 0
+    t_start = time.perf_counter()
+    pending = []  # (i, image, label, gt, t0)
+    # Depth-2 flush pipeline (see bo_saliency_sweep): at most one dispatched
+    # attribution program awaits its fetch while the next flush stacks.
+    inflight = []
+
+    def finalize():
+        nonlocal total_evals
+        if not inflight:
+            return
+        heats_dev, keep, idxs, preds, gts, t0s, imgs = inflight.pop(0)
+        try:
+            heats = np.asarray(heats_dev)  # ONE device→host fetch
+        except Exception as e:
+            failed = [idxs[j] for j in keep]
+            res.images_failed += len(failed)
+            log.emit({"event": "batch_failed", "indices": failed,
+                      "error": repr(e)})
+            return
+        for pos, j in enumerate(keep):
+            try:
+                total_evals += evals_per_image
+                heat = heats[pos]
+                row = {"index": idxs[j], "target": int(preds[j]),
+                       "method": method}
+                if gts[j] is not None:
+                    iou, _ = localization_score(heat, gts[j], bbox_threshold)
+                    row["iou"] = float(iou)
+                    iou_m.update(float(iou))
+                if fidelity_steps > 0:
+                    row.update(_fidelity_row_fields(
+                        engine, imgs[j], heat, int(preds[j]), gts[j],
+                        fidelity_steps,
+                    ))
+                res.images_explained += 1
+                if keep_heatmaps:
+                    res.heatmaps[idxs[j]] = heat
+                if journal is not None and keep_heatmaps:
+                    journal.save_heatmap(idxs[j], heat)
+                latencies.append(time.perf_counter() - t0s[j])
+                row["seconds"] = round(latencies[-1], 4)
+                res.per_image.append(row)
+                log.emit({"event": "image_done", **row})
+            except Exception as e:
+                res.images_failed += 1
+                log.emit({"event": "image_failed", "index": idxs[j],
+                          "error": repr(e)})
+
+    def flush():
+        if not pending:
+            return
+        batch = list(pending)
+        pending.clear()
+        keep = None
+        try:
+            import jax
+
+            idxs, imgs, labels, gts, t0s = zip(*batch)
+            imgs_dev = jax.device_put(np.stack(imgs).astype(np.float32))
+            preds = engine.predict(imgs_dev).argmax(axis=1)
+            keep = [
+                j for j in range(len(batch))
+                if labels[j] is None or int(preds[j]) == int(labels[j])
+            ]
+            for j in range(len(batch)):
+                if j not in keep:
+                    res.images_skipped_misclassified += 1
+                    log.emit({"event": "skip_misclassified",
+                              "index": idxs[j], "pred": int(preds[j]),
+                              "label": int(labels[j])})
+            if not keep:
+                return
+            keep_imgs = (imgs_dev if len(keep) == len(batch) else
+                         jnp.take(imgs_dev, jnp.asarray(keep), axis=0))
+            heats_dev = gmod.attribute_batch(
+                engine.bundle.logits, engine.variables, keep_imgs,
+                np.asarray([int(preds[j]) for j in keep], np.int32),
+                method, bundle=engine.bundle, steps=steps, samples=samples,
+                noise_sigma=noise_sigma, magnitude=magnitude,
+                gradcam_layer=gradcam_layer,
+                seeds=np.asarray([seed + int(idxs[j]) for j in keep],
+                                 np.int32),
+                mesh=mesh,
+            )
+        except Exception as e:
+            failed = [b[0] for b in batch] if keep is None else \
+                [batch[j][0] for j in keep]
+            res.images_failed += len(failed)
+            log.emit({"event": "batch_failed", "indices": failed,
+                      "error": repr(e)})
+            return
+        inflight.append((heats_dev, keep, idxs, preds, gts, t0s, imgs))
+        while len(inflight) > 1:
+            finalize()
+
+    for pos, item in enumerate(dataset):
+        if max_images is not None and pos >= max_images:
+            break
+        i = int(dataset_indices[pos]) if dataset_indices is not None else pos
+        if i in done:
+            continue
+        res.images_total += 1
+        t0 = time.perf_counter()
+        try:
+            image, label, gt_bbox = _unpack_item(item)
+            pending.append((i, np.asarray(image), label, gt_bbox, t0))
+            if len(pending) >= image_batch:
+                flush()
+        except Exception as e:
+            res.images_failed += 1
+            log.emit({"event": "image_failed", "index": i, "error": repr(e)})
+    flush()
+    while inflight:
+        finalize()
+
+    wall = time.perf_counter() - t_start
+    res.mean_iou = iou_m.avg
+    res.mean_survival = surv_m.avg  # restored BO/window rows only; no
+    # survival concept in the attribution family itself
+    res.p50_latency_s = float(np.median(latencies)) if latencies else 0.0
+    res.evals_per_sec = total_evals / wall if wall > 0 else 0.0
+    _finalize_fidelity_means(res)
+    return res

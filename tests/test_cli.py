@@ -376,3 +376,22 @@ def test_cli_compare_saliency_methods(tmp_path):
         assert s["images"] == 2
         assert 0.0 <= s["mean_deletion_auc"] <= 1.0
         assert 0.0 <= s["mean_insertion_auc"] <= 1.0
+
+
+def test_cli_saliency_sweep_attribute(tmp_path):
+    """--attribute drives the sweep with batched gradient-family
+    attribution (no segmentation pass; per-image rows carry the method)."""
+    from network_interpretation_imagenet_tpu.cli import (
+        saliency_sweep as cli_sweep,
+    )
+
+    out = str(tmp_path)
+    cli_sweep.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num-images", "3", "--image-batch", "2", "--dtype", "float32",
+        "--attribute", "smoothgrad", "--sg-samples", "3", "--out", out,
+    ])
+    r = _json(os.path.join(out, "sweep_result.json"))
+    assert r["images_total"] == 3
+    assert r["images_failed"] == 0
+    assert r["evals_per_sec"] > 0

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from network_interpretation_imagenet_tpu.config import SegmentConfig
 from network_interpretation_imagenet_tpu.data.labels import class_name
@@ -796,3 +797,153 @@ def test_learned_mask_blur_baseline_and_zoo():
     assert res.heatmap.shape == (28, 28)
     assert 0.0 <= res.heatmap.min() and res.heatmap.max() <= 1.0
     assert np.isfinite(res.final_loss)
+
+
+# ---------------------------------------------------------------------------
+# Batched attribution machinery (attribute_batch + attribution_sweep)
+# ---------------------------------------------------------------------------
+
+
+def test_attribute_batch_matches_single_all_methods(rng):
+    """One vmapped program == N per-image calls, for every batchable
+    method, across a non-pow-2 N (pads trim back)."""
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    imgs = rng.rand(3, 28, 28, 1).astype(np.float32)
+    targets = np.array([1, 2, 3], np.int32)
+    seeds = np.array([5, 6, 7], np.int32)
+
+    singles = {
+        "gradient": [grad_mod.input_gradient(
+            bundle.logits, variables, imgs[i], targets[i]) for i in range(3)],
+        "grad_input": [grad_mod.grad_times_input(
+            bundle.logits, variables, imgs[i], targets[i]) for i in range(3)],
+        "integrated": [grad_mod.integrated_gradients(
+            bundle.logits, variables, imgs[i], targets[i], steps=4)
+            for i in range(3)],
+        "smoothgrad": [grad_mod.smoothgrad(
+            bundle.logits, variables, imgs[i], targets[i], samples=3,
+            noise_sigma=0.1, seed=int(seeds[i])) for i in range(3)],
+        "gradcam": [grad_mod.gradcam(
+            bundle, variables, imgs[i], targets[i]) for i in range(3)],
+    }
+    for m in grad_mod.BATCHABLE_METHODS:
+        out = grad_mod.attribute_batch(
+            bundle.logits, variables, imgs, targets, m, bundle=bundle,
+            steps=4, samples=3, noise_sigma=0.1, seeds=seeds,
+        )
+        assert out.shape == (3, 28, 28)
+        np.testing.assert_allclose(
+            np.asarray(out), np.stack([np.asarray(s) for s in singles[m]]),
+            atol=2e-5, err_msg=m)
+
+    # Validation: unknown method, bad shapes, gradcam without bundle.
+    with pytest.raises(ValueError, match="batchable"):
+        grad_mod.attribute_batch(bundle.logits, variables, imgs, targets,
+                                 "rise")
+    with pytest.raises(ValueError, match="bundle"):
+        grad_mod.attribute_batch(bundle.logits, variables, imgs, targets,
+                                 "gradcam")
+    with pytest.raises(ValueError, match=r"\[N, H, W, C\]"):
+        grad_mod.attribute_batch(bundle.logits, variables, imgs[0], targets,
+                                 "gradient")
+    with pytest.raises(ValueError, match="targets/seeds"):
+        grad_mod.attribute_batch(bundle.logits, variables, imgs,
+                                 targets[:2], "gradient")
+    # N=0 returns a typed empty, no device program.
+    empty = grad_mod.attribute_batch(
+        bundle.logits, variables, np.zeros((0, 28, 28, 1), np.float32),
+        np.zeros(0, np.int32), "gradient")
+    assert empty.shape == (0, 28, 28)
+
+
+def test_attribute_batch_mesh_matches_single(rng):
+    """The image axis shards over the mesh's data axis; results equal the
+    single-device program (pad image-0 lanes trim away)."""
+    from network_interpretation_imagenet_tpu.parallel import make_mesh
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    imgs = rng.rand(5, 28, 28, 1).astype(np.float32)
+    targets = (np.arange(5) % 10).astype(np.int32)
+    seeds = np.arange(5, dtype=np.int32)
+    for m in ("integrated", "smoothgrad"):
+        plain = grad_mod.attribute_batch(
+            bundle.logits, variables, imgs, targets, m,
+            steps=4, samples=3, seeds=seeds)
+        sharded = grad_mod.attribute_batch(
+            bundle.logits, variables, imgs, targets, m,
+            steps=4, samples=3, seeds=seeds, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
+                                   atol=1e-5, err_msg=m)
+
+
+def test_attribution_sweep_end_to_end(rng):
+    """attribution_sweep: skips misclassified, scores IOU where gt exists,
+    and per-image heatmaps are invariant to flush composition (seeds derive
+    from dataset indices)."""
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        attribution_sweep,
+    )
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=32,
+                            compute_dtype=jnp.float32)
+    images = [rng.rand(28, 28, 1).astype(np.float32) for _ in range(6)]
+    preds = [int(engine.predict_one(im)[0]) for im in images]
+    # Items: four correct labels, one wrong (skip), one unlabeled + gt box.
+    wrong = (preds[2] + 1) % 10
+    dataset = [
+        (images[0], preds[0], None),
+        (images[1], preds[1], (4.0, 4.0, 12.0, 12.0)),
+        (images[2], wrong, None),
+        (images[3], preds[3], None),
+        (images[4], None, (2.0, 2.0, 8.0, 8.0)),
+        (images[5], preds[5], None),
+    ]
+    res = attribution_sweep(engine, list(dataset), method="smoothgrad",
+                            image_batch=3, seed=11, samples=3,
+                            keep_heatmaps=True)
+    assert res.images_total == 6
+    assert res.images_explained == 5
+    assert res.images_skipped_misclassified == 1
+    assert res.images_failed == 0
+    ious = [r["iou"] for r in res.per_image if "iou" in r]
+    assert len(ious) == 2 and all(0.0 <= v <= 1.0 for v in ious)
+    assert all(r["method"] == "smoothgrad" for r in res.per_image)
+    assert set(res.heatmaps) == {0, 1, 3, 4, 5}
+    assert res.evals_per_sec > 0
+
+    # Flush-composition invariance: image_batch=2 reproduces every heatmap
+    # bit-for-bit (per-image seeds derive from dataset indices).
+    res2 = attribution_sweep(engine, list(dataset), method="smoothgrad",
+                             image_batch=2, seed=11, samples=3,
+                             keep_heatmaps=True)
+    assert set(res2.heatmaps) == set(res.heatmaps)
+    for i in res.heatmaps:
+        np.testing.assert_array_equal(res.heatmaps[i], res2.heatmaps[i])
+
+
+def test_attribution_sweep_mesh_matches_single(rng):
+    from network_interpretation_imagenet_tpu.parallel import make_mesh
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        attribution_sweep,
+    )
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=32,
+                            compute_dtype=jnp.float32)
+    dataset = [(rng.rand(28, 28, 1).astype(np.float32), None, None)
+               for _ in range(5)]
+    plain = attribution_sweep(engine, list(dataset), method="integrated",
+                              image_batch=4, steps=4, keep_heatmaps=True)
+    sharded = attribution_sweep(engine, list(dataset), method="integrated",
+                                image_batch=4, steps=4, keep_heatmaps=True,
+                                mesh=make_mesh())
+    assert plain.images_explained == sharded.images_explained == 5
+    for i in plain.heatmaps:
+        np.testing.assert_allclose(sharded.heatmaps[i], plain.heatmaps[i],
+                                    atol=1e-5)

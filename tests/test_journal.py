@@ -245,3 +245,33 @@ def test_journal_keep_heatmaps_mismatch_raises(tmp_path):
         j.restore_into(SweepResult(), AverageMeter(), AverageMeter(), [],
                        keep_heatmaps=True)
     j.close()
+
+
+def test_attribution_sweep_resume_matches_uninterrupted(tmp_path):
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        attribution_sweep,
+    )
+
+    engine = _engine()
+    data = _dataset(engine)
+    kw = dict(method="smoothgrad", samples=3, image_batch=2, seed=5,
+              keep_heatmaps=True)
+    ref = attribution_sweep(engine, data, **kw)
+
+    path = str(tmp_path / "j.jsonl")
+    j1 = SweepJournal(path, keep_heatmaps=True)
+    part = attribution_sweep(engine, data, max_images=3, journal=j1, **kw)
+    j1.close()
+    assert part.images_total == 3
+
+    j2 = SweepJournal(path, resume=True, keep_heatmaps=True)
+    assert len(j2.done) == 3  # 2 explained + 1 misclassified-skip
+    res = attribution_sweep(engine, data, journal=j2, **kw)
+    j2.close()
+
+    assert res.images_total == ref.images_total == 6
+    assert res.images_explained == ref.images_explained == 5
+    assert _rows(res) == _rows(ref)
+    assert set(res.heatmaps) == set(ref.heatmaps)
+    for i in ref.heatmaps:
+        np.testing.assert_array_equal(res.heatmaps[i], ref.heatmaps[i])
