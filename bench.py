@@ -309,9 +309,27 @@ def tpu_rate_and_latency():
     log(f"bo sweep (warm): {bo_sweep_res.images_explained} images, "
         f"{bo_sweep_res.evals_per_sec:.1f} BO evals/s "
         f"({bo_sweep_res.evals_per_sec / bo_budget:.1f} img/s)")
+
+    # --- batched attribution sweep (vmapped IG backwards, r3) -------------
+    # Integrated gradients on the headline ResNet-101: 16 images × 16 path
+    # steps per flush = 256 forward+backwards in ONE program — the backward
+    # twin of the masked-forward grid.
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        attribution_sweep,
+    )
+
+    attribution_sweep(engine, bo_sweep_dataset(16, 91), method="integrated",
+                      image_batch=16, steps=16, seed=4)  # warm
+    t0 = time.perf_counter()
+    attr_res = attribution_sweep(engine, bo_sweep_dataset(32, 93),
+                                 method="integrated", image_batch=16,
+                                 steps=16, seed=5)
+    attr_img_s = attr_res.images_explained / (time.perf_counter() - t0)
+    log(f"attribution sweep (IG-16, warm): {attr_res.images_explained} "
+        f"images -> {attr_img_s:.1f} img/s")
     return (rate, p50, sweep_res.evals_per_sec, bo_p50,
             dn_res.evals_per_sec, bo_batched_ms, bo_sweep_res.evals_per_sec,
-            ko_res.evals_per_sec)
+            ko_res.evals_per_sec, attr_img_s)
 
 
 def tpu_reachable(timeout_s: float = 240.0) -> bool:
@@ -353,7 +371,8 @@ def main():
         return
     cpu_rate = cpu_reference_rate()
     (rate, p50, sweep_rate, bo_p50, dn_rate,
-     bo_batched_ms, bo_sweep_rate, ko_rate) = tpu_rate_and_latency()
+     bo_batched_ms, bo_sweep_rate, ko_rate,
+     attr_img_s) = tpu_rate_and_latency()
     print(
         json.dumps(
             {
@@ -370,6 +389,7 @@ def main():
                     "bo_batched_ms_per_image": round(bo_batched_ms, 1),
                     "bo_sweep_evals_per_sec": round(bo_sweep_rate, 1),
                     "knockout_sweep_evals_per_sec": round(ko_rate, 1),
+                    "attribution_ig16_images_per_sec": round(attr_img_s, 1),
                     "mfu_pct": round(rate * RESNET101_FLOPS / V5E_PEAK_FLOPS * 100, 1),
                     "mask_batch": MASK_BATCH,
                     "dtype": "bfloat16",
