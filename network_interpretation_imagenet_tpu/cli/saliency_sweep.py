@@ -227,10 +227,6 @@ def main(argv=None):
         # silently average incomparable rows, so the journal refuses it.
         jconfig = {
             "bo": bool(args.bo), "mode": args.mode,
-            "attribute": args.attribute,
-            "ig_steps": args.ig_steps, "sg_samples": args.sg_samples,
-            "sg_sigma": args.sg_sigma, "sg_squared": bool(args.sg_squared),
-            "gradcam_layer": args.gradcam_layer,
             "num_mask_samples": args.num_mask_samples,
             "window_fraction": args.window_fraction,
             "num_knockout": args.num_knockout,
@@ -245,6 +241,17 @@ def main(argv=None):
             # the GP pass on only the newly-explained images.
             "keep_heatmaps": bool(args.gp_heatmaps or args.gp_class_heatmaps),
         }
+        if args.attribute:
+            # Only attribution sweeps stamp these keys — adding them to
+            # every jconfig would make journals written before this flag
+            # existed refuse to resume unchanged window/BO sweeps.
+            jconfig.update({
+                "attribute": args.attribute,
+                "ig_steps": args.ig_steps, "sg_samples": args.sg_samples,
+                "sg_sigma": args.sg_sigma,
+                "sg_squared": bool(args.sg_squared),
+                "gradcam_layer": args.gradcam_layer,
+            })
         journal = SweepJournal(
             jpath, resume=args.resume,
             keep_heatmaps=args.gp_heatmaps or args.gp_class_heatmaps,

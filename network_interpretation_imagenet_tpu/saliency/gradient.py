@@ -501,6 +501,29 @@ BATCHABLE_METHODS = ("gradient", "grad_input", "integrated", "smoothgrad",
 # bucket, shared across sweep flushes (see the occlusion-cache note).
 _ATTR_BATCH_CACHE: dict = {}
 
+# (bundle, image shape) → resolved default gradcam layer. The menu is a
+# pure function of the architecture and input shape, but resolving it costs
+# a full capture forward — cached so per-flush attribute_batch(gradcam)
+# calls pay it once per process, not once per flush.
+_GRADCAM_LAYER_CACHE: dict = {}
+
+
+def default_gradcam_layer(bundle, variables, image_shape) -> str:
+    """The canonical deepest-conv-stage layer for ``bundle`` at
+    ``image_shape`` (H, W, C) — what ``gradcam(layer=None)`` picks —
+    resolved once per (bundle, shape) and cached. Raises ``ValueError``
+    when the model exposes no 4D intermediate (gradcam can't apply)."""
+    key = (bundle, tuple(image_shape))
+    if key not in _GRADCAM_LAYER_CACHE:
+        menu = gradcam_target_layers(
+            bundle, variables, jnp.zeros(image_shape, jnp.float32))
+        if not menu:
+            raise ValueError(
+                f"{bundle.name}: no 4D intermediate feature map — gradcam "
+                "needs a conv stage")
+        _GRADCAM_LAYER_CACHE[key] = _default_gradcam_layer(menu)
+    return _GRADCAM_LAYER_CACHE[key]
+
 
 def _attr_one_fn(logits_fn, bundle, method: str, steps: int, samples: int,
                  noise_sigma: float, magnitude: bool, gradcam_layer):
@@ -572,10 +595,11 @@ def attribute_batch(
         if bundle is None:
             raise ValueError("method='gradcam' needs bundle=")
         if gradcam_layer is None:
-            # The layer is jit-static: resolve the menu's default once,
-            # outside the batched program.
-            gradcam_layer = _default_gradcam_layer(gradcam_target_layers(
-                bundle, variables, images[0]))
+            # The layer is jit-static: resolve the menu's default once per
+            # (bundle, shape), cached — repeat flushes skip the capture
+            # forward entirely.
+            gradcam_layer = default_gradcam_layer(
+                bundle, variables, images.shape[1:])
 
     bucket = next_pow2(n)
     if mesh is not None:

@@ -569,307 +569,68 @@ def saliency_sweep(
     return res
 
 
-def bo_saliency_sweep(
+
+def _batched_flush_sweep(
     engine: SaliencyEngine,
     dataset: Iterable,
-    seg_cfg: SegmentConfig,
-    bo_cfg=None,
-    window_fraction: float = 0.4,
-    bbox_threshold: int = 180,
-    image_batch: int = 16,
-    max_images: Optional[int] = None,
-    seed: int = 0,
-    logger: Optional[PhaseLogger] = None,
-    mesh=None,
-    proposals_per_iter: int = 1,
-    keep_heatmaps: bool = False,
-    dataset_indices=None,
-    journal=None,
-    fidelity_steps: int = 0,
-) -> SweepResult:
-    """Val-set sweep driven by the FLAGSHIP path: GP-EI BO per image
-    (``bayesian_active_learning_imagenet.py:379-498``), batched — every
-    ``image_batch`` images run as ONE vmapped fused-BO program
-    (``bo_window_saliency_multi``, ~25 ms/image ResNet-101 vs ~135 ms one
-    at a time), optionally image-sharded over ``mesh``.
+    *,
+    image_batch: int,
+    max_images: Optional[int],
+    log,
+    res: SweepResult,
+    iou_m: AverageMeter,
+    surv_m: AverageMeter,
+    latencies: list,
+    done,
+    journal,
+    keep_heatmaps: bool,
+    dataset_indices,
+    bbox_threshold: int,
+    fidelity_steps: int,
+    evals_per_image: int,
+    enqueue_display,
+    dispatch,
+    collect,
+) -> int:
+    """Shared driver for the image-batched sweep family (fused-BO and
+    attribution): depth-2 flush pipeline, batched predict +
+    misclassification skip, per-image IOU/fidelity/heatmap/journal rows.
+
+    The per-flush compute is the only part that differs between drivers,
+    so it arrives as three hooks:
+
+    * ``enqueue_display(image) -> disp|None`` — enqueue-time host work
+      (e.g. uint8 display for host Felzenszwalb);
+    * ``dispatch(imgs_dev, disps, keep, idxs, preds) -> state`` — launch
+      the flush's device program over the KEPT images (async: return
+      without fetching); raising marks the kept images failed;
+    * ``collect(state) -> [(heatmap, extra_row_fields)]`` aligned with
+      ``keep`` — fetch results; a ``"survival"`` key in the extra fields
+      feeds the survival meter.
 
     Misclassified images are skipped BEFORE dispatch (one batched predict
-    per flush), so no BO budget is wasted on them.
-
-    NOTE on ``p50_latency_s``: per-image "seconds" rows span enqueue→flush-
-    finalize, so with ``image_batch`` > 1 they include the whole flush's
-    batched BO program (and, since the flushes pipeline depth-2, up to one
-    additional in-flight flush) — an upper bound shared by up to
-    ``image_batch`` images, NOT isolated per-image latency (bench.py
-    measures that; ~120 ms for ResNet-101). Throughput (``evals_per_sec``,
-    or images/s from ``images_explained``/wall) is this sweep's primary
-    metric.
-
-    ``journal``: see :func:`saliency_sweep` — same crash-safe resume
-    semantics (per-image PRNG keys derive from dataset indices, so resumed
-    images match an uninterrupted run exactly). ``fidelity_steps``: same
-    per-image deletion/insertion AUC + pointing-game scoring.
+    per flush), so no device budget is wasted on them. Returns the total
+    eval count (``evals_per_image`` per explained-or-failed kept image).
     """
-    from network_interpretation_imagenet_tpu.config import BOConfig
-    from network_interpretation_imagenet_tpu.ops import aggregate
-    from network_interpretation_imagenet_tpu.saliency.bo_pipeline import (
-        bo_window_saliency_multi_async,
-    )
+    import jax
 
-    bo_cfg = bo_cfg or BOConfig()
-    log = logger or PhaseLogger(enabled=False)
-    res = SweepResult()
-    iou_m, surv_m = AverageMeter(), AverageMeter()
-    latencies = []
-    done = ()
-    if journal is not None:
-        from network_interpretation_imagenet_tpu.saliency.journal import (
-            JournalingLogger,
-        )
-
-        journal.restore_into(res, iou_m, surv_m, latencies, keep_heatmaps)
-        done = journal.done
-        log = JournalingLogger(log, journal)
-    evals_per_image = bo_cfg.n_pre_samples + bo_cfg.n_iters * proposals_per_iter
     total_evals = 0
-    t_start = time.perf_counter()
     pending = []  # (i, image, display, label, gt, t0)
     # Depth-2 flush pipeline: `inflight` holds at most one dispatched (but
-    # not yet fetched) fused-BO program — its finalize (heatmaps, IOU,
-    # rows: host work) runs while the NEXT flush's program churns on
-    # device. Each entry: (collect_fn, keep, idxs, preds, ss, gts, t0s).
+    # not yet fetched) device program — its finalize (heatmaps, IOU, rows:
+    # host work) runs while the NEXT flush's program churns on device.
     inflight = []
 
     def finalize():
         nonlocal total_evals
         if not inflight:
             return
-        collect_fn, keep, idxs, preds, ss, gts, t0s, imgs = inflight.pop(0)
+        state, keep, idxs, preds, gts, t0s, imgs = inflight.pop(0)
         try:
-            results = collect_fn()
+            results = collect(state)
         except Exception as e:
-            # Errors inside the fused program surface at fetch time; only
+            # Errors inside the device program surface at fetch time; only
             # the dispatched (kept) images count as failed.
-            failed = [idxs[j] for j in keep]
-            res.images_failed += len(failed)
-            log.emit({"event": "batch_failed", "indices": failed,
-                      "error": repr(e)})
-            return
-        for j, (out, trace) in zip(keep, results):
-            try:
-                total_evals += evals_per_image
-                row = {"index": idxs[j], "target": int(preds[j]),
-                       "num_segments": ss[j],
-                       "survival": float(np.mean(out.eval.survived)),
-                       "best_start": int(trace.xp[np.argmax(trace.yp)])}
-                surv_m.update(row["survival"])
-                if gts[j] is not None:
-                    iou, _ = localization_score(out.heatmap, gts[j],
-                                                bbox_threshold)
-                    row["iou"] = float(iou)
-                    iou_m.update(float(iou))
-                if fidelity_steps > 0:
-                    row.update(_fidelity_row_fields(
-                        engine, imgs[j], out.heatmap, int(preds[j]),
-                        gts[j], fidelity_steps,
-                    ))
-                res.images_explained += 1
-                if keep_heatmaps:
-                    res.heatmaps[idxs[j]] = np.asarray(out.heatmap)
-                if journal is not None and keep_heatmaps:
-                    journal.save_heatmap(idxs[j], out.heatmap)
-                latencies.append(time.perf_counter() - t0s[j])
-                row["seconds"] = round(latencies[-1], 4)
-                res.per_image.append(row)
-                log.emit({"event": "image_done", **row})
-            except Exception as e:
-                res.images_failed += 1
-                log.emit({"event": "image_failed", "index": idxs[j],
-                          "error": repr(e)})
-
-    def flush():
-        if not pending:
-            return
-        batch = list(pending)
-        pending.clear()
-        keep = None  # None until the skip decision lands (predict can fail)
-        try:
-            import jax
-            import jax.numpy as jnp
-
-            idxs, imgs, disps, labels, gts, t0s = zip(*batch)
-            # ONE image upload per flush, reused by the SLIC display, the
-            # predict, and the fused-BO program (through a tunnel each
-            # 16-image f32 upload costs ~240 ms; this path previously paid
-            # it twice plus a separate uint8 display upload).
-            imgs_dev = jax.device_put(np.stack(imgs).astype(np.float32))
-            with log.phase("segment_batch", count=len(batch)):
-                if seg_cfg.method == "slic":
-                    # Display batch derived ON DEVICE (vmapped twin of the
-                    # host normalize_to_uint8_np used at enqueue time).
-                    disp_dev = aggregate.normalize_to_uint8_batch(imgs_dev)
-                    if disp_dev.ndim == 4 and disp_dev.shape[-1] == 1:
-                        disp_dev = disp_dev[..., 0]
-                    seg_in = disp_dev
-                else:
-                    seg_in = disps  # Felzenszwalb is host work anyway
-                segs = [
-                    np.asarray(s, np.int32)
-                    for s in segment_image_batch(seg_in, seg_cfg)
-                ]
-            ss = [int(s.max()) + 1 for s in segs]
-            preds = engine.predict(imgs_dev).argmax(axis=1)
-            keep = [
-                j for j in range(len(batch))
-                if labels[j] is None or int(preds[j]) == int(labels[j])
-            ]
-            for j in range(len(batch)):
-                if j not in keep:
-                    res.images_skipped_misclassified += 1
-                    log.emit({"event": "skip_misclassified", "index": idxs[j],
-                              "pred": int(preds[j]), "label": int(labels[j])})
-            if not keep:
-                return
-            # Per-image seeds derive from DATASET indices, so each image's
-            # PRNG stream is invariant to flush composition (--image-batch
-            # value, skip patterns) and matches a single-image
-            # bo_window_saliency(seed=seed+index) call exactly.
-            keep_imgs = (imgs_dev if len(keep) == len(batch) else
-                         jnp.take(imgs_dev, jnp.asarray(keep), axis=0))
-            collect_fn = bo_window_saliency_multi_async(
-                engine, keep_imgs, [segs[j] for j in keep],
-                bo_cfg, window_fraction=window_fraction,
-                per_image_seeds=[seed + int(idxs[j]) for j in keep],
-                targets=[int(preds[j]) for j in keep], mesh=mesh,
-                proposals_per_iter=proposals_per_iter,
-            )
-        except Exception as e:
-            # Skipped images are already accounted for; only the dispatched
-            # (or, pre-predict, the whole) set counts as failed.
-            failed = [b[0] for b in batch] if keep is None else \
-                [batch[j][0] for j in keep]
-            res.images_failed += len(failed)
-            log.emit({"event": "batch_failed", "indices": failed,
-                      "error": repr(e)})
-            return
-        inflight.append((collect_fn, keep, idxs, preds, ss, gts, t0s, imgs))
-        # Finalize the PREVIOUS flush now that this one is on the device.
-        while len(inflight) > 1:
-            finalize()
-
-    for pos, item in enumerate(dataset):
-        if max_images is not None and pos >= max_images:
-            break
-        i = int(dataset_indices[pos]) if dataset_indices is not None else pos
-        if i in done:  # journaled terminal outcome from a previous run
-            continue
-        res.images_total += 1
-        t0 = time.perf_counter()
-        try:
-            image, label, gt_bbox = _unpack_item(item)
-            if seg_cfg.method == "slic":
-                disp = None  # flush derives the display batch ON DEVICE
-            else:
-                disp = aggregate.normalize_to_uint8_np(image)
-                if disp.ndim == 3 and disp.shape[2] == 1:
-                    disp = disp[:, :, 0]
-            pending.append((i, np.asarray(image), disp, label, gt_bbox, t0))
-            if len(pending) >= image_batch:
-                flush()
-        except Exception as e:
-            res.images_failed += 1
-            log.emit({"event": "image_failed", "index": i, "error": repr(e)})
-    flush()
-    while inflight:
-        finalize()
-
-    wall = time.perf_counter() - t_start
-    res.mean_iou = iou_m.avg
-    res.mean_survival = surv_m.avg
-    res.p50_latency_s = float(np.median(latencies)) if latencies else 0.0
-    res.evals_per_sec = total_evals / wall if wall > 0 else 0.0
-    _finalize_fidelity_means(res)  # rows are the source (journal/merge too)
-    return res
-
-
-def attribution_sweep(
-    engine: SaliencyEngine,
-    dataset: Iterable,
-    method: str = "gradient",
-    bbox_threshold: int = 180,
-    image_batch: int = 16,
-    max_images: Optional[int] = None,
-    seed: int = 0,
-    logger: Optional[PhaseLogger] = None,
-    mesh=None,
-    keep_heatmaps: bool = False,
-    dataset_indices=None,
-    journal=None,
-    fidelity_steps: int = 0,
-    steps: int = 16,
-    samples: int = 16,
-    noise_sigma: float = 0.15,
-    magnitude: bool = False,
-    gradcam_layer: Optional[str] = None,
-) -> SweepResult:
-    """Val-set sweep driven by the gradient-family attribution path: every
-    ``image_batch`` images' backward passes run as ONE vmapped program
-    (``gradient.attribute_batch``), optionally image-sharded over ``mesh``
-    — the attribution twin of :func:`bo_saliency_sweep`'s batched flushes.
-    No segmentation step: these methods attribute pixels directly.
-
-    ``method`` ∈ ``gradient.BATCHABLE_METHODS`` (gradient / grad_input /
-    integrated / smoothgrad / gradcam). Stochastic seeds derive from
-    DATASET indices (``seed + index``), so per-image results are invariant
-    to flush composition and journal resume matches an uninterrupted run.
-    ``evals_per_sec`` counts backward passes (``steps`` per image for
-    integrated, ``samples`` for smoothgrad, 1 otherwise); images/s =
-    ``images_explained`` / wall is the companion metric.
-    """
-    from network_interpretation_imagenet_tpu.saliency import gradient as gmod
-
-    if method not in gmod.BATCHABLE_METHODS:
-        raise ValueError(f"unknown attribution method {method!r}; choose "
-                         f"from {gmod.BATCHABLE_METHODS}")
-    log = logger or PhaseLogger(enabled=False)
-    res = SweepResult()
-    iou_m, surv_m = AverageMeter(), AverageMeter()
-    latencies = []
-    done = ()
-    if journal is not None:
-        from network_interpretation_imagenet_tpu.saliency.journal import (
-            JournalingLogger,
-        )
-
-        journal.restore_into(res, iou_m, surv_m, latencies, keep_heatmaps)
-        done = journal.done
-        log = JournalingLogger(log, journal)
-    evals_per_image = {"integrated": int(steps),
-                       "smoothgrad": int(samples)}.get(method, 1)
-    if method == "gradcam" and gradcam_layer is None:
-        # Resolve the jit-static layer ONCE so every flush shares one
-        # compiled program (attribute_batch would re-resolve per call).
-        probe = np.zeros(
-            (engine.bundle.input_size, engine.bundle.input_size,
-             engine.bundle.input_channels), np.float32)
-        gradcam_layer = gmod._default_gradcam_layer(
-            gmod.gradcam_target_layers(
-                engine.bundle, engine.variables, probe))
-    total_evals = 0
-    t_start = time.perf_counter()
-    pending = []  # (i, image, label, gt, t0)
-    # Depth-2 flush pipeline (see bo_saliency_sweep): at most one dispatched
-    # attribution program awaits its fetch while the next flush stacks.
-    inflight = []
-
-    def finalize():
-        nonlocal total_evals
-        if not inflight:
-            return
-        heats_dev, keep, idxs, preds, gts, t0s, imgs = inflight.pop(0)
-        try:
-            heats = np.asarray(heats_dev)  # ONE device→host fetch
-        except Exception as e:
             failed = [idxs[j] for j in keep]
             res.images_failed += len(failed)
             log.emit({"event": "batch_failed", "indices": failed,
@@ -878,9 +639,11 @@ def attribution_sweep(
         for pos, j in enumerate(keep):
             try:
                 total_evals += evals_per_image
-                heat = heats[pos]
-                row = {"index": idxs[j], "target": int(preds[j]),
-                       "method": method}
+                heat, extra = results[pos]
+                heat = np.asarray(heat)
+                row = {"index": idxs[j], "target": int(preds[j]), **extra}
+                if "survival" in extra:
+                    surv_m.update(float(extra["survival"]))
                 if gts[j] is not None:
                     iou, _ = localization_score(heat, gts[j], bbox_threshold)
                     row["iou"] = float(iou)
@@ -909,11 +672,13 @@ def attribution_sweep(
             return
         batch = list(pending)
         pending.clear()
-        keep = None
+        keep = None  # None until the skip decision lands (predict can fail)
         try:
-            import jax
-
-            idxs, imgs, labels, gts, t0s = zip(*batch)
+            idxs, imgs, disps, labels, gts, t0s = zip(*batch)
+            # ONE image upload per flush, reused by the predict, the
+            # dispatch hook's device work (display/segments for BO), and
+            # the main program (through a tunnel each 16-image f32 upload
+            # costs ~240 ms).
             imgs_dev = jax.device_put(np.stack(imgs).astype(np.float32))
             preds = engine.predict(imgs_dev).argmax(axis=1)
             keep = [
@@ -923,31 +688,22 @@ def attribution_sweep(
             for j in range(len(batch)):
                 if j not in keep:
                     res.images_skipped_misclassified += 1
-                    log.emit({"event": "skip_misclassified",
-                              "index": idxs[j], "pred": int(preds[j]),
-                              "label": int(labels[j])})
+                    log.emit({"event": "skip_misclassified", "index": idxs[j],
+                              "pred": int(preds[j]), "label": int(labels[j])})
             if not keep:
                 return
-            keep_imgs = (imgs_dev if len(keep) == len(batch) else
-                         jnp.take(imgs_dev, jnp.asarray(keep), axis=0))
-            heats_dev = gmod.attribute_batch(
-                engine.bundle.logits, engine.variables, keep_imgs,
-                np.asarray([int(preds[j]) for j in keep], np.int32),
-                method, bundle=engine.bundle, steps=steps, samples=samples,
-                noise_sigma=noise_sigma, magnitude=magnitude,
-                gradcam_layer=gradcam_layer,
-                seeds=np.asarray([seed + int(idxs[j]) for j in keep],
-                                 np.int32),
-                mesh=mesh,
-            )
+            state = dispatch(imgs_dev, disps, keep, idxs, preds)
         except Exception as e:
+            # Skipped images are already accounted for; only the dispatched
+            # (or, pre-predict, the whole) set counts as failed.
             failed = [b[0] for b in batch] if keep is None else \
                 [batch[j][0] for j in keep]
             res.images_failed += len(failed)
             log.emit({"event": "batch_failed", "indices": failed,
                       "error": repr(e)})
             return
-        inflight.append((heats_dev, keep, idxs, preds, gts, t0s, imgs))
+        inflight.append((state, keep, idxs, preds, gts, t0s, imgs))
+        # Finalize the PREVIOUS flush now that this one is on the device.
         while len(inflight) > 1:
             finalize()
 
@@ -955,13 +711,15 @@ def attribution_sweep(
         if max_images is not None and pos >= max_images:
             break
         i = int(dataset_indices[pos]) if dataset_indices is not None else pos
-        if i in done:
+        if i in done:  # journaled terminal outcome from a previous run
             continue
         res.images_total += 1
         t0 = time.perf_counter()
         try:
             image, label, gt_bbox = _unpack_item(item)
-            pending.append((i, np.asarray(image), label, gt_bbox, t0))
+            image = np.asarray(image)
+            pending.append((i, image, enqueue_display(image), label,
+                            gt_bbox, t0))
             if len(pending) >= image_batch:
                 flush()
         except Exception as e:
@@ -970,12 +728,234 @@ def attribution_sweep(
     flush()
     while inflight:
         finalize()
+    return total_evals
 
-    wall = time.perf_counter() - t_start
+
+def _sweep_scaffold(journal, logger, keep_heatmaps):
+    """(res, iou_m, surv_m, latencies, done, log) with journaled work
+    restored — the common preamble of the flush-driven sweeps."""
+    log = logger or PhaseLogger(enabled=False)
+    res = SweepResult()
+    iou_m, surv_m = AverageMeter(), AverageMeter()
+    latencies = []
+    done = ()
+    if journal is not None:
+        from network_interpretation_imagenet_tpu.saliency.journal import (
+            JournalingLogger,
+        )
+
+        journal.restore_into(res, iou_m, surv_m, latencies, keep_heatmaps)
+        done = journal.done
+        log = JournalingLogger(log, journal)
+    return res, iou_m, surv_m, latencies, done, log
+
+
+def _finish_sweep(res, iou_m, surv_m, latencies, total_evals, wall):
     res.mean_iou = iou_m.avg
-    res.mean_survival = surv_m.avg  # restored BO/window rows only; no
-    # survival concept in the attribution family itself
+    res.mean_survival = surv_m.avg
     res.p50_latency_s = float(np.median(latencies)) if latencies else 0.0
     res.evals_per_sec = total_evals / wall if wall > 0 else 0.0
-    _finalize_fidelity_means(res)
+    _finalize_fidelity_means(res)  # rows are the source (journal/merge too)
     return res
+
+
+def bo_saliency_sweep(
+    engine: SaliencyEngine,
+    dataset: Iterable,
+    seg_cfg: SegmentConfig,
+    bo_cfg=None,
+    window_fraction: float = 0.4,
+    bbox_threshold: int = 180,
+    image_batch: int = 16,
+    max_images: Optional[int] = None,
+    seed: int = 0,
+    logger: Optional[PhaseLogger] = None,
+    mesh=None,
+    proposals_per_iter: int = 1,
+    keep_heatmaps: bool = False,
+    dataset_indices=None,
+    journal=None,
+    fidelity_steps: int = 0,
+) -> SweepResult:
+    """Val-set sweep driven by the FLAGSHIP path: GP-EI BO per image
+    (``bayesian_active_learning_imagenet.py:379-498``), batched — every
+    ``image_batch`` images run as ONE vmapped fused-BO program
+    (``bo_window_saliency_multi``, ~25 ms/image ResNet-101 vs ~135 ms one
+    at a time), optionally image-sharded over ``mesh``.
+
+    Misclassified images are skipped BEFORE dispatch (one batched predict
+    per flush), so no BO budget is wasted on them; segmentation also runs
+    only on the kept images.
+
+    NOTE on ``p50_latency_s``: per-image "seconds" rows span enqueue→flush-
+    finalize, so with ``image_batch`` > 1 they include the whole flush's
+    batched BO program (and, since the flushes pipeline depth-2, up to one
+    additional in-flight flush) — an upper bound shared by up to
+    ``image_batch`` images, NOT isolated per-image latency (bench.py
+    measures that; ~120 ms for ResNet-101). Throughput (``evals_per_sec``,
+    or images/s from ``images_explained``/wall) is this sweep's primary
+    metric.
+
+    ``journal``: see :func:`saliency_sweep` — same crash-safe resume
+    semantics (per-image PRNG keys derive from dataset indices, so resumed
+    images match an uninterrupted run exactly). ``fidelity_steps``: same
+    per-image deletion/insertion AUC + pointing-game scoring.
+    """
+    import jax.numpy as jnp
+
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.ops import aggregate
+    from network_interpretation_imagenet_tpu.saliency.bo_pipeline import (
+        bo_window_saliency_multi_async,
+    )
+
+    bo_cfg = bo_cfg or BOConfig()
+    res, iou_m, surv_m, latencies, done, log = _sweep_scaffold(
+        journal, logger, keep_heatmaps)
+    t_start = time.perf_counter()
+
+    def enqueue_display(image):
+        if seg_cfg.method == "slic":
+            return None  # the dispatch hook derives displays ON DEVICE
+        disp = aggregate.normalize_to_uint8_np(image)
+        if disp.ndim == 3 and disp.shape[2] == 1:
+            disp = disp[:, :, 0]
+        return disp
+
+    def dispatch(imgs_dev, disps, keep, idxs, preds):
+        keep_imgs = (imgs_dev if len(keep) == int(imgs_dev.shape[0]) else
+                     jnp.take(imgs_dev, jnp.asarray(keep), axis=0))
+        with log.phase("segment_batch", count=len(keep)):
+            if seg_cfg.method == "slic":
+                # Display batch derived ON DEVICE (vmapped twin of the
+                # host normalize_to_uint8_np used at enqueue time).
+                disp_dev = aggregate.normalize_to_uint8_batch(keep_imgs)
+                if disp_dev.ndim == 4 and disp_dev.shape[-1] == 1:
+                    disp_dev = disp_dev[..., 0]
+                seg_in = disp_dev
+            else:  # Felzenszwalb is host work anyway
+                seg_in = [disps[j] for j in keep]
+            segs = [
+                np.asarray(s, np.int32)
+                for s in segment_image_batch(seg_in, seg_cfg)
+            ]
+        ss = [int(s.max()) + 1 for s in segs]
+        # Per-image seeds derive from DATASET indices, so each image's
+        # PRNG stream is invariant to flush composition (--image-batch
+        # value, skip patterns) and matches a single-image
+        # bo_window_saliency(seed=seed+index) call exactly.
+        collect_fn = bo_window_saliency_multi_async(
+            engine, keep_imgs, segs, bo_cfg,
+            window_fraction=window_fraction,
+            per_image_seeds=[seed + int(idxs[j]) for j in keep],
+            targets=[int(preds[j]) for j in keep], mesh=mesh,
+            proposals_per_iter=proposals_per_iter,
+        )
+        return collect_fn, ss
+
+    def collect(state):
+        collect_fn, ss = state
+        return [
+            (out.heatmap, {
+                "num_segments": ss[pos],
+                "survival": float(np.mean(out.eval.survived)),
+                "best_start": int(trace.xp[np.argmax(trace.yp)]),
+            })
+            for pos, (out, trace) in enumerate(collect_fn())
+        ]
+
+    total_evals = _batched_flush_sweep(
+        engine, dataset,
+        image_batch=image_batch, max_images=max_images, log=log, res=res,
+        iou_m=iou_m, surv_m=surv_m, latencies=latencies, done=done,
+        journal=journal, keep_heatmaps=keep_heatmaps,
+        dataset_indices=dataset_indices, bbox_threshold=bbox_threshold,
+        fidelity_steps=fidelity_steps,
+        evals_per_image=bo_cfg.n_pre_samples
+        + bo_cfg.n_iters * proposals_per_iter,
+        enqueue_display=enqueue_display, dispatch=dispatch, collect=collect,
+    )
+    return _finish_sweep(res, iou_m, surv_m, latencies, total_evals,
+                         time.perf_counter() - t_start)
+
+
+def attribution_sweep(
+    engine: SaliencyEngine,
+    dataset: Iterable,
+    method: str = "gradient",
+    bbox_threshold: int = 180,
+    image_batch: int = 16,
+    max_images: Optional[int] = None,
+    seed: int = 0,
+    logger: Optional[PhaseLogger] = None,
+    mesh=None,
+    keep_heatmaps: bool = False,
+    dataset_indices=None,
+    journal=None,
+    fidelity_steps: int = 0,
+    steps: int = 16,
+    samples: int = 16,
+    noise_sigma: float = 0.15,
+    magnitude: bool = False,
+    gradcam_layer: Optional[str] = None,
+) -> SweepResult:
+    """Val-set sweep driven by the gradient-family attribution path: every
+    ``image_batch`` images' backward passes run as ONE vmapped program
+    (``gradient.attribute_batch``), optionally image-sharded over ``mesh``
+    — the attribution twin of :func:`bo_saliency_sweep` (same flush
+    driver). No segmentation step: these methods attribute pixels
+    directly. ``mean_survival`` stays 0 — there is no survival concept in
+    this family.
+
+    ``method`` ∈ ``gradient.BATCHABLE_METHODS`` (gradient / grad_input /
+    integrated / smoothgrad / gradcam). Stochastic seeds derive from
+    DATASET indices (``seed + index``), so per-image results are invariant
+    to flush composition and journal resume matches an uninterrupted run.
+    ``evals_per_sec`` counts backward passes (``steps`` per image for
+    integrated, ``samples`` for smoothgrad, 1 otherwise); images/s =
+    ``images_explained`` / wall is the companion metric.
+    """
+    import jax.numpy as jnp
+
+    from network_interpretation_imagenet_tpu.saliency import gradient as gmod
+
+    if method not in gmod.BATCHABLE_METHODS:
+        raise ValueError(f"unknown attribution method {method!r}; choose "
+                         f"from {gmod.BATCHABLE_METHODS}")
+    res, iou_m, surv_m, latencies, done, log = _sweep_scaffold(
+        journal, logger, keep_heatmaps)
+    t_start = time.perf_counter()
+
+    def dispatch(imgs_dev, disps, keep, idxs, preds):
+        keep_imgs = (imgs_dev if len(keep) == int(imgs_dev.shape[0]) else
+                     jnp.take(imgs_dev, jnp.asarray(keep), axis=0))
+        heats_dev = gmod.attribute_batch(
+            engine.bundle.logits, engine.variables, keep_imgs,
+            np.asarray([int(preds[j]) for j in keep], np.int32),
+            method, bundle=engine.bundle, steps=steps, samples=samples,
+            noise_sigma=noise_sigma, magnitude=magnitude,
+            gradcam_layer=gradcam_layer,
+            seeds=np.asarray([seed + int(idxs[j]) for j in keep], np.int32),
+            mesh=mesh,
+        )
+        return heats_dev
+
+    def collect(heats_dev):
+        heats = np.asarray(heats_dev)  # ONE device→host fetch
+        return [(heats[pos], {"method": method})
+                for pos in range(len(heats))]
+
+    total_evals = _batched_flush_sweep(
+        engine, dataset,
+        image_batch=image_batch, max_images=max_images, log=log, res=res,
+        iou_m=iou_m, surv_m=surv_m, latencies=latencies, done=done,
+        journal=journal, keep_heatmaps=keep_heatmaps,
+        dataset_indices=dataset_indices, bbox_threshold=bbox_threshold,
+        fidelity_steps=fidelity_steps,
+        evals_per_image={"integrated": int(steps),
+                         "smoothgrad": int(samples)}.get(method, 1),
+        enqueue_display=lambda image: None, dispatch=dispatch,
+        collect=collect,
+    )
+    return _finish_sweep(res, iou_m, surv_m, latencies, total_evals,
+                         time.perf_counter() - t_start)

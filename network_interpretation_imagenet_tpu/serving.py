@@ -169,16 +169,19 @@ def export_engine(
                              f"choose from {supported}")
         attr_cfg = {"ig_steps": 16, "sg_samples": 16, "sg_sigma": 0.15,
                     "gradcam_layer": None}
+        bad_keys = set(attribution_cfg or {}) - set(attr_cfg)
+        if bad_keys:
+            # A typo'd/unsupported hyperparameter would be recorded in the
+            # manifest as if the exported programs honored it.
+            raise ValueError(
+                f"unknown attribution_cfg keys {sorted(bad_keys)}; "
+                f"supported: {sorted(attr_cfg)}")
         attr_cfg.update(attribution_cfg or {})
         if "gradcam" in attribution and attr_cfg["gradcam_layer"] is None:
-            # The layer must be jit-static: resolve the menu's default on
-            # a zero image at export time, record it in the manifest.
-            menu = grad_mod.gradcam_target_layers(
-                bundle, engine.variables, np.zeros((h, w, c), np.float32))
-            if not menu:
-                raise ValueError(
-                    "gradcam export needs a 4D intermediate feature map")
-            attr_cfg["gradcam_layer"] = grad_mod._default_gradcam_layer(menu)
+            # The layer must be jit-static: resolve the menu's default at
+            # export time, record it in the manifest.
+            attr_cfg["gradcam_layer"] = grad_mod.default_gradcam_layer(
+                bundle, engine.variables, (h, w, c))
 
         def _attr_fn(method):
             if method == "gradient":
@@ -468,6 +471,12 @@ class ExportedSaliencyServer:
                 f"(available: {list(self.attribution_methods)}); re-export "
                 "with attribution=[...] (CLI: --attribution)"
             )
+        nc = int(self.manifest["num_classes"])
+        if not 0 <= int(target) < nc:
+            # Inside the exported program logits[target] lowers to a
+            # CLAMPED gather — an out-of-range target would silently
+            # return the last class's heatmap.
+            raise ValueError(f"target {target} out of range [0, {nc})")
         out = self._attr_fns[method].call(
             self.variables, jnp.asarray(image, jnp.float32),
             jnp.int32(target), jnp.int32(seed),

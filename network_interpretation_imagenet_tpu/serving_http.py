@@ -701,6 +701,14 @@ class SaliencyService:
         method = body.get("method")
         if method is None:
             raise ValueError(f"missing 'method' (available: {list(methods)})")
+        if method not in methods:
+            # Reject BEFORE target inference — an unknown method must not
+            # pay (or hold the device lock for) a full padded window-bucket
+            # forward just to 400.
+            raise ValueError(
+                f"artifact has no {method!r} attribution program "
+                f"(available: {list(methods)}); re-export with "
+                "--attribution")
         image = _decode_image(body, "image")
         if image is None:
             raise ValueError("missing 'image' (or 'image_b64'+'image_shape')")

@@ -340,6 +340,15 @@ def test_export_attribution_matches_live(tmp_path, rng):
     with pytest.raises(ValueError, match="unsupported"):
         serving.export_engine(engine, str(tmp_path / "bad"),
                               batch_sizes=(4,), attribution=("nope",))
+    # Typo'd hyperparameters must not be recorded as if honored.
+    with pytest.raises(ValueError, match="attribution_cfg"):
+        serving.export_engine(engine, str(tmp_path / "bad2"),
+                              batch_sizes=(4,), attribution=("gradient",),
+                              attribution_cfg={"ig_step": 64})
+    # Out-of-range target would be silently clamped by the exported
+    # program's gather — reject it host-side.
+    with pytest.raises(ValueError, match="out of range"):
+        server.attribute(image, 5000, "gradient")
     plain = str(tmp_path / "plain")
     serving.export_engine(engine, plain, batch_sizes=(4,))
     plain_server = serving.load_exported(plain)
