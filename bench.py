@@ -318,12 +318,15 @@ def tpu_rate_and_latency():
         attribution_sweep,
     )
 
+    # step_batch=4 bounds live activations at 16·4=64 concurrent ResNet-101
+    # backwards (exact scan accumulation) — 256 at once flirts with the
+    # 16 GB HBM ceiling.
     attribution_sweep(engine, bo_sweep_dataset(16, 91), method="integrated",
-                      image_batch=16, steps=16, seed=4)  # warm
+                      image_batch=16, steps=16, step_batch=4, seed=4)  # warm
     t0 = time.perf_counter()
     attr_res = attribution_sweep(engine, bo_sweep_dataset(32, 93),
                                  method="integrated", image_batch=16,
-                                 steps=16, seed=5)
+                                 steps=16, step_batch=4, seed=5)
     attr_img_s = attr_res.images_explained / (time.perf_counter() - t0)
     log(f"attribution sweep (IG-16, warm): {attr_res.images_explained} "
         f"images -> {attr_img_s:.1f} img/s")

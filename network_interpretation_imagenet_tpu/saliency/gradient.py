@@ -53,6 +53,35 @@ def grad_times_input(
     return jnp.sum(jnp.abs(g * image), axis=-1)
 
 
+def _grad_mean(grad_one, stack: Array, chunk, square: bool = False) -> Array:
+    """Mean of ``grad_one`` over the leading axis of ``stack``.
+
+    ``chunk=None`` (or ≥ S) runs one vmapped backward over the whole
+    stack; otherwise an exact ``lax.scan`` of ``chunk``-sized vmapped
+    backwards accumulates the sum — the gradients combine LINEARLY, so the
+    result is identical while live activation memory is bounded at
+    ``chunk`` concurrent backwards instead of S (the knob that keeps
+    N-image × S-step batched attribution inside a 16 GB chip)."""
+    s = int(stack.shape[0])
+    if chunk is None or int(chunk) >= s:
+        grads = jax.vmap(grad_one)(stack)
+        return jnp.mean(grads ** 2 if square else grads, axis=0)
+    chunk = int(chunk)
+    if s % chunk:
+        raise ValueError(f"chunk {chunk} must divide the step/sample "
+                         f"count {s}")
+
+    def step(acc, xs):
+        g = jax.vmap(grad_one)(xs)
+        return acc + jnp.sum(g ** 2 if square else g, axis=0), None
+
+    acc, _ = jax.lax.scan(
+        step, jnp.zeros(stack.shape[1:], jnp.float32),
+        stack.reshape(s // chunk, chunk, *stack.shape[1:]),
+    )
+    return acc / s
+
+
 def integrated_gradients(
     logits_fn: Callable,
     variables: Any,
@@ -60,10 +89,13 @@ def integrated_gradients(
     target: int,
     steps: int = 16,
     baseline: Optional[Array] = None,
+    step_batch: Optional[int] = None,
 ) -> Array:
     """Integrated gradients along the straight path from ``baseline``
     (default zeros — the masked-pixel value in this framework's convention,
-    see ``ops.masking.apply_masks``). One vmapped backward over all steps.
+    see ``ops.masking.apply_masks``). One vmapped backward over all steps;
+    ``step_batch`` bounds memory via exact scan accumulation
+    (:func:`_grad_mean`).
     """
     image = jnp.asarray(image, jnp.float32)
     base = jnp.zeros_like(image) if baseline is None else baseline
@@ -71,8 +103,7 @@ def integrated_gradients(
     path = base[None] + alphas[:, None, None, None] * (image - base)[None]
 
     grad_one = jax.grad(_target_logit_fn(logits_fn, variables, target))
-    grads = jax.vmap(grad_one)(path)  # [S, H, W, C]
-    avg = jnp.mean(grads, axis=0)
+    avg = _grad_mean(grad_one, path, step_batch)
     return jnp.sum(jnp.abs((image - base) * avg), axis=-1)
 
 
@@ -85,11 +116,13 @@ def smoothgrad(
     noise_sigma: float = 0.15,
     seed: int = 0,
     magnitude: bool = False,
+    sample_batch: Optional[int] = None,
 ) -> Array:
     """SmoothGrad (Smilkov et al., 2017): the input gradient averaged over
     Gaussian-noised copies of the image — ``noise_sigma`` is RELATIVE to
     the image's value range, the paper's convention. One vmapped backward
-    over all samples. ``magnitude=True`` averages squared gradients
+    over all samples (``sample_batch`` bounds memory via exact scan
+    accumulation). ``magnitude=True`` averages squared gradients
     (SmoothGrad²) before the channel-sum."""
     image = jnp.asarray(image, jnp.float32)
     span = jnp.maximum(jnp.max(image) - jnp.min(image), 1e-6)
@@ -98,8 +131,8 @@ def smoothgrad(
         * noise_sigma * span
     )
     grad_one = jax.grad(_target_logit_fn(logits_fn, variables, target))
-    grads = jax.vmap(grad_one)(image[None] + noise)  # [S, H, W, C]
-    g = jnp.mean(grads ** 2 if magnitude else grads, axis=0)
+    g = _grad_mean(grad_one, image[None] + noise, sample_batch,
+                   square=magnitude)
     return jnp.sum(jnp.abs(g), axis=-1)
 
 
@@ -526,7 +559,8 @@ def default_gradcam_layer(bundle, variables, image_shape) -> str:
 
 
 def _attr_one_fn(logits_fn, bundle, method: str, steps: int, samples: int,
-                 noise_sigma: float, magnitude: bool, gradcam_layer):
+                 noise_sigma: float, magnitude: bool, gradcam_layer,
+                 step_batch=None, sample_batch=None):
     """Per-image ``(variables, image, target, seed) → f32[H, W]`` with the
     hyperparameters closed over (jit-static), uniform across methods so one
     vmap signature serves all of ``BATCHABLE_METHODS``."""
@@ -536,11 +570,11 @@ def _attr_one_fn(logits_fn, bundle, method: str, steps: int, samples: int,
         return lambda v, img, t, s: grad_times_input(logits_fn, v, img, t)
     if method == "integrated":
         return lambda v, img, t, s: integrated_gradients(
-            logits_fn, v, img, t, steps=steps)
+            logits_fn, v, img, t, steps=steps, step_batch=step_batch)
     if method == "smoothgrad":
         return lambda v, img, t, s: smoothgrad(
             logits_fn, v, img, t, samples=samples, noise_sigma=noise_sigma,
-            seed=s, magnitude=magnitude)
+            seed=s, magnitude=magnitude, sample_batch=sample_batch)
     return lambda v, img, t, s: gradcam(bundle, v, img, t,
                                         layer=gradcam_layer)
 
@@ -561,6 +595,8 @@ def attribute_batch(
     seeds=None,
     mesh=None,
     data_axis: str = "data",
+    step_batch: Optional[int] = None,
+    sample_batch: Optional[int] = None,
 ) -> Array:
     """N images' attribution maps in ONE device program → f32[N, H, W].
 
@@ -577,6 +613,10 @@ def attribute_batch(
 
     ``seeds`` (int32[N], default zeros) feeds stochastic methods only;
     derive them from dataset indices for flush-invariant sweeps.
+    ``step_batch``/``sample_batch`` bound integrated/smoothgrad memory at
+    N·chunk concurrent backwards via exact scan accumulation
+    (:func:`_grad_mean`) — without them an N×S batched IG holds N·S
+    backwards' activations live at once.
     ``gradcam_layer=None`` resolves the canonical deepest conv stage ONCE
     (host-side, on ``images[0]``) — pass ``bundle`` for gradcam.
     """
@@ -624,11 +664,12 @@ def attribute_batch(
 
     key = (method, bundle if method == "gradcam" else logits_fn,
            int(steps), int(samples), float(noise_sigma), bool(magnitude),
-           gradcam_layer, bucket, images.shape[1:], mesh, data_axis)
+           gradcam_layer, bucket, images.shape[1:], mesh, data_axis,
+           step_batch, sample_batch)
     if key not in _ATTR_BATCH_CACHE:
         one = _attr_one_fn(logits_fn, bundle, method, int(steps),
                            int(samples), float(noise_sigma), bool(magnitude),
-                           gradcam_layer)
+                           gradcam_layer, step_batch, sample_batch)
         batched = jax.vmap(one, in_axes=(None, 0, 0, 0))
         if mesh is None:
             _ATTR_BATCH_CACHE[key] = jax.jit(batched)

@@ -898,6 +898,8 @@ def attribution_sweep(
     noise_sigma: float = 0.15,
     magnitude: bool = False,
     gradcam_layer: Optional[str] = None,
+    step_batch: Optional[int] = None,
+    sample_batch: Optional[int] = None,
 ) -> SweepResult:
     """Val-set sweep driven by the gradient-family attribution path: every
     ``image_batch`` images' backward passes run as ONE vmapped program
@@ -914,6 +916,9 @@ def attribution_sweep(
     ``evals_per_sec`` counts backward passes (``steps`` per image for
     integrated, ``samples`` for smoothgrad, 1 otherwise); images/s =
     ``images_explained`` / wall is the companion metric.
+    ``step_batch``/``sample_batch`` bound the flush's live activation
+    memory at image_batch·chunk concurrent backwards (exact scan
+    accumulation) — required headroom for deep models at image_batch≥16.
     """
     import jax.numpy as jnp
 
@@ -936,7 +941,7 @@ def attribution_sweep(
             noise_sigma=noise_sigma, magnitude=magnitude,
             gradcam_layer=gradcam_layer,
             seeds=np.asarray([seed + int(idxs[j]) for j in keep], np.int32),
-            mesh=mesh,
+            mesh=mesh, step_batch=step_batch, sample_batch=sample_batch,
         )
         return heats_dev
 

@@ -947,3 +947,41 @@ def test_attribution_sweep_mesh_matches_single(rng):
     for i in plain.heatmaps:
         np.testing.assert_allclose(sharded.heatmaps[i], plain.heatmaps[i],
                                     atol=1e-5)
+
+
+def test_grad_mean_chunked_is_exact(rng):
+    """step_batch/sample_batch scan accumulation is EXACT (gradients sum
+    linearly), single-image and inside attribute_batch."""
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    img = rng.rand(28, 28, 1).astype(np.float32)
+
+    full = grad_mod.integrated_gradients(bundle.logits, variables, img, 3,
+                                         steps=8)
+    chunked = grad_mod.integrated_gradients(bundle.logits, variables, img, 3,
+                                            steps=8, step_batch=2)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               atol=1e-5)
+
+    for mag in (False, True):
+        sg_full = grad_mod.smoothgrad(bundle.logits, variables, img, 3,
+                                      samples=6, seed=9, magnitude=mag)
+        sg_chunk = grad_mod.smoothgrad(bundle.logits, variables, img, 3,
+                                       samples=6, seed=9, magnitude=mag,
+                                       sample_batch=3)
+        np.testing.assert_allclose(np.asarray(sg_chunk), np.asarray(sg_full),
+                                   atol=1e-5)
+
+    with pytest.raises(ValueError, match="divide"):
+        grad_mod.integrated_gradients(bundle.logits, variables, img, 3,
+                                      steps=8, step_batch=3)
+
+    # Through the batched program too.
+    imgs = rng.rand(3, 28, 28, 1).astype(np.float32)
+    ts = np.array([1, 2, 3], np.int32)
+    b_full = grad_mod.attribute_batch(bundle.logits, variables, imgs, ts,
+                                      "integrated", steps=8)
+    b_chunk = grad_mod.attribute_batch(bundle.logits, variables, imgs, ts,
+                                       "integrated", steps=8, step_batch=4)
+    np.testing.assert_allclose(np.asarray(b_chunk), np.asarray(b_full),
+                               atol=1e-5)
