@@ -66,6 +66,10 @@ _TPU_SMOKE = (
     "test_gradient_sweep.py::test_scorecam_analytic_and_zoo",
     "test_gradient_sweep.py::test_xrai_saliency_end_to_end",
     "test_gradient_sweep.py::test_learned_mask_deletes_evidence_region",
+    # Batched attribution machinery: one-program N-image backwards (the
+    # r3 bench entry's code path) + exact chunked accumulation.
+    "test_gradient_sweep.py::test_attribute_batch_matches_single_all_methods",
+    "test_gradient_sweep.py::test_grad_mean_chunked_is_exact",
 )
 
 # Individually-slow tests inside otherwise-fast modules (compile-heavy
