@@ -106,12 +106,14 @@ def main(argv=None):
                         "random window masks")
     p.add_argument("--attribute", default=None, metavar="METHOD",
                    choices=["gradient", "grad_input", "integrated",
-                            "smoothgrad", "gradcam"],
+                            "smoothgrad", "gradcam", "meaningful"],
                    help="drive the sweep with a gradient-family attribution "
                         "method instead of masks: every --image-batch "
                         "images' backward passes run as ONE vmapped program "
                         "(no segmentation step; hyperparameters via "
-                        "--ig-steps/--sg-samples/--sg-sigma/--gradcam-layer)")
+                        "--ig-steps/--sg-samples/--sg-sigma/--gradcam-layer; "
+                        "'meaningful' = Fong-Vedaldi learned deletion masks, "
+                        "N Adam loops in one program, --lm-* flags)")
     common.add_method_flags(p)
     common.add_bo_flags(p)
     p.add_argument("--proposals-per-iter", type=int, default=1,
@@ -252,6 +254,13 @@ def main(argv=None):
                 "sg_squared": bool(args.sg_squared),
                 "gradcam_layer": args.gradcam_layer,
             })
+            if args.attribute == "meaningful":
+                jconfig.update({
+                    "lm_mask_size": args.lm_mask_size,
+                    "lm_iters": args.lm_iters, "lm_l1": args.lm_l1,
+                    "lm_tv": args.lm_tv, "lm_jitter": args.lm_jitter,
+                    "lm_baseline": args.lm_baseline,
+                })
         journal = SweepJournal(
             jpath, resume=args.resume,
             keep_heatmaps=args.gp_heatmaps or args.gp_class_heatmaps,
@@ -313,6 +322,11 @@ def main(argv=None):
             noise_sigma=args.sg_sigma,
             magnitude=args.sg_squared,
             gradcam_layer=args.gradcam_layer,
+            lm_cfg={
+                "mask_size": args.lm_mask_size, "iters": args.lm_iters,
+                "l1": args.lm_l1, "tv": args.lm_tv,
+                "jitter": args.lm_jitter, "baseline": args.lm_baseline,
+            } if args.attribute == "meaningful" else None,
         )
     elif args.bo:
         from network_interpretation_imagenet_tpu.config import BOConfig

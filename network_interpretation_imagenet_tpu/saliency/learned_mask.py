@@ -184,3 +184,144 @@ def _learned_mask_core(logits_fn, mask_size: int, iters: int, lr: float,
 
         _CORE_CACHE[key_t] = run
     return _CORE_CACHE[key_t]
+
+
+# (static hyperparams, bucket, mesh) → jitted N-image program.
+_BATCH_CACHE: dict = {}
+
+
+def learned_mask_batch_dispatch(
+    logits_fn: Callable,
+    variables: Any,
+    images,
+    targets,
+    mask_size: int = 28,
+    iters: int = 150,
+    lr: float = 0.1,
+    l1: float = 0.05,
+    tv: float = 0.1,
+    tv_beta: float = 3.0,
+    jitter: int = 4,
+    max_shift: int = 4,
+    baseline: str = "blur",
+    blur_sigma: float = 10.0,
+    seeds=None,
+    mesh=None,
+    data_axis: str = "data",
+    compute_dtype: Any = jnp.float32,
+):
+    """N learned-mask optimizations as ONE device program (async).
+
+    One per-image Adam loop is ``jitter`` forwards+backwards per step —
+    far below chip saturation for a low-res mask — so the image axis is
+    the right batching axis, exactly the fused-BO argument
+    (``bo/loop.py`` image batching). The batched program vmaps the SAME
+    jitted single-image core (bit-comparable results), pads N to the next
+    pow-2 bucket (trimmed back), and with ``mesh`` shards the image axis
+    over ``data_axis`` via ``shard_map`` (weights replicate).
+
+    Returns device arrays ``(heatmaps f32[N,H,W], masks f32[N,s,s],
+    prob_orig f32[N], prob_masked f32[N], loss f32[N])`` — dispatch is
+    async, so callers overlap host work before fetching (the sweep's
+    depth-2 flush pipeline). ``seeds`` (default zeros) match the
+    single-image ``learned_mask_saliency(seed=...)`` PRNG streams.
+    """
+    from network_interpretation_imagenet_tpu.bo.loop import next_pow2
+
+    if mask_size <= 0 or iters <= 0:
+        raise ValueError(f"mask_size/iters must be positive, got "
+                         f"{mask_size}/{iters}")
+    if jitter < 0 or max_shift < 0:
+        raise ValueError(f"jitter/max_shift must be >= 0, got "
+                         f"{jitter}/{max_shift}")
+    if baseline not in ("blur", "zero"):
+        raise ValueError(f"baseline must be 'blur' or 'zero', got "
+                         f"{baseline!r}")
+    images = jnp.asarray(images, jnp.float32)
+    if images.ndim != 4:
+        raise ValueError(f"images must be [N, H, W, C], got {images.shape}")
+    n = int(images.shape[0])
+    h, w = int(images.shape[1]), int(images.shape[2])
+    if n == 0:
+        s = int(mask_size)
+        z = jnp.zeros((0,), jnp.float32)
+        return (jnp.zeros((0, h, w), jnp.float32),
+                jnp.zeros((0, s, s), jnp.float32), z, z, z)
+    targets = jnp.asarray(targets, jnp.int32)
+    seeds = (jnp.zeros(n, jnp.int32) if seeds is None
+             else jnp.asarray(seeds, jnp.int32))
+    if targets.shape != (n,) or seeds.shape != (n,):
+        raise ValueError(f"targets/seeds must be [N={n}], got "
+                         f"{targets.shape} / {seeds.shape}")
+
+    bucket = next_pow2(n)
+    if mesh is not None:
+        d = int(mesh.shape[data_axis])
+        bucket = -(-bucket // d) * d
+    if bucket > n:
+        pad = bucket - n
+        images = jnp.concatenate(
+            [images, jnp.broadcast_to(images[0], (pad,) + images.shape[1:])])
+        targets = jnp.concatenate([targets, jnp.zeros(pad, jnp.int32)])
+        seeds = jnp.concatenate([seeds, jnp.zeros(pad, jnp.int32)])
+
+    key = (logits_fn, int(mask_size), int(iters), float(lr), float(l1),
+           float(tv), float(tv_beta), int(jitter), int(max_shift),
+           baseline, float(blur_sigma), h, w,
+           jnp.dtype(compute_dtype).name, bucket, mesh, data_axis)
+    if key not in _BATCH_CACHE:
+        run = _learned_mask_core(
+            logits_fn, int(mask_size), int(iters), float(lr), float(l1),
+            float(tv), float(tv_beta), max(int(jitter), 1)
+            if jitter else 1, int(max_shift) if jitter else 0, h, w,
+            jnp.dtype(compute_dtype).name)
+
+        def one(vs, image, target, seed):
+            base = (gaussian_blur(image, blur_sigma) if baseline == "blur"
+                    else jnp.zeros_like(image))
+            m, p_orig, p_masked, loss = run(
+                vs, image, base, target, jax.random.PRNGKey(seed))
+            m_up = jax.image.resize(m, (h, w), method="bilinear")
+            return 1.0 - m_up, m, p_orig, p_masked, loss
+
+        batched = jax.vmap(one, in_axes=(None, 0, 0, 0))
+        if mesh is None:
+            _BATCH_CACHE[key] = jax.jit(batched)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            _BATCH_CACHE[key] = jax.jit(shard_map(
+                batched,
+                mesh=mesh,
+                in_specs=(P(), P(data_axis), P(data_axis), P(data_axis)),
+                out_specs=P(data_axis),
+                check_vma=False,
+            ))
+    outs = _BATCH_CACHE[key](variables, images, targets, seeds)
+    return tuple(o[:n] for o in outs)
+
+
+def learned_mask_saliency_batch(
+    logits_fn: Callable,
+    variables: Any,
+    images,
+    targets,
+    **kwargs,
+) -> list:
+    """N images' :class:`LearnedMaskResult`s from ONE device program
+    (:func:`learned_mask_batch_dispatch` + one batched fetch)."""
+    heats, ms, p_orig, p_masked, losses = learned_mask_batch_dispatch(
+        logits_fn, variables, images, targets, **kwargs)
+    heats, ms, p_orig, p_masked, losses = jax.device_get(
+        (heats, ms, p_orig, p_masked, losses))
+    return [
+        LearnedMaskResult(
+            heatmap=np.asarray(heats[i], np.float32),
+            mask_lowres=np.asarray(ms[i], np.float32),
+            prob_original=float(p_orig[i]),
+            prob_masked=float(p_masked[i]),
+            final_loss=float(losses[i]),
+        )
+        for i in range(len(heats))
+    ]

@@ -900,6 +900,7 @@ def attribution_sweep(
     gradcam_layer: Optional[str] = None,
     step_batch: Optional[int] = None,
     sample_batch: Optional[int] = None,
+    lm_cfg: Optional[dict] = None,
 ) -> SweepResult:
     """Val-set sweep driven by the gradient-family attribution path: every
     ``image_batch`` images' backward passes run as ONE vmapped program
@@ -910,7 +911,11 @@ def attribution_sweep(
     this family.
 
     ``method`` ∈ ``gradient.BATCHABLE_METHODS`` (gradient / grad_input /
-    integrated / smoothgrad / gradcam). Stochastic seeds derive from
+    integrated / smoothgrad / gradcam) or ``"meaningful"`` (Fong-Vedaldi
+    learned deletion masks: N Adam loops as ONE vmapped program,
+    ``learned_mask.learned_mask_batch_dispatch``; hyperparameters via
+    ``lm_cfg``, rows additionally carry prob_original/prob_masked).
+    Stochastic seeds derive from
     DATASET indices (``seed + index``), so per-image results are invariant
     to flush composition and journal resume matches an uninterrupted run.
     ``evals_per_sec`` counts backward passes (``steps`` per image for
@@ -924,29 +929,50 @@ def attribution_sweep(
 
     from network_interpretation_imagenet_tpu.saliency import gradient as gmod
 
-    if method not in gmod.BATCHABLE_METHODS:
+    if method != "meaningful" and method not in gmod.BATCHABLE_METHODS:
         raise ValueError(f"unknown attribution method {method!r}; choose "
-                         f"from {gmod.BATCHABLE_METHODS}")
+                         f"from {gmod.BATCHABLE_METHODS + ('meaningful',)}")
     res, iou_m, surv_m, latencies, done, log = _sweep_scaffold(
         journal, logger, keep_heatmaps)
     t_start = time.perf_counter()
 
+    lm = dict(lm_cfg or {})
+
     def dispatch(imgs_dev, disps, keep, idxs, preds):
         keep_imgs = (imgs_dev if len(keep) == int(imgs_dev.shape[0]) else
                      jnp.take(imgs_dev, jnp.asarray(keep), axis=0))
-        heats_dev = gmod.attribute_batch(
+        kept_targets = np.asarray([int(preds[j]) for j in keep], np.int32)
+        kept_seeds = np.asarray([seed + int(idxs[j]) for j in keep],
+                                np.int32)
+        if method == "meaningful":
+            from network_interpretation_imagenet_tpu.saliency import (
+                learned_mask,
+            )
+
+            return learned_mask.learned_mask_batch_dispatch(
+                engine.bundle.logits, engine.variables, keep_imgs,
+                kept_targets, seeds=kept_seeds, mesh=mesh, **lm,
+            )
+        return gmod.attribute_batch(
             engine.bundle.logits, engine.variables, keep_imgs,
-            np.asarray([int(preds[j]) for j in keep], np.int32),
-            method, bundle=engine.bundle, steps=steps, samples=samples,
-            noise_sigma=noise_sigma, magnitude=magnitude,
-            gradcam_layer=gradcam_layer,
-            seeds=np.asarray([seed + int(idxs[j]) for j in keep], np.int32),
+            kept_targets, method, bundle=engine.bundle, steps=steps,
+            samples=samples, noise_sigma=noise_sigma, magnitude=magnitude,
+            gradcam_layer=gradcam_layer, seeds=kept_seeds,
             mesh=mesh, step_batch=step_batch, sample_batch=sample_batch,
         )
-        return heats_dev
 
-    def collect(heats_dev):
-        heats = np.asarray(heats_dev)  # ONE device→host fetch
+    def collect(state):
+        import jax
+
+        if method == "meaningful":
+            heats, _, p_orig, p_masked, _ = jax.device_get(state)
+            return [
+                (heats[pos], {"method": method,
+                              "prob_original": round(float(p_orig[pos]), 6),
+                              "prob_masked": round(float(p_masked[pos]), 6)})
+                for pos in range(len(heats))
+            ]
+        heats = np.asarray(state)  # ONE device→host fetch
         return [(heats[pos], {"method": method})
                 for pos in range(len(heats))]
 
@@ -957,8 +983,9 @@ def attribution_sweep(
         journal=journal, keep_heatmaps=keep_heatmaps,
         dataset_indices=dataset_indices, bbox_threshold=bbox_threshold,
         fidelity_steps=fidelity_steps,
-        evals_per_image={"integrated": int(steps),
-                         "smoothgrad": int(samples)}.get(method, 1),
+        evals_per_image=(int(lm.get("iters", 150)) if method == "meaningful"
+                         else {"integrated": int(steps),
+                               "smoothgrad": int(samples)}.get(method, 1)),
         enqueue_display=lambda image: None, dispatch=dispatch,
         collect=collect,
     )

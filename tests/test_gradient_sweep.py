@@ -985,3 +985,72 @@ def test_grad_mean_chunked_is_exact(rng):
                                        "integrated", steps=8, step_batch=4)
     np.testing.assert_allclose(np.asarray(b_chunk), np.asarray(b_full),
                                atol=1e-5)
+
+
+def test_learned_mask_batch_matches_single(rng):
+    """N learned-mask Adam loops in ONE program reproduce per-image calls
+    (same jitted core, vmapped), on and off the mesh."""
+    from network_interpretation_imagenet_tpu.parallel import make_mesh
+    from network_interpretation_imagenet_tpu.saliency import learned_mask
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    imgs = rng.rand(3, 28, 28, 1).astype(np.float32)
+    ts = [1, 2, 3]
+    kw = dict(mask_size=7, iters=6, jitter=2)
+    batch = learned_mask.learned_mask_saliency_batch(
+        bundle.logits, variables, imgs, ts, seeds=[5, 6, 7], **kw)
+    for i in range(3):
+        single = learned_mask.learned_mask_saliency(
+            bundle.logits, variables, imgs[i], ts[i], seed=5 + i, **kw)
+        np.testing.assert_allclose(batch[i].heatmap, single.heatmap,
+                                   atol=2e-5)
+        np.testing.assert_allclose(batch[i].prob_masked, single.prob_masked,
+                                   atol=2e-5)
+        np.testing.assert_allclose(batch[i].prob_original,
+                                   single.prob_original, atol=2e-5)
+    sharded = learned_mask.learned_mask_saliency_batch(
+        bundle.logits, variables, imgs, ts, seeds=[5, 6, 7],
+        mesh=make_mesh(), **kw)
+    for i in range(3):
+        np.testing.assert_allclose(sharded[i].heatmap, batch[i].heatmap,
+                                   atol=1e-5)
+    # Typed empty + validation.
+    empty = learned_mask.learned_mask_saliency_batch(
+        bundle.logits, variables, np.zeros((0, 28, 28, 1), np.float32), [],
+        **kw)
+    assert empty == []
+    with pytest.raises(ValueError, match="baseline"):
+        learned_mask.learned_mask_batch_dispatch(
+            bundle.logits, variables, imgs, ts, baseline="nope")
+
+
+def test_attribution_sweep_meaningful(rng):
+    """method='meaningful' drives the sweep with batched learned masks;
+    rows carry prob_original/prob_masked and heatmaps are
+    flush-composition invariant."""
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        attribution_sweep,
+    )
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=32,
+                            compute_dtype=jnp.float32)
+    dataset = [(rng.rand(28, 28, 1).astype(np.float32), None, None)
+               for _ in range(3)]
+    lm_cfg = dict(mask_size=7, iters=6, jitter=2)
+    res = attribution_sweep(engine, list(dataset), method="meaningful",
+                            image_batch=2, seed=3, lm_cfg=lm_cfg,
+                            keep_heatmaps=True)
+    assert res.images_explained == 3
+    for r in res.per_image:
+        assert r["method"] == "meaningful"
+        assert 0.0 <= r["prob_masked"] <= 1.0
+        assert 0.0 <= r["prob_original"] <= 1.0
+    res2 = attribution_sweep(engine, list(dataset), method="meaningful",
+                             image_batch=3, seed=3, lm_cfg=lm_cfg,
+                             keep_heatmaps=True)
+    for i in res.heatmaps:
+        np.testing.assert_allclose(res2.heatmaps[i], res.heatmaps[i],
+                                   atol=2e-5)
