@@ -558,6 +558,68 @@ def default_gradcam_layer(bundle, variables, image_shape) -> str:
     return _GRADCAM_LAYER_CACHE[key]
 
 
+def _image_batch_scaffold(images, targets, seeds, mesh, data_axis: str,
+                          min_bucket: int = 8):
+    """Shared validate/bucket/pad scaffolding for the image-batched
+    programs (``attribute_batch``, ``learned_mask_batch_dispatch``):
+    f32 [N, H, W, C] images + int32 [N] targets/seeds pad to the next
+    power of two ≥ max(N, ``min_bucket``), rounded up to a multiple of
+    the mesh's data axis when sharding. ``min_bucket=8`` (default) makes
+    every ≤8-image composition share ONE executable — the property that
+    keeps per-image results BIT-identical across flush compositions
+    (tail flushes, skip patterns); pass ``min_bucket=1`` when a pad lane
+    costs a full real lane (learned-mask Adam loops) and low-order float
+    drift across compositions is acceptable. Returns
+    ``(images, targets, seeds, n, bucket)`` with results to trim
+    ``[:n]``."""
+    images = jnp.asarray(images, jnp.float32)
+    if images.ndim != 4:
+        raise ValueError(f"images must be [N, H, W, C], got {images.shape}")
+    n = int(images.shape[0])
+    targets = jnp.asarray(targets, jnp.int32)
+    seeds = (jnp.zeros(n, jnp.int32) if seeds is None
+             else jnp.asarray(seeds, jnp.int32))
+    if targets.shape != (n,) or seeds.shape != (n,):
+        raise ValueError(
+            f"targets/seeds must be [N={n}], got {targets.shape} / "
+            f"{seeds.shape}")
+    if n == 0:
+        return images, targets, seeds, 0, 0
+    bucket = max(int(min_bucket), 1 << (n - 1).bit_length())
+    if mesh is not None:
+        d = int(mesh.shape[data_axis])
+        bucket = -(-bucket // d) * d  # shard_map needs d | N_padded
+    if bucket > n:
+        # Pad lanes rerun image 0 (real data keeps every lane numerically
+        # boring-free: an all-zero pad image can NaN through normalize-by-
+        # range paths like smoothgrad's span guard).
+        pad = bucket - n
+        images = jnp.concatenate(
+            [images, jnp.broadcast_to(images[0], (pad,) + images.shape[1:])])
+        targets = jnp.concatenate([targets, jnp.zeros(pad, jnp.int32)])
+        seeds = jnp.concatenate([seeds, jnp.zeros(pad, jnp.int32)])
+    return images, targets, seeds, n, bucket
+
+
+def _jit_image_batched(one_fn, mesh, data_axis: str):
+    """jit (or shard_map over the mesh's data axis, weights replicated) of
+    ``vmap(one_fn)`` with the uniform (variables, images, targets, seeds)
+    signature — the other half of the shared scaffolding."""
+    batched = jax.vmap(one_fn, in_axes=(None, 0, 0, 0))
+    if mesh is None:
+        return jax.jit(batched)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(shard_map(
+        batched,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis), P(data_axis), P(data_axis)),
+        out_specs=P(data_axis),
+        check_vma=False,
+    ))
+
+
 def _attr_one_fn(logits_fn, bundle, method: str, steps: int, samples: int,
                  noise_sigma: float, magnitude: bool, gradcam_layer,
                  step_batch=None, sample_batch=None):
@@ -605,8 +667,10 @@ def attribute_batch(
     image axis, so a val-set sweep runs N backward passes per dispatch
     instead of N dispatches — the attribution twin of the engine's flat
     N·K mask grid (``saliency/engine.py``). N pads to the next power of
-    two (results trim back), bounding compiled shapes across sweep
-    flushes. With ``mesh`` the padded image axis additionally shards over
+    two ≥ N, floor 8 (results trim back) — one executable covers every
+    ≤8-image composition, which keeps per-image results BIT-identical
+    across flush compositions (different batch shapes may reassociate
+    low-order float ops). With ``mesh`` the padded image axis additionally shards over
     ``data_axis`` via ``shard_map`` (variables replicate; no collectives
     — each device runs its slice's vmapped program), the same composition
     as ``kron.fit_posterior_batch``.
@@ -620,15 +684,11 @@ def attribute_batch(
     ``gradcam_layer=None`` resolves the canonical deepest conv stage ONCE
     (host-side, on ``images[0]``) — pass ``bundle`` for gradcam.
     """
-    from network_interpretation_imagenet_tpu.bo.loop import next_pow2
-
     if method not in BATCHABLE_METHODS:
         raise ValueError(f"unknown batchable method {method!r}; choose "
                          f"from {BATCHABLE_METHODS}")
-    images = jnp.asarray(images, jnp.float32)
-    if images.ndim != 4:
-        raise ValueError(f"images must be [N, H, W, C], got {images.shape}")
-    n = int(images.shape[0])
+    images, targets, seeds, n, bucket = _image_batch_scaffold(
+        images, targets, seeds, mesh, data_axis)
     if n == 0:
         return jnp.zeros((0,) + images.shape[1:3], jnp.float32)
     if method == "gradcam":
@@ -641,27 +701,6 @@ def attribute_batch(
             gradcam_layer = default_gradcam_layer(
                 bundle, variables, images.shape[1:])
 
-    bucket = next_pow2(n)
-    if mesh is not None:
-        d = int(mesh.shape[data_axis])
-        bucket = -(-bucket // d) * d  # shard_map needs d | N_padded
-    targets = jnp.asarray(targets, jnp.int32)
-    seeds = (jnp.zeros(n, jnp.int32) if seeds is None
-             else jnp.asarray(seeds, jnp.int32))
-    if targets.shape != (n,) or seeds.shape != (n,):
-        raise ValueError(
-            f"targets/seeds must be [N={n}], got {targets.shape} / "
-            f"{seeds.shape}")
-    if bucket > n:
-        # Pad lanes rerun image 0 (real data keeps every lane numerically
-        # boring-free: an all-zero pad image can NaN through normalize-by-
-        # range paths like smoothgrad's span guard — cheap either way).
-        pad = bucket - n
-        images = jnp.concatenate(
-            [images, jnp.broadcast_to(images[0], (pad,) + images.shape[1:])])
-        targets = jnp.concatenate([targets, jnp.zeros(pad, jnp.int32)])
-        seeds = jnp.concatenate([seeds, jnp.zeros(pad, jnp.int32)])
-
     key = (method, bundle if method == "gradcam" else logits_fn,
            int(steps), int(samples), float(noise_sigma), bool(magnitude),
            gradcam_layer, bucket, images.shape[1:], mesh, data_axis,
@@ -670,18 +709,5 @@ def attribute_batch(
         one = _attr_one_fn(logits_fn, bundle, method, int(steps),
                            int(samples), float(noise_sigma), bool(magnitude),
                            gradcam_layer, step_batch, sample_batch)
-        batched = jax.vmap(one, in_axes=(None, 0, 0, 0))
-        if mesh is None:
-            _ATTR_BATCH_CACHE[key] = jax.jit(batched)
-        else:
-            from jax import shard_map
-            from jax.sharding import PartitionSpec as P
-
-            _ATTR_BATCH_CACHE[key] = jax.jit(shard_map(
-                batched,
-                mesh=mesh,
-                in_specs=(P(), P(data_axis), P(data_axis), P(data_axis)),
-                out_specs=P(data_axis),
-                check_vma=False,
-            ))
+        _ATTR_BATCH_CACHE[key] = _jit_image_batched(one, mesh, data_axis)
     return _ATTR_BATCH_CACHE[key](variables, images, targets, seeds)[:n]

@@ -226,7 +226,10 @@ def learned_mask_batch_dispatch(
     depth-2 flush pipeline). ``seeds`` (default zeros) match the
     single-image ``learned_mask_saliency(seed=...)`` PRNG streams.
     """
-    from network_interpretation_imagenet_tpu.bo.loop import next_pow2
+    from network_interpretation_imagenet_tpu.saliency.gradient import (
+        _image_batch_scaffold,
+        _jit_image_batched,
+    )
 
     if mask_size <= 0 or iters <= 0:
         raise ValueError(f"mask_size/iters must be positive, got "
@@ -237,43 +240,33 @@ def learned_mask_batch_dispatch(
     if baseline not in ("blur", "zero"):
         raise ValueError(f"baseline must be 'blur' or 'zero', got "
                          f"{baseline!r}")
-    images = jnp.asarray(images, jnp.float32)
-    if images.ndim != 4:
-        raise ValueError(f"images must be [N, H, W, C], got {images.shape}")
-    n = int(images.shape[0])
+    # min_bucket=1: a pad lane here costs a FULL iters-step Adam loop
+    # (unlike a single pad backward), so a lone image must not pay for 8.
+    # Cost: per-image results may drift in low-order bits across flush
+    # compositions that land in different buckets (parity tests use atol).
+    images, targets, seeds, n, _ = _image_batch_scaffold(
+        images, targets, seeds, mesh, data_axis, min_bucket=1)
     h, w = int(images.shape[1]), int(images.shape[2])
     if n == 0:
-        s = int(mask_size)
+        ms = int(mask_size)
         z = jnp.zeros((0,), jnp.float32)
         return (jnp.zeros((0, h, w), jnp.float32),
-                jnp.zeros((0, s, s), jnp.float32), z, z, z)
-    targets = jnp.asarray(targets, jnp.int32)
-    seeds = (jnp.zeros(n, jnp.int32) if seeds is None
-             else jnp.asarray(seeds, jnp.int32))
-    if targets.shape != (n,) or seeds.shape != (n,):
-        raise ValueError(f"targets/seeds must be [N={n}], got "
-                         f"{targets.shape} / {seeds.shape}")
+                jnp.zeros((0, ms, ms), jnp.float32), z, z, z)
 
-    bucket = next_pow2(n)
-    if mesh is not None:
-        d = int(mesh.shape[data_axis])
-        bucket = -(-bucket // d) * d
-    if bucket > n:
-        pad = bucket - n
-        images = jnp.concatenate(
-            [images, jnp.broadcast_to(images[0], (pad,) + images.shape[1:])])
-        targets = jnp.concatenate([targets, jnp.zeros(pad, jnp.int32)])
-        seeds = jnp.concatenate([seeds, jnp.zeros(pad, jnp.int32)])
-
+    # Normalize jitter/max_shift like the single-image path keys its core
+    # cache — (0, 4) and (0, 0) are the same math and must share one
+    # compiled N-image program.
+    jitter_n = max(int(jitter), 1) if jitter else 1
+    shift_n = int(max_shift) if jitter else 0
     key = (logits_fn, int(mask_size), int(iters), float(lr), float(l1),
-           float(tv), float(tv_beta), int(jitter), int(max_shift),
+           float(tv), float(tv_beta), jitter_n, shift_n,
            baseline, float(blur_sigma), h, w,
-           jnp.dtype(compute_dtype).name, bucket, mesh, data_axis)
+           jnp.dtype(compute_dtype).name, int(images.shape[0]), mesh,
+           data_axis)
     if key not in _BATCH_CACHE:
         run = _learned_mask_core(
             logits_fn, int(mask_size), int(iters), float(lr), float(l1),
-            float(tv), float(tv_beta), max(int(jitter), 1)
-            if jitter else 1, int(max_shift) if jitter else 0, h, w,
+            float(tv), float(tv_beta), jitter_n, shift_n, h, w,
             jnp.dtype(compute_dtype).name)
 
         def one(vs, image, target, seed):
@@ -284,20 +277,7 @@ def learned_mask_batch_dispatch(
             m_up = jax.image.resize(m, (h, w), method="bilinear")
             return 1.0 - m_up, m, p_orig, p_masked, loss
 
-        batched = jax.vmap(one, in_axes=(None, 0, 0, 0))
-        if mesh is None:
-            _BATCH_CACHE[key] = jax.jit(batched)
-        else:
-            from jax import shard_map
-            from jax.sharding import PartitionSpec as P
-
-            _BATCH_CACHE[key] = jax.jit(shard_map(
-                batched,
-                mesh=mesh,
-                in_specs=(P(), P(data_axis), P(data_axis), P(data_axis)),
-                out_specs=P(data_axis),
-                check_vma=False,
-            ))
+        _BATCH_CACHE[key] = _jit_image_batched(one, mesh, data_axis)
     outs = _BATCH_CACHE[key](variables, images, targets, seeds)
     return tuple(o[:n] for o in outs)
 

@@ -919,7 +919,8 @@ def attribution_sweep(
     DATASET indices (``seed + index``), so per-image results are invariant
     to flush composition and journal resume matches an uninterrupted run.
     ``evals_per_sec`` counts backward passes (``steps`` per image for
-    integrated, ``samples`` for smoothgrad, 1 otherwise); images/s =
+    integrated, ``samples`` for smoothgrad, the Adam ``iters`` for
+    meaningful, 1 otherwise); images/s =
     ``images_explained`` / wall is the companion metric.
     ``step_batch``/``sample_batch`` bound the flush's live activation
     memory at image_batch·chunk concurrent backwards (exact scan
