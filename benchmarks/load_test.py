@@ -21,17 +21,27 @@ import tempfile
 import threading
 import time
 
-p = argparse.ArgumentParser()
-p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
-p.add_argument("--concurrency", default="1,4,16")
-p.add_argument("--requests", type=int, default=32,
-               help="requests per client thread")
-p.add_argument("--wait-ms", type=float, default=8.0)
-args = p.parse_args()
-if args.platform:
-    import jax
+def _parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    p.add_argument("--concurrency", default="1,4,16")
+    p.add_argument("--requests", type=int, default=32,
+                   help="requests per client thread")
+    p.add_argument("--wait-ms", type=float, default=8.0)
+    return p.parse_args()
 
-    jax.config.update("jax_platforms", args.platform)
+
+# Parse (and pin the platform) ONLY when run as a script — this module
+# must stay import-safe: its *_test.py name matches pytest's default
+# collection glob, and a module-level parse_args() aborts bare `pytest`
+# runs from the repo root with SystemExit(2) during collection.
+args = None
+if __name__ == "__main__":
+    args = _parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402

@@ -165,6 +165,83 @@ def bo_window_saliency(
     return _assemble_output(segments, s, width, target, bo_res), bo_res
 
 
+def _multi_geometry(segments_list, window_fraction: float):
+    """Per-image window geometry shared by the live and serving multi-BO
+    paths: segment maps as int32, segment counts, window widths, and EI
+    candidate uppers (the reference's 0.6·S formula). ONE definition so
+    the AOT artifact cannot drift from ``bo_window_saliency_multi``."""
+    segs = [np.asarray(s, np.int32) for s in segments_list]
+    ss = [int(s.max()) + 1 for s in segs]
+    widths = np.asarray([int(window_fraction * s) for s in ss], np.int32)
+    uppers = np.asarray([int(0.6 * s) for s in ss], np.int32)
+    return segs, ss, widths, uppers
+
+
+def _pad_multi_operands(n: int, n_pad: int, images, segs, widths, uppers,
+                        targets=None):
+    """Pad the multi-BO image axis to ``n_pad`` by repeating entry 0
+    (device image batches pad without a fetch). ``targets=None`` passes
+    through so a caller can infer them on the PADDED batch (the serving
+    path's exported predict head has the padded shape)."""
+    segs_arr = np.stack(segs)
+    if targets is not None:
+        targets = np.asarray(targets, np.int32)
+    if n_pad > n:
+        reps = n_pad - n
+        xp = jnp if isinstance(images, jax.Array) else np
+        images = xp.concatenate([images, xp.repeat(images[:1], reps, axis=0)])
+        pad = lambda a: np.concatenate([a, np.repeat(a[:1], reps, axis=0)])
+        widths, uppers, segs_arr = pad(widths), pad(uppers), pad(segs_arr)
+        if targets is not None:
+            targets = pad(targets)
+    return images, segs_arr, widths, uppers, targets
+
+
+def _multi_keys(n: int, n_pad: int, seed: int, per_image_seeds):
+    """Per-image PRNG keys, derived from the ORIGINAL image count so
+    results are invariant to padding (and to whether a mesh widened the
+    pad). With ``per_image_seeds`` image j's key is ``PRNGKey(seeds[j])``
+    — bit-identical to independent single-image calls."""
+    if per_image_seeds is not None:
+        if len(per_image_seeds) != n:
+            raise ValueError(
+                f"per_image_seeds length {len(per_image_seeds)} != "
+                f"image count {n}")
+        keys = jnp.stack(
+            [jax.random.PRNGKey(int(s)) for s in per_image_seeds]
+        )
+    else:
+        keys = jax.random.split(jax.random.PRNGKey(seed), n)
+    if n_pad > n:
+        keys = jnp.concatenate(
+            [keys, jnp.repeat(keys[:1], n_pad - n, axis=0)]
+        )
+    return keys
+
+
+def _collect_multi_outputs(xs_d, ys_d, survived_d, counts_d, segs, ss,
+                           widths, targets, n: int) -> list:
+    """ONE batched device→host fetch (four separate np.asarray calls would
+    each pay a round trip), trimmed to the true observation counts and
+    assembled into N (SaliencyOutput, BOResult) pairs."""
+    xs, ys, survived, counts = jax.device_get(
+        (xs_d, ys_d, survived_d, counts_d)
+    )
+    outs = []
+    for i in range(n):
+        c = int(counts[i])
+        bo_res = BOResult(
+            xp=np.asarray(xs[i, :c]).astype(int),
+            yp=np.asarray(ys[i, :c]),
+            survived=np.asarray(survived[i, :c]),
+        )
+        out = _assemble_output(
+            segs[i], ss[i], int(widths[i]), int(targets[i]), bo_res
+        )
+        outs.append((out, bo_res))
+    return outs
+
+
 def bo_window_saliency_multi_async(
     engine: SaliencyEngine,
     images,
@@ -201,11 +278,9 @@ def bo_window_saliency_multi_async(
     (derive the seeds from dataset indices). Without it, keys derive from
     ``jax.random.split(PRNGKey(seed), N)`` (position-dependent).
     """
-    segs = [np.asarray(s, np.int32) for s in segments_list]
+    segs, ss, widths, uppers = _multi_geometry(segments_list,
+                                                window_fraction)
     n = len(segs)
-    ss = [int(s.max()) + 1 for s in segs]
-    widths = np.asarray([int(window_fraction * s) for s in ss], np.int32)
-    uppers = np.asarray([int(0.6 * s) for s in ss], np.int32)
     if isinstance(images, jax.Array):
         # Already-stacked device batch (sweeps upload a flush ONCE and reuse
         # it for SLIC display, predict, and this program — a second 16-image
@@ -227,57 +302,22 @@ def bo_window_saliency_multi_async(
         import math
 
         n_pad = math.lcm(n_pad, int(mesh.shape[data_axis]))
-    if n_pad > n:
-        reps = n_pad - n
-        xp = jnp if isinstance(images, jax.Array) else np
-        images = xp.concatenate([images, xp.repeat(images[:1], reps, axis=0)])
-        pad = lambda a: np.concatenate([a, np.repeat(a[:1], reps, axis=0)])
-        targets, widths, uppers = pad(targets), pad(widths), pad(uppers)
-        segs_arr = pad(np.stack(segs))
-    else:
-        segs_arr = np.stack(segs)
+    images, segs_arr, widths, uppers, targets = _pad_multi_operands(
+        n, n_pad, images, segs, widths, uppers, targets)
 
     run = fused_runner(
         engine, next_pow2(int(uppers.max()) + 1), cfg, proposals_per_iter,
         mesh=mesh, data_axis=data_axis, batch_images=True,
     )
-    # Keys derive from the ORIGINAL image count so results are invariant to
-    # padding (and to whether a mesh widened the pad).
-    if per_image_seeds is not None:
-        assert len(per_image_seeds) == n
-        keys = jnp.stack(
-            [jax.random.PRNGKey(int(s)) for s in per_image_seeds]
-        )
-    else:
-        keys = jax.random.split(jax.random.PRNGKey(seed), n)
-    if n_pad > n:
-        keys = jnp.concatenate(
-            [keys, jnp.repeat(keys[:1], n_pad - n, axis=0)]
-        )
+    keys = _multi_keys(n, n_pad, seed, per_image_seeds)
     xs_d, ys_d, survived_d, counts_d = run(
         engine.variables, jnp.asarray(images), jnp.asarray(segs_arr),
         jnp.asarray(widths), jnp.asarray(targets), jnp.asarray(uppers), keys,
     )
 
     def collect():
-        # ONE batched fetch — four separate np.asarray calls would each pay
-        # a device→host round trip.
-        xs, ys, survived, counts = jax.device_get(
-            (xs_d, ys_d, survived_d, counts_d)
-        )
-        outs = []
-        for i in range(n):
-            c = int(counts[i])
-            bo_res = BOResult(
-                xp=np.asarray(xs[i, :c]).astype(int),
-                yp=np.asarray(ys[i, :c]),
-                survived=np.asarray(survived[i, :c]),
-            )
-            out = _assemble_output(
-                segs[i], ss[i], int(widths[i]), int(targets[i]), bo_res
-            )
-            outs.append((out, bo_res))
-        return outs
+        return _collect_multi_outputs(
+            xs_d, ys_d, survived_d, counts_d, segs, ss, widths, targets, n)
 
     return collect
 

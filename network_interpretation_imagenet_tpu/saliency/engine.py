@@ -315,27 +315,25 @@ class SaliencyEngine:
             (jnp.int32(target),),
         )
 
-    def eval_knockout_masks_multi_async(
-        self, images, segments, knock_ids, targets
-    ):
-        """Enqueue the N·K knockout grid; returns (handle, n, k) for
-        :meth:`collect_multi`.
-
-        Args: images [N,H,W,C] f32, segments [N,H,W] int32, knock_ids
-        [N,K,M] int32, targets int32[N] (host or device — the batched sweep
-        passes a device argmax so dispatch never blocks on a fetch).
-        """
+    @staticmethod
+    def _pad_image_axis(images, segments, targets, extras=()):
+        """Pow-2 bucket the multi-grid image axis (zero pads — outputs trim
+        to the true N·K) so sweep tail batches reuse one compiled
+        executable. ``images`` may be a DEVICE array (padded without a
+        fetch); ``segments``/``extras`` are per-image host arrays;
+        ``targets`` may be host or device (e.g. the argmax of a
+        just-dispatched batched predict) and returns as a device int32
+        either way. Shared by the window and knockout multi paths."""
         if isinstance(images, jax.Array):
             images = images.astype(jnp.float32)  # device-resident: no fetch
         else:
             images = np.asarray(images, np.float32)
         segments = np.asarray(segments, np.int32)
-        knock_ids = np.asarray(knock_ids, np.int32)
-        n, k, m = knock_ids.shape
-
+        n = int(segments.shape[0])
         n_pad = 1
         while n_pad < n:
             n_pad *= 2
+        extras = tuple(np.asarray(e) for e in extras)
         if n_pad > n:
             zpad = lambda a: np.concatenate(
                 [a, np.zeros((n_pad - n,) + a.shape[1:], a.dtype)]
@@ -348,6 +346,7 @@ class SaliencyEngine:
             else:
                 images = zpad(images)
             segments = zpad(segments)
+            extras = tuple(zpad(e) for e in extras)
         if isinstance(targets, jax.Array):
             if n_pad > n:
                 targets = jnp.concatenate(
@@ -360,6 +359,22 @@ class SaliencyEngine:
                     [targets, np.zeros(n_pad - n, np.int32)]
                 )
             targets = jnp.asarray(targets)
+        return (images, segments, targets) + extras
+
+    def eval_knockout_masks_multi_async(
+        self, images, segments, knock_ids, targets
+    ):
+        """Enqueue the N·K knockout grid; returns (handle, n, k) for
+        :meth:`collect_multi`.
+
+        Args: images [N,H,W,C] f32, segments [N,H,W] int32, knock_ids
+        [N,K,M] int32, targets int32[N] (host or device — the batched sweep
+        passes a device argmax so dispatch never blocks on a fetch).
+        """
+        knock_ids = np.asarray(knock_ids, np.int32)
+        n, k, m = knock_ids.shape
+        images, segments, targets = self._pad_image_axis(
+            images, segments, targets)
 
         # rows[:, 0] = image index, rows[:, 1:] = M knock ids; chunk padding
         # fills rows with -1 (image -1 wraps to the last padded image; ids
@@ -399,45 +414,11 @@ class SaliencyEngine:
         just-dispatched batched predict) — the batched sweep path uses that
         so dispatch never blocks on a prediction fetch.
         """
-        if isinstance(images, jax.Array):
-            images = images.astype(jnp.float32)  # device-resident: no fetch
-        else:
-            images = np.asarray(images, np.float32)
-        segments = np.asarray(segments, np.int32)
         firsts = np.asarray(firsts, np.int32)
         widths = np.asarray(widths, np.int32)
         n, k = firsts.shape
-
-        # Bucket the image axis to powers of two (zero-padded) so sweep tail
-        # batches don't each compile a new executable.
-        n_pad = 1
-        while n_pad < n:
-            n_pad *= 2
-        if n_pad > n:
-            zpad = lambda a: np.concatenate(
-                [a, np.zeros((n_pad - n,) + a.shape[1:], a.dtype)]
-            )
-            if isinstance(images, jax.Array):
-                images = jnp.concatenate(
-                    [images,
-                     jnp.zeros((n_pad - n,) + images.shape[1:], images.dtype)]
-                )
-            else:
-                images = zpad(images)
-            segments = zpad(segments)
-            widths = zpad(widths)
-        if isinstance(targets, jax.Array):
-            if n_pad > n:
-                targets = jnp.concatenate(
-                    [targets, jnp.zeros(n_pad - n, targets.dtype)]
-                )
-        else:
-            targets = np.asarray(targets, np.int32)
-            if n_pad > n:
-                targets = np.concatenate(
-                    [targets, np.zeros(n_pad - n, np.int32)]
-                )
-            targets = jnp.asarray(targets)
+        images, segments, targets, widths = self._pad_image_axis(
+            images, segments, targets, extras=(widths,))
 
         pairs = np.stack(
             [np.repeat(np.arange(n, dtype=np.int32), k), firsts.reshape(-1)],

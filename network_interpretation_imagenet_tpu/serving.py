@@ -824,6 +824,36 @@ class ExportedBOServer:
         )
         return _assemble_output(segments, s, width, int(target), bo_res), bo_res
 
+    def explain_many(self, images, segments_list,
+                     window_fraction: float = 0.4, per_image_seeds=None,
+                     targets=None):
+        """Explain N images, choosing the execution strategy in ONE place:
+        the exported image-batched program when it pays (N > 1 and some
+        exported batch ≥ N), else sequential :meth:`explain` calls — with
+        ``per_image_seeds`` + explicit ``targets`` the two are
+        bit-identical, so callers (``/explain_batch``, the dynamic
+        batcher) share this decision instead of probing ``_batched_fns``
+        themselves. Returns ``(outs, device_calls)``; ``targets`` and
+        ``per_image_seeds`` are required (infer targets first via
+        :meth:`predict_logits_batch`)."""
+        n = len(segments_list)
+        if targets is None or per_image_seeds is None:
+            raise ValueError("explain_many needs explicit targets and "
+                             "per_image_seeds (infer targets first)")
+        if n > 1 and any(b >= n for b in (self._batched_fns or {})):
+            outs = self.explain_batch(
+                images, segments_list, window_fraction=window_fraction,
+                targets=targets, per_image_seeds=per_image_seeds,
+            )
+            return outs, 1
+        outs = [
+            self.explain(images[i], segments_list[i],
+                         window_fraction=window_fraction,
+                         seed=int(per_image_seeds[i]), target=targets[i])
+            for i in range(n)
+        ]
+        return outs, n
+
     def explain_batch(
         self,
         images,
@@ -843,9 +873,14 @@ class ExportedBOServer:
         import jax
         import jax.numpy as jnp
 
-        from network_interpretation_imagenet_tpu.bo.loop import BOResult
+        # The geometry/pad/keys/assembly semantics are IMPORTED from the
+        # live path, not re-implemented — the documented bit-parity with
+        # bo_window_saliency_multi holds by construction.
         from network_interpretation_imagenet_tpu.saliency.bo_pipeline import (
-            _assemble_output,
+            _collect_multi_outputs,
+            _multi_geometry,
+            _multi_keys,
+            _pad_multi_operands,
         )
 
         if not self._batched_fns:
@@ -853,13 +888,11 @@ class ExportedBOServer:
                 "artifact has no image-batched BO programs; re-export with "
                 "image_batches=(N,...) (CLI: --bo-image-batches)"
             )
-        segs = [np.asarray(s, np.int32) for s in segments_list]
+        segs, ss, widths, uppers = _multi_geometry(segments_list,
+                                                   window_fraction)
         n = len(segs)
         if n == 0:
             return []
-        ss = [int(s.max()) + 1 for s in segs]
-        widths = np.asarray([int(window_fraction * s) for s in ss], np.int32)
-        uppers = np.asarray([int(0.6 * s) for s in ss], np.int32)
         images = np.asarray(np.stack(images), np.float32)
 
         usable_n = [b for b in sorted(self._batched_fns) if b >= n]
@@ -877,21 +910,8 @@ class ExportedBOServer:
                 f"image needs a candidate bucket >= {need}; exported "
                 f"buckets: {sorted(fns)} — re-export with a larger bucket"
             )
-        if n_pad > n:
-            reps = n_pad - n
-            pad = lambda a: np.concatenate(
-                [a, np.repeat(a[:1], reps, axis=0)]
-            )
-            images, widths, uppers = pad(images), pad(widths), pad(uppers)
-            segs_arr = pad(np.stack(segs))
-            targets_pad = None if targets is None else pad(
-                np.asarray(targets, np.int32)
-            )
-        else:
-            segs_arr = np.stack(segs)
-            targets_pad = None if targets is None else np.asarray(
-                targets, np.int32
-            )
+        images, segs_arr, widths, uppers, targets_pad = _pad_multi_operands(
+            n, n_pad, images, segs, widths, uppers, targets)
 
         images_dev = jnp.asarray(images)
         if targets_pad is None:
@@ -902,47 +922,15 @@ class ExportedBOServer:
                 jax.device_get(jnp.argmax(logits, axis=-1)), np.int32
             )
 
-        # Keys derive from the ORIGINAL image count (padding-invariant),
-        # exactly as bo_window_saliency_multi does.
-        if per_image_seeds is not None:
-            if len(per_image_seeds) != n:
-                raise ValueError(
-                    f"per_image_seeds length {len(per_image_seeds)} != "
-                    f"len(images) {n}"
-                )
-            keys = jnp.stack(
-                [jax.random.PRNGKey(int(s)) for s in per_image_seeds]
-            )
-        else:
-            keys = jax.random.split(jax.random.PRNGKey(seed), n)
-        if n_pad > n:
-            keys = jnp.concatenate(
-                [keys, jnp.repeat(keys[:1], n_pad - n, axis=0)]
-            )
-
+        keys = _multi_keys(n, n_pad, seed, per_image_seeds)
         xs_d, ys_d, survived_d, counts_d = fns[usable_cb[0]].call(
             self.variables, images_dev, jnp.asarray(segs_arr),
             jnp.asarray(widths), jnp.asarray(targets_pad),
             jnp.asarray(uppers), keys,
         )
-        # ONE batched fetch (four np.asarray calls would each pay a
-        # device→host round trip).
-        xs, ys, survived, counts = jax.device_get(
-            (xs_d, ys_d, survived_d, counts_d)
-        )
-        outs = []
-        for i in range(n):
-            c = int(counts[i])
-            bo_res = BOResult(
-                xp=np.asarray(xs[i, :c]).astype(int),
-                yp=np.asarray(ys[i, :c]),
-                survived=np.asarray(survived[i, :c]),
-            )
-            out = _assemble_output(
-                segs[i], ss[i], int(widths[i]), int(targets_pad[i]), bo_res
-            )
-            outs.append((out, bo_res))
-        return outs
+        return _collect_multi_outputs(
+            xs_d, ys_d, survived_d, counts_d, segs, ss, widths,
+            targets_pad, n)
 
 
 def load_exported_bo(path: str, variables: Any = None) -> ExportedBOServer:

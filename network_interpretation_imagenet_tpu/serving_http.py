@@ -25,9 +25,11 @@ Endpoints (JSON in/out):
     per mask, artifact must be exported with ``knockout_m``).
 * ``POST /explain_batch`` — BO artifact only: N images in one request
   (``"images_b64"+"images_shape"`` [N,H,W,C]); ONE device call when the
-  artifact was exported with ``image_batches`` (the N-vmapped fused
-  loops), bit-identical sequential fallback otherwise — image i's key is
-  ``PRNGKey(seeds[i])`` (default ``seed + i``) either way.
+  batched program pays (N > 1 and the artifact was exported with an
+  ``image_batches`` entry ≥ N — ``ExportedBOServer.explain_many`` is the
+  single decision point, shared with the dynamic batcher), bit-identical
+  sequential fallback otherwise — image i's key is ``PRNGKey(seeds[i])``
+  (default ``seed + i``) either way.
 * ``POST /eval_windows`` — engine artifact only: explicit ``firsts``/
   ``width``/``target`` → per-mask survive/prob arrays (the raw
   ``eval_window_masks`` contract).
@@ -365,20 +367,10 @@ class _DynamicBatcher:
                 logits = bo.predict_logits_batch(images[missing])
                 for j, i in enumerate(missing):
                     targets[i] = int(logits[j].argmax())
-            batched = getattr(bo, "_batched_fns", None) or {}
-            if n > 1 and any(b >= n for b in batched):
-                outs = bo.explain_batch(
-                    images, segs, window_fraction=wf, targets=targets,
-                    per_image_seeds=[r["seed"] for r in reqs],
-                )
-                calls = 1
-            else:
-                outs = [
-                    bo.explain(images[i], segs[i], window_fraction=wf,
-                               seed=reqs[i]["seed"], target=targets[i])
-                    for i in range(n)
-                ]
-                calls = n
+            outs, calls = bo.explain_many(
+                images, segs, window_fraction=wf,
+                per_image_seeds=[r["seed"] for r in reqs], targets=targets,
+            )
             for r, (out, bo_res), t in zip(reqs, outs, targets):
                 r["result"] = (out, bo_res, t)
         except Exception:
@@ -571,11 +563,11 @@ class SaliencyService:
         return resp
 
     def explain_batch(self, body: dict) -> dict:
-        """N images in one request (BO artifacts only). Uses the exported
-        image-batched loop programs when the artifact has one that fits
-        (``export_bo_engine(image_batches=...)`` with some exported batch
-        ≥ N — ONE device call for all N), else falls back to N sequential
-        ``explain`` calls. Image i's PRNG key is ``PRNGKey(seeds[i])``
+        """N images in one request (BO artifacts only). Delegates the
+        batched-vs-sequential choice to ``ExportedBOServer.explain_many``
+        (ONE device call when N > 1 and an exported
+        ``image_batches`` entry fits, else N sequential ``explain`` calls
+        — the same rule the dynamic batcher uses). Image i's PRNG key is ``PRNGKey(seeds[i])``
         either way (default ``seeds = [seed + i]``), so given EXPLICIT
         ``targets`` the BO trajectories are bit-stable across artifact
         variants and batch compositions; inferred targets run through
@@ -621,21 +613,10 @@ class SaliencyService:
                     images
                 ).argmax(axis=-1)
             targets = [int(t) for t in targets]
-            batched = getattr(self.bo_server, "_batched_fns", None) or {}
-            if any(b >= n for b in batched):
-                outs = self.bo_server.explain_batch(
-                    images, list(segments), window_fraction=wf,
-                    targets=targets,
-                    per_image_seeds=[int(s) for s in seeds],
-                )
-            else:
-                outs = [
-                    self.bo_server.explain(
-                        images[i], segments[i], window_fraction=wf,
-                        seed=int(seeds[i]), target=targets[i],
-                    )
-                    for i in range(n)
-                ]
+            outs, _ = self.bo_server.explain_many(
+                images, list(segments), window_fraction=wf,
+                per_image_seeds=[int(s) for s in seeds], targets=targets,
+            )
         json_arrays = bool(body.get("json_arrays"))
         return {"results": [
             self._bo_item_json(out, bo_res, t, json_arrays)

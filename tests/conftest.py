@@ -80,6 +80,19 @@ _FORCE_SLOW = (
     "test_gp.py::test_variational_fit_predict_batch_sharded_matches_single_device",
     "test_gp.py::test_incremental_gp_matches_cholesky",
     "test_prefetch.py::test_sweep_cli_workers_real_jpegs",
+    # Measured ≥5 s each on one core (compile-heavy fits / a full engine
+    # build / a 16-min-compile-class Pallas kernel in interpret mode) —
+    # together they broke the tier's <60 s contract.
+    "test_gp.py::test_variational_gp_learns_halfspace",
+    "test_gp.py::test_kron_fit_posterior_batch_sharded_matches_single_device",
+    "test_gp.py::test_kron_fit_posterior_batch_matches_per_image",
+    "test_weights_artifact.py::test_engine_runs_from_artifact_with_torch_blocked",
+    "test_pallas.py::test_fused_bottleneck_chain_matches_xla",
+    "test_gp.py::test_lengthscale_sweep_picks_reasonable_scale",
+    "test_gp.py::test_incremental_gp_duplicate_points",
+    "test_gp.py::test_incremental_mll_selects_same_lengthscale_as_f64",
+    "test_gp.py::test_exact_gp_matches_sklearn",
+    "test_segment.py::test_slic_batch_matches_per_image",
 )
 
 
