@@ -34,6 +34,10 @@ def main(argv=None) -> int:
                         "integrated, smoothgrad, gradcam) — the backward "
                         "pass ships inside the AOT artifact, served by "
                         "ExportedSaliencyServer.attribute / POST /attribute")
+    p.add_argument("--attribution-batches", default="",
+                   help="comma-separated N: also export image-BATCHED "
+                        "attribution programs (N vmapped backwards per "
+                        "device call, served by POST /attribute_batch)")
     p.add_argument("--gradcam-layer", default=None,
                    help="intermediate layer for the gradcam export "
                         "(default: the deepest conv stage, resolved at "
@@ -72,6 +76,10 @@ def main(argv=None) -> int:
         knockout_m=args.knockout_m,
         attribution=tuple(
             m.strip() for m in args.attribution.split(",") if m.strip()
+        ),
+        attribution_batches=tuple(
+            int(b.strip()) for b in args.attribution_batches.split(",")
+            if b.strip()
         ),
         attribution_cfg={
             "ig_steps": args.ig_steps, "sg_samples": args.sg_samples,

@@ -61,6 +61,7 @@ def export_engine(
     knockout_m: int = 0,
     attribution: Sequence[str] = (),
     attribution_cfg: dict = None,
+    attribution_batches: Sequence[int] = (),
 ) -> dict:
     """Serialize the engine's window-mask forward for serving.
 
@@ -94,7 +95,11 @@ def export_engine(
     ``attribution_cfg`` fixes the jit-static hyperparameters
     (``ig_steps``/``sg_samples``/``sg_sigma``/``gradcam_layer``; the layer
     defaults to the menu's deepest conv stage, resolved at export time and
-    recorded in the manifest).
+    recorded in the manifest). ``attribution_batches=(N,...)`` additionally
+    exports image-BATCHED programs (``attr_{method}_b{N}.stablehlo``, the
+    vmapped N-image twin of ``gradient.attribute_batch``) served by
+    ``attribute_many``/``POST /attribute_batch`` — N backwards per device
+    call instead of N calls.
     """
     import jax
     import jax.numpy as jnp
@@ -154,8 +159,12 @@ def export_engine(
             knockout_files[str(b)] = fname
 
     attribution = tuple(attribution)
+    if attribution_batches and not attribution:
+        raise ValueError(
+            "attribution_batches needs attribution=[...] methods to export")
     attr_files = {}
     attr_cfg = {}
+    attr_batched = {}
     if attribution:
         from network_interpretation_imagenet_tpu.saliency import (
             gradient as grad_mod,
@@ -212,6 +221,26 @@ def export_engine(
                 f.write(exp.serialize())
             attr_files[method] = fname
 
+        for nb in sorted(set(int(b) for b in attribution_batches)):
+            if nb < 2:
+                raise ValueError(
+                    f"attribution_batches entries must be >= 2 (got {nb}); "
+                    "the per-image program already covers N=1")
+            for method in dict.fromkeys(attribution):
+                exp = jexport.export(
+                    jax.jit(jax.vmap(_attr_fn(method),
+                                     in_axes=(None, 0, 0, 0)))
+                )(
+                    var_spec,
+                    jax.ShapeDtypeStruct((nb, h, w, c), jnp.float32),
+                    jax.ShapeDtypeStruct((nb,), jnp.int32),
+                    jax.ShapeDtypeStruct((nb,), jnp.int32),
+                )
+                fname = f"attr_{method}_b{nb}.stablehlo"
+                with open(os.path.join(out_dir, fname), "wb") as f:
+                    f.write(exp.serialize())
+                attr_batched.setdefault(method, {})[str(nb)] = fname
+
     if include_weights:
         if host_variables is None:
             host_variables = getattr(engine, "host_variables", None)
@@ -236,7 +265,8 @@ def export_engine(
         "files": files,
         "knockout_m": knockout_m,
         "knockout_files": knockout_files,
-        "attribution": {"files": attr_files, "config": attr_cfg},
+        "attribution": {"files": attr_files, "config": attr_cfg,
+                        "batched_files": attr_batched},
         "weights": WEIGHTS if include_weights else None,
         # The artifact is lowered for the exporting platform only; the
         # loader fails fast on a mismatched host instead of erroring deep
@@ -292,6 +322,12 @@ class ExportedSaliencyServer:
         for method, fname in attr.get("files", {}).items():
             with open(os.path.join(path, fname), "rb") as f:
                 self._attr_fns[method] = jexport.deserialize(f.read())
+        self._attr_batched = {}
+        for method, per_n in attr.get("batched_files", {}).items():
+            for nb, fname in per_n.items():
+                with open(os.path.join(path, fname), "rb") as f:
+                    self._attr_batched.setdefault(method, {})[int(nb)] = (
+                        jexport.deserialize(f.read()))
         if variables is None:
             wpath = self.manifest.get("weights")
             if not wpath:
@@ -361,6 +397,15 @@ class ExportedSaliencyServer:
                 self.variables, image, jnp.int32(0), jnp.int32(0)
             ))
             n += 1
+        for per_n in self._attr_batched.values():
+            for nb, fn in per_n.items():
+                jax.block_until_ready(fn.call(
+                    self.variables,
+                    jnp.zeros((nb, h, h, c), jnp.float32),
+                    jnp.zeros((nb,), jnp.int32),
+                    jnp.zeros((nb,), jnp.int32),
+                ))
+                n += 1
         return n
 
     def logits_for_windows(
@@ -482,6 +527,58 @@ class ExportedSaliencyServer:
             jnp.int32(target), jnp.int32(seed),
         )
         return np.asarray(jax.device_get(out), np.float32)
+
+    def attribute_many(self, images, targets, method: str, seeds=None):
+        """N attribution heatmaps with the execution strategy chosen in
+        ONE place: the smallest exported image-batched program that fits
+        (N > 1, exported via ``attribution_batches``; pads by repeating
+        entry 0 and trims back), else N sequential :meth:`attribute`
+        calls. Returns ``(f32[N, H, W], device_calls)``."""
+        import jax
+        import jax.numpy as jnp
+
+        images = np.asarray(images, np.float32)
+        if images.ndim != 4:
+            raise ValueError(f"images must be [N, H, W, C], got "
+                             f"{images.shape}")
+        n = int(images.shape[0])
+        targets = [int(t) for t in targets]
+        seeds = [0] * n if seeds is None else [int(x) for x in seeds]
+        if len(targets) != n or len(seeds) != n:
+            raise ValueError(
+                f"targets/seeds must have length N={n}, got "
+                f"{len(targets)}/{len(seeds)}")
+        if n == 0:
+            h = int(self.manifest["input_size"])
+            return np.zeros((0, h, h), np.float32), 0
+        usable = [b for b in sorted(self._attr_batched.get(method, {}))
+                  if b >= n]
+        if n == 1 or not usable:
+            heats = np.stack([
+                self.attribute(images[i], targets[i], method, seed=seeds[i])
+                for i in range(n)
+            ])
+            return heats, n
+        nc = int(self.manifest["num_classes"])
+        bad = [t for t in targets if not 0 <= t < nc]
+        if bad:
+            raise ValueError(f"targets {bad} out of range [0, {nc})")
+        if method not in self._attr_fns:  # exported sets always match, but
+            raise ValueError(             # hand-built artifacts might not
+                f"artifact has no {method!r} attribution program "
+                f"(available: {list(self.attribution_methods)})")
+        n_pad = usable[0]
+        if n_pad > n:
+            reps = n_pad - n
+            images = np.concatenate(
+                [images, np.repeat(images[:1], reps, axis=0)])
+            targets = targets + [0] * reps
+            seeds = seeds + [0] * reps
+        out = self._attr_batched[method][n_pad].call(
+            self.variables, jnp.asarray(images),
+            jnp.asarray(targets, jnp.int32), jnp.asarray(seeds, jnp.int32),
+        )
+        return np.asarray(jax.device_get(out), np.float32)[:n], 1
 
 
 def load_exported(path: str, variables: Any = None) -> ExportedSaliencyServer:

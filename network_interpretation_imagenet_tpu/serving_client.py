@@ -305,3 +305,32 @@ class SaliencyClient:
         out = self._request("POST", "/attribute", body)
         _decode_heatmap(out)
         return out
+
+    def attribute_batch(self, images, method: str,
+                        targets: Optional[Sequence[int]] = None,
+                        seeds: Optional[Sequence[int]] = None,
+                        seed: int = 0, normalize: Optional[dict] = None,
+                        preprocess: Optional[dict] = None, **extra) -> list:
+        """N images' attribution maps (artifacts exported with
+        ``--attribution``; ONE device call when exported with
+        ``--attribution-batches``). ``images``: [N,H,W,C] array or a list
+        of JPEG ``bytes``. Returns a list of dicts with ``heatmap``
+        float32[H, W]."""
+        if not (isinstance(images, (list, tuple)) and images
+                and isinstance(images[0], (bytes, bytearray))):
+            images = np.asarray(images)
+            if images.ndim != 4:
+                raise ValueError(
+                    f"images must be [N,H,W,C], got {images.shape}")
+        body = {"method": str(method), "seed": int(seed)}
+        body.update(self._image_fields(images, "images", normalize,
+                                       preprocess))
+        if targets is not None:
+            body["targets"] = [int(t) for t in targets]
+        if seeds is not None:
+            body["seeds"] = [int(x) for x in seeds]
+        body.update(extra)
+        out = self._request("POST", "/attribute_batch", body)
+        for item in out["results"]:
+            _decode_heatmap(item)
+        return out["results"]

@@ -42,6 +42,13 @@ Endpoints (JSON in/out):
   smoothgrad / gradcam) → ``heatmap_b64`` f32[H, W]. The backward pass is
   baked into the AOT program; optional ``"target"`` (inferred when
   absent) and ``"seed"`` (stochastic methods only).
+* ``POST /attribute_batch`` — N images (``"images_b64"+"images_shape"``
+  or the other image wire formats) + ``"method"``: ONE device call when
+  the batched program pays (N > 1 and the artifact was exported with an
+  ``attribution_batches`` entry ≥ N — ``attribute_many`` is the single
+  decision point), bit-identical sequential fallback otherwise. Optional
+  ``"targets"`` (inferred per image when absent) and ``"seeds"``
+  (default ``seed + i``).
 
 Arrays travel either as nested JSON lists (``"image": [[[...]]]``) or —
 preferred, ~4× smaller and lossless — as base64 raw little-endian bytes:
@@ -720,6 +727,75 @@ class SaliencyService:
             resp["heatmap"] = heat.tolist()
         return resp
 
+    def attribute_batch(self, body: dict) -> dict:
+        """N images' attribution maps in one request; delegates the
+        batched-vs-sequential choice to
+        ``ExportedSaliencyServer.attribute_many`` (ONE device call when
+        N > 1 and an exported ``attribution_batches`` entry fits)."""
+        if not isinstance(body, dict):
+            raise ValueError("request body must be a JSON object")
+        if self.engine_server is None:
+            raise ValueError("/attribute_batch needs an engine artifact "
+                             "(this one is a fused-BO artifact)")
+        methods = self.engine_server.attribution_methods
+        if not methods:
+            raise ValueError(
+                "artifact has no attribution programs; re-export with "
+                "--attribution gradient,integrated,..."
+            )
+        method = body.get("method")
+        if method is None:
+            raise ValueError(f"missing 'method' (available: {list(methods)})")
+        if method not in methods:
+            raise ValueError(
+                f"artifact has no {method!r} attribution program "
+                f"(available: {list(methods)}); re-export with "
+                "--attribution")
+        images = _decode_image(body, "images")
+        if images is None or images.ndim != 4:
+            raise ValueError(
+                "missing 'images' (or 'images_b64'+'images_shape' [N,H,W,C])"
+            )
+        n = images.shape[0]
+        if n == 0:
+            return {"results": []}
+        seeds = body.get("seeds")
+        if seeds is None:
+            seed = int(body.get("seed", 0))
+            seeds = [seed + i for i in range(n)]
+        elif len(seeds) != n:
+            raise ValueError(f"'seeds' length {len(seeds)} != N={n}")
+        targets = body.get("targets")
+        if targets is not None and len(targets) != n:
+            raise ValueError(f"'targets' length {len(targets)} != N={n}")
+        with self._lock:
+            if targets is None:
+                # Per-image inference via the full-width window forward
+                # (the engine artifact has no batched predict head).
+                zero_seg = np.zeros(images.shape[1:3], np.int32)
+                targets = [
+                    int(self.engine_server.logits_for_windows(
+                        images[i], zero_seg, np.zeros(1, np.int32), 1
+                    )[0].argmax())
+                    for i in range(n)
+                ]
+            targets = [int(t) for t in targets]
+            heats, _ = self.engine_server.attribute_many(
+                images, targets, str(method), seeds=[int(x) for x in seeds]
+            )
+        json_arrays = bool(body.get("json_arrays"))
+        cfg = self.engine_server.attribution_config
+        results = []
+        for i in range(n):
+            enc = _encode_array(np.asarray(heats[i], np.float32))
+            item = {"target": targets[i], "method": str(method),
+                    "config": cfg, "heatmap_b64": enc["b64"],
+                    "heatmap_shape": enc["shape"]}
+            if json_arrays:
+                item["heatmap"] = np.asarray(heats[i], np.float32).tolist()
+            results.append(item)
+        return {"results": results}
+
     def eval_knockouts(self, body: dict) -> dict:
         """Knockout twin of :meth:`eval_windows` — ``knock_ids`` int32[K, m]
         (m ≤ the artifact's exported ``knockout_m``) instead of
@@ -753,7 +829,7 @@ class SaliencyService:
 
 
 _POST_ENDPOINTS = ("/explain", "/explain_batch", "/eval_windows",
-                   "/eval_knockouts", "/attribute")
+                   "/eval_knockouts", "/attribute", "/attribute_batch")
 
 
 def make_http_server(artifact_dir, host: str = "127.0.0.1",

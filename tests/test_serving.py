@@ -377,3 +377,61 @@ def test_export_attribution_cli_and_warmup(tmp_path):
     assert server.attribution_config["ig_steps"] == 2
     # 1 window bucket + 2 attribution programs.
     assert server.warmup() == 3
+
+
+def test_export_attribution_batched_matches_per_image(tmp_path, rng):
+    """attribution_batches exports N-image vmapped programs; attribute_many
+    picks the batched program (one device call) and matches per-image
+    attribute() calls, including padding trim and the sequential fallback."""
+    import pytest
+
+    engine = _engine()
+    path = str(tmp_path / "attr_b_artifact")
+    manifest = serving.export_engine(
+        engine, path, batch_sizes=(4,),
+        attribution=("gradient", "smoothgrad"),
+        attribution_cfg={"sg_samples": 3, "sg_sigma": 0.1},
+        attribution_batches=(4,),
+    )
+    bf = manifest["attribution"]["batched_files"]
+    assert set(bf) == {"gradient", "smoothgrad"}
+    assert set(bf["gradient"]) == {"4"}
+
+    server = serving.load_exported(path)
+    images = rng.rand(3, 28, 28, 1).astype(np.float32)
+    targets = [1, 2, 3]
+    seeds = [5, 6, 7]
+    for m in ("gradient", "smoothgrad"):
+        singles = np.stack([
+            server.attribute(images[i], targets[i], m, seed=seeds[i])
+            for i in range(3)
+        ])
+        heats, calls = server.attribute_many(images, targets, m, seeds=seeds)
+        assert calls == 1  # N=3 fits the exported b4 program
+        np.testing.assert_allclose(heats, singles, atol=1e-5, err_msg=m)
+
+    # N=1 goes sequential (no pad waste); oversized N falls back too.
+    h1, c1 = server.attribute_many(images[:1], targets[:1], "gradient")
+    assert c1 == 1 and h1.shape == (1, 28, 28)
+    big = np.repeat(images, 2, axis=0)
+    h6, c6 = server.attribute_many(big, targets * 2, "gradient",
+                                   seeds=seeds * 2)
+    assert c6 == 6 and h6.shape == (6, 28, 28)
+    # Typed-empty and validation.
+    h0, c0 = server.attribute_many(
+        np.zeros((0, 28, 28, 1), np.float32), [], "gradient")
+    assert h0.shape == (0, 28, 28) and c0 == 0
+    with pytest.raises(ValueError, match="length"):
+        server.attribute_many(images, targets[:2], "gradient")
+    with pytest.raises(ValueError, match="out of range"):
+        server.attribute_many(images, [1, 2, 5000], "gradient")
+    # warmup touches 1 window + 2 attr + 2 batched-attr programs.
+    assert server.warmup() == 5
+    # Batches without methods are a loud export error.
+    with pytest.raises(ValueError, match="attribution_batches"):
+        serving.export_engine(engine, str(tmp_path / "bad"),
+                              batch_sizes=(4,), attribution_batches=(4,))
+    with pytest.raises(ValueError, match=">= 2"):
+        serving.export_engine(engine, str(tmp_path / "bad1"),
+                              batch_sizes=(4,), attribution=("gradient",),
+                              attribution_batches=(1,))

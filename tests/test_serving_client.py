@@ -366,3 +366,31 @@ def test_client_jpeg_wire_runs_eval_transform_server_side(tmp_path, rng):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_client_attribute_batch(tmp_path, rng):
+    engine = _engine()
+    path = str(tmp_path / "attr_artifact")
+    serving.export_engine(engine, path, batch_sizes=(4,),
+                          attribution=("gradient",),
+                          attribution_batches=(4,))
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = httpd.server_address[:2]
+        client = SaliencyClient(host, port)
+        imgs = rng.rand(2, 28, 28, 1).astype(np.float32)
+        res = client.attribute_batch(imgs, "gradient", targets=[1, 2],
+                                     seeds=[3, 4])
+        assert len(res) == 2
+        for i, item in enumerate(res):
+            assert item["heatmap"].shape == (28, 28)
+            single = client.attribute(imgs[i], "gradient", target=i + 1,
+                                      seed=3 + i)
+            np.testing.assert_allclose(item["heatmap"], single["heatmap"],
+                                       atol=1e-5)
+        client.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

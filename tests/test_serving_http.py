@@ -1023,3 +1023,63 @@ def test_http_attribute_without_programs_is_400(http_engine_server, rng):
         "image_b64": _b64(image), "image_shape": [28, 28, 1],
         "method": "gradient"})
     assert status == 400 and "attribution" in resp["error"]
+
+
+def test_http_attribute_batch_endpoint(tmp_path, rng):
+    """POST /attribute_batch: batched-program parity with N /attribute
+    calls, inferred targets, and validation errors."""
+    engine = _engine()
+    path = str(tmp_path / "attr_batch_artifact")
+    serving.export_engine(
+        engine, path, batch_sizes=(4,),
+        attribution=("gradient", "smoothgrad"),
+        attribution_cfg={"sg_samples": 3, "sg_sigma": 0.1},
+        attribution_batches=(4,),
+    )
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = httpd.server_address[:2]
+        conn = HTTPConnection(host, port)
+        images = rng.rand(3, 28, 28, 1).astype(np.float32)
+
+        status, resp = _post(conn, "/attribute_batch", {
+            "images_b64": _b64(images), "images_shape": [3, 28, 28, 1],
+            "method": "smoothgrad", "targets": [1, 2, 3],
+            "seeds": [5, 6, 7]})
+        assert status == 200 and len(resp["results"]) == 3
+        for i, item in enumerate(resp["results"]):
+            heat = np.frombuffer(
+                base64.b64decode(item["heatmap_b64"]), np.float32
+            ).reshape(item["heatmap_shape"])
+            s1, single = _post(conn, "/attribute", {
+                "image_b64": _b64(images[i]), "image_shape": [28, 28, 1],
+                "method": "smoothgrad", "target": i + 1, "seed": 5 + i})
+            assert s1 == 200
+            ref = np.frombuffer(
+                base64.b64decode(single["heatmap_b64"]), np.float32
+            ).reshape(single["heatmap_shape"])
+            np.testing.assert_allclose(heat, ref, atol=1e-5)
+
+        # Inferred targets match per-image /attribute inference.
+        status, resp = _post(conn, "/attribute_batch", {
+            "images_b64": _b64(images), "images_shape": [3, 28, 28, 1],
+            "method": "gradient"})
+        assert status == 200
+        preds = np.asarray(engine.predict(images)).argmax(axis=1)
+        assert [r["target"] for r in resp["results"]] == [int(p)
+                                                          for p in preds]
+
+        # Validation: bad lengths and unknown method are 400s.
+        status, resp = _post(conn, "/attribute_batch", {
+            "images_b64": _b64(images), "images_shape": [3, 28, 28, 1],
+            "method": "gradient", "targets": [1]})
+        assert status == 400 and "length" in resp["error"]
+        status, resp = _post(conn, "/attribute_batch", {
+            "images_b64": _b64(images), "images_shape": [3, 28, 28, 1],
+            "method": "rise"})
+        assert status == 400 and "re-export" in resp["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
