@@ -29,10 +29,11 @@ def main(argv=None) -> int:
                         "knockouts per mask (reference MNIST=1 / CIFAR=5 "
                         "semantics; m<=M requests pad with the -1 sentinel)")
     p.add_argument("--attribution", default="",
-                   help="comma-separated gradient-family attribution "
-                        "programs to bundle (gradient, grad_input, "
-                        "integrated, smoothgrad, gradcam) — the backward "
-                        "pass ships inside the AOT artifact, served by "
+                   help="comma-separated attribution programs to bundle "
+                        "(gradient, grad_input, integrated, smoothgrad, "
+                        "gradcam, scorecam, occlusion, rise, meaningful) — "
+                        "backwards/interceptors/optimizer loops ship inside "
+                        "the AOT artifact, served by "
                         "ExportedSaliencyServer.attribute / POST /attribute")
     p.add_argument("--attribution-batches", default="",
                    help="comma-separated N: also export image-BATCHED "

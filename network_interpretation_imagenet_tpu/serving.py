@@ -87,11 +87,15 @@ def export_engine(
     global-pooled, so any resolution traces). The chosen size is recorded in
     the manifest and enforced by the loader at call time.
 
-    ``attribution`` exports gradient-family attribution programs
+    ``attribution`` exports attribution programs
     (``attr_{method}.stablehlo``, uniform signature ``(variables, image,
-    target, seed) → f32[H, W]``) from {gradient, grad_input, integrated,
-    smoothgrad, gradcam} — the backward pass ships INSIDE the AOT program,
-    so a serving host explains without the model zoo or autodiff setup.
+    target, seed) → f32[H, W]``) from the FULL per-image family: the
+    gradient methods {gradient, grad_input, integrated, smoothgrad,
+    gradcam} plus the mask-batched ones {scorecam, occlusion, rise} and
+    the Fong-Vedaldi learned deletion mask {meaningful} (its entire Adam
+    loop ships as one program) — backward passes, intermediate-capture
+    interceptors, and optimizer loops all live INSIDE the AOT program, so
+    a serving host explains without the model zoo or autodiff setup.
     ``attribution_cfg`` fixes the jit-static hyperparameters
     (``ig_steps``/``sg_samples``/``sg_sigma``/``gradcam_layer``; the layer
     defaults to the menu's deepest conv stage, resolved at export time and
@@ -171,13 +175,25 @@ def export_engine(
         )
 
         supported = ("gradient", "grad_input", "integrated", "smoothgrad",
-                     "gradcam")
+                     "gradcam", "scorecam", "occlusion", "rise",
+                     "meaningful")
         unknown = [m for m in attribution if m not in supported]
         if unknown:
             raise ValueError(f"unsupported attribution methods {unknown}; "
                              f"choose from {supported}")
-        attr_cfg = {"ig_steps": 16, "sg_samples": 16, "sg_sigma": 0.15,
-                    "gradcam_layer": None}
+        attr_cfg = {
+            # gradient family
+            "ig_steps": 16, "sg_samples": 16, "sg_sigma": 0.15,
+            "gradcam_layer": None,
+            # mask-batched methods (forward chunk shared via mask_batch)
+            "mask_batch": 64, "occ_patch": 32, "occ_stride": 16,
+            "rise_masks": 500, "rise_grid": 7, "rise_keep": 0.5,
+            "scorecam_channels": 64,
+            # learned deletion mask (Fong-Vedaldi)
+            "lm_mask_size": 28, "lm_iters": 150, "lm_lr": 0.1,
+            "lm_l1": 0.05, "lm_tv": 0.1, "lm_jitter": 4,
+            "lm_baseline": "blur",
+        }
         bad_keys = set(attribution_cfg or {}) - set(attr_cfg)
         if bad_keys:
             # A typo'd/unsupported hyperparameter would be recorded in the
@@ -186,11 +202,31 @@ def export_engine(
                 f"unknown attribution_cfg keys {sorted(bad_keys)}; "
                 f"supported: {sorted(attr_cfg)}")
         attr_cfg.update(attribution_cfg or {})
-        if "gradcam" in attribution and attr_cfg["gradcam_layer"] is None:
-            # The layer must be jit-static: resolve the menu's default at
-            # export time, record it in the manifest.
+        if (attr_cfg["gradcam_layer"] is None
+                and {"gradcam", "scorecam"} & set(attribution)):
+            # The CAM layer must be jit-static: resolve the menu's default
+            # at export time, record it in the manifest.
             attr_cfg["gradcam_layer"] = grad_mod.default_gradcam_layer(
                 bundle, engine.variables, (h, w, c))
+
+        def _meaningful_fn(v, img, t, s):
+            from network_interpretation_imagenet_tpu.saliency import (
+                learned_mask as lm,
+            )
+
+            run = lm._learned_mask_core(
+                apply_fn, int(attr_cfg["lm_mask_size"]),
+                int(attr_cfg["lm_iters"]), float(attr_cfg["lm_lr"]),
+                float(attr_cfg["lm_l1"]), float(attr_cfg["lm_tv"]), 3.0,
+                max(int(attr_cfg["lm_jitter"]), 1)
+                if attr_cfg["lm_jitter"] else 1,
+                4 if attr_cfg["lm_jitter"] else 0, h, w,
+                np.dtype(compute_dtype).name)
+            base = (lm.gaussian_blur(img, 10.0)
+                    if attr_cfg["lm_baseline"] == "blur"
+                    else jnp.zeros_like(img))
+            m, _, _, _ = run(v, img, base, t, jax.random.PRNGKey(s))
+            return 1.0 - jax.image.resize(m, (h, w), method="bilinear")
 
         def _attr_fn(method):
             if method == "gradient":
@@ -206,8 +242,30 @@ def export_engine(
                 return lambda v, img, t, s: grad_mod.smoothgrad(
                     apply_fn, v, img, t, samples=attr_cfg["sg_samples"],
                     noise_sigma=attr_cfg["sg_sigma"], seed=s)
-            return lambda v, img, t, s: grad_mod.gradcam(
-                bundle, v, img, t, layer=attr_cfg["gradcam_layer"])
+            if method == "gradcam":
+                return lambda v, img, t, s: grad_mod.gradcam(
+                    bundle, v, img, t, layer=attr_cfg["gradcam_layer"])
+            if method == "scorecam":
+                return lambda v, img, t, s: grad_mod.scorecam(
+                    bundle, v, img, t, layer=attr_cfg["gradcam_layer"],
+                    channels=attr_cfg["scorecam_channels"],
+                    batch=attr_cfg["mask_batch"],
+                    compute_dtype=compute_dtype)
+            if method == "occlusion":
+                return lambda v, img, t, s: grad_mod.occlusion_map(
+                    apply_fn, v, img, t, patch=attr_cfg["occ_patch"],
+                    stride=attr_cfg["occ_stride"],
+                    batch=attr_cfg["mask_batch"],
+                    compute_dtype=compute_dtype)
+            if method == "rise":
+                return lambda v, img, t, s: grad_mod.rise_map(
+                    apply_fn, v, img, t,
+                    num_masks=attr_cfg["rise_masks"],
+                    grid=attr_cfg["rise_grid"],
+                    keep_prob=attr_cfg["rise_keep"],
+                    batch=attr_cfg["mask_batch"], seed=s,
+                    compute_dtype=compute_dtype)
+            return _meaningful_fn
 
         for method in dict.fromkeys(attribution):
             exp = jexport.export(jax.jit(_attr_fn(method)))(
@@ -221,12 +279,21 @@ def export_engine(
                 f.write(exp.serialize())
             attr_files[method] = fname
 
+        # Batched exports cover the gradient family only: the mask-batched
+        # methods (occlusion/rise/scorecam) and the learned-mask loop
+        # already saturate the chip per image, so vmapping them over N
+        # multiplies memory without a throughput win.
+        from network_interpretation_imagenet_tpu.saliency.gradient import (
+            BATCHABLE_METHODS,
+        )
+
         for nb in sorted(set(int(b) for b in attribution_batches)):
             if nb < 2:
                 raise ValueError(
                     f"attribution_batches entries must be >= 2 (got {nb}); "
                     "the per-image program already covers N=1")
-            for method in dict.fromkeys(attribution):
+            for method in dict.fromkeys(
+                    m for m in attribution if m in BATCHABLE_METHODS):
                 exp = jexport.export(
                     jax.jit(jax.vmap(_attr_fn(method),
                                      in_axes=(None, 0, 0, 0)))

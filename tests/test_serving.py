@@ -435,3 +435,51 @@ def test_export_attribution_batched_matches_per_image(tmp_path, rng):
         serving.export_engine(engine, str(tmp_path / "bad1"),
                               batch_sizes=(4,), attribution=("gradient",),
                               attribution_batches=(1,))
+
+
+def test_export_attribution_full_family(tmp_path, rng):
+    """The mask-batched methods (scorecam/occlusion/rise) and the
+    learned-mask Adam loop also export as AOT programs — interceptors,
+    scans, and the optimizer all live inside the artifact — and reproduce
+    the live implementations exactly."""
+    from network_interpretation_imagenet_tpu.saliency import (
+        gradient as grad_mod,
+    )
+    from network_interpretation_imagenet_tpu.saliency import learned_mask
+
+    engine = _engine()
+    path = str(tmp_path / "family_artifact")
+    cfg = {"mask_batch": 8, "occ_patch": 14, "occ_stride": 7,
+           "rise_masks": 8, "rise_grid": 4, "scorecam_channels": 4,
+           "lm_mask_size": 7, "lm_iters": 4, "lm_jitter": 2}
+    manifest = serving.export_engine(
+        engine, path, batch_sizes=(4,),
+        attribution=("scorecam", "occlusion", "rise", "meaningful"),
+        attribution_cfg=cfg,
+        attribution_batches=(4,),  # no gradient-family methods → no batched
+    )
+    assert manifest["attribution"]["batched_files"] == {}
+    # scorecam resolved its CAM layer at export time.
+    assert manifest["attribution"]["config"]["gradcam_layer"]
+
+    server = serving.load_exported(path)
+    bundle, variables = engine.bundle, engine.variables
+    img = rng.rand(28, 28, 1).astype(np.float32)
+    live = {
+        "scorecam": grad_mod.scorecam(
+            bundle, variables, img, 3, channels=4, batch=8,
+            compute_dtype=jnp.float32),
+        "occlusion": grad_mod.occlusion_map(
+            bundle.logits, variables, img, 3, patch=14, stride=7, batch=8,
+            compute_dtype=jnp.float32),
+        "rise": grad_mod.rise_map(
+            bundle.logits, variables, img, 3, num_masks=8, grid=4, batch=8,
+            seed=7, compute_dtype=jnp.float32),
+        "meaningful": learned_mask.learned_mask_saliency(
+            bundle.logits, variables, img, 3, mask_size=7, iters=4,
+            jitter=2, seed=7).heatmap,
+    }
+    for name, ref in live.items():
+        heat = server.attribute(img, 3, name, seed=7)
+        np.testing.assert_allclose(heat, np.asarray(ref), atol=2e-5,
+                                   err_msg=name)
