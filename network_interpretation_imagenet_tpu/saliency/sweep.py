@@ -570,6 +570,13 @@ def saliency_sweep(
 
 
 
+# NOTE: saliency_sweep (window/knockout) keeps its own driver instead of
+# this one because its structure genuinely differs: per-image mask GRIDS
+# (image i contributes K_i masks, flat N·K dispatch through the engine's
+# bucketed chunks) and misclassification decided at COLLECT time from the
+# same batched forward (a device scalar rides along so dispatch never
+# blocks) — here the skip decision must happen BEFORE dispatch because
+# the whole flush is one program over the kept images only.
 def _batched_flush_sweep(
     engine: SaliencyEngine,
     dataset: Iterable,

@@ -96,7 +96,10 @@ def export_engine(
     loop ships as one program) — backward passes, intermediate-capture
     interceptors, and optimizer loops all live INSIDE the AOT program, so
     a serving host explains without the model zoo or autodiff setup.
-    ``attribution_cfg`` fixes the jit-static hyperparameters
+    (XRAI is the one per-image method excluded by design: its multi-scale
+    felzenszwalb ladder and greedy region ranking are host work around
+    the device IG program, so there is no single device program to
+    export.) ``attribution_cfg`` fixes the jit-static hyperparameters
     (``ig_steps``/``sg_samples``/``sg_sigma``/``gradcam_layer``; the layer
     defaults to the menu's deepest conv stage, resolved at export time and
     recorded in the manifest). ``attribution_batches=(N,...)`` additionally
