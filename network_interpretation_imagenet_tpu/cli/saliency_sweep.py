@@ -106,7 +106,7 @@ def main(argv=None):
                         "random window masks")
     p.add_argument("--attribute", default=None, metavar="METHOD",
                    choices=["gradient", "grad_input", "integrated",
-                            "smoothgrad", "gradcam", "meaningful"],
+                            "smoothgrad", "gradcam", "meaningful", "xrai"],
                    help="drive the sweep with a gradient-family attribution "
                         "method instead of masks: every --image-batch "
                         "images' backward passes run as ONE vmapped program "
@@ -254,6 +254,8 @@ def main(argv=None):
                 "sg_squared": bool(args.sg_squared),
                 "gradcam_layer": args.gradcam_layer,
             })
+            if args.attribute == "xrai":
+                jconfig.update({"xrai_scales": args.xrai_scales})
             if args.attribute == "meaningful":
                 jconfig.update({
                     "lm_mask_size": args.lm_mask_size,
@@ -327,6 +329,8 @@ def main(argv=None):
                 "l1": args.lm_l1, "tv": args.lm_tv,
                 "jitter": args.lm_jitter, "baseline": args.lm_baseline,
             } if args.attribute == "meaningful" else None,
+            xrai_scales=[float(v) for v in args.xrai_scales.split(",")]
+            if args.attribute == "xrai" else None,
         )
     elif args.bo:
         from network_interpretation_imagenet_tpu.config import BOConfig

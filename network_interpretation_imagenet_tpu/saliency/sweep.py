@@ -908,6 +908,7 @@ def attribution_sweep(
     step_batch: Optional[int] = None,
     sample_batch: Optional[int] = None,
     lm_cfg: Optional[dict] = None,
+    xrai_scales=None,
 ) -> SweepResult:
     """Val-set sweep driven by the gradient-family attribution path: every
     ``image_batch`` images' backward passes run as ONE vmapped program
@@ -918,10 +919,14 @@ def attribution_sweep(
     this family.
 
     ``method`` ∈ ``gradient.BATCHABLE_METHODS`` (gradient / grad_input /
-    integrated / smoothgrad / gradcam) or ``"meaningful"`` (Fong-Vedaldi
+    integrated / smoothgrad / gradcam), ``"meaningful"`` (Fong-Vedaldi
     learned deletion masks: N Adam loops as ONE vmapped program,
     ``learned_mask.learned_mask_batch_dispatch``; hyperparameters via
-    ``lm_cfg``, rows additionally carry prob_original/prob_masked).
+    ``lm_cfg``, rows additionally carry prob_original/prob_masked), or
+    ``"xrai"`` (the batched signed-IG program per flush +
+    per-image host felzenszwalb-ladder greedy ranking at collect time —
+    host ranking overlaps the NEXT flush's device work in the depth-2
+    pipeline; ``xrai_scales`` sets the ladder, rows carry num_regions).
     Stochastic seeds derive from
     DATASET indices (``seed + index``), so per-image results are invariant
     to flush composition and journal resume matches an uninterrupted run.
@@ -937,14 +942,25 @@ def attribution_sweep(
 
     from network_interpretation_imagenet_tpu.saliency import gradient as gmod
 
-    if method != "meaningful" and method not in gmod.BATCHABLE_METHODS:
+    extra_methods = ("meaningful", "xrai")
+    if method not in extra_methods and method not in gmod.BATCHABLE_METHODS:
         raise ValueError(f"unknown attribution method {method!r}; choose "
-                         f"from {gmod.BATCHABLE_METHODS + ('meaningful',)}")
+                         f"from {gmod.BATCHABLE_METHODS + extra_methods}")
     res, iou_m, surv_m, latencies, done, log = _sweep_scaffold(
         journal, logger, keep_heatmaps)
     t_start = time.perf_counter()
 
     lm = dict(lm_cfg or {})
+
+    def enqueue_display(image):
+        if method != "xrai":
+            return None  # gradient/learned-mask methods need no segmentation
+        from network_interpretation_imagenet_tpu.ops import aggregate
+
+        disp = aggregate.normalize_to_uint8_np(image)
+        if disp.ndim == 3 and disp.shape[2] == 1:
+            disp = disp[:, :, 0]
+        return disp
 
     def dispatch(imgs_dev, disps, keep, idxs, preds):
         keep_imgs = (imgs_dev if len(keep) == int(imgs_dev.shape[0]) else
@@ -961,6 +977,14 @@ def attribution_sweep(
                 engine.bundle.logits, engine.variables, keep_imgs,
                 kept_targets, seeds=kept_seeds, mesh=mesh, **lm,
             )
+        if method == "xrai":
+            from network_interpretation_imagenet_tpu.saliency import xrai
+
+            attr_dev = xrai.xrai_attribution_batch(
+                engine.bundle.logits, engine.variables, keep_imgs,
+                kept_targets, steps=steps, step_batch=step_batch, mesh=mesh,
+            )
+            return attr_dev, [disps[j] for j in keep]
         return gmod.attribute_batch(
             engine.bundle.logits, engine.variables, keep_imgs,
             kept_targets, method, bundle=engine.bundle, steps=steps,
@@ -972,6 +996,31 @@ def attribution_sweep(
     def collect(state):
         import jax
 
+        if method == "xrai":
+            from network_interpretation_imagenet_tpu.saliency import xrai
+
+            attrs, kept_disps = state
+            attrs = np.asarray(attrs)  # ONE device→host fetch
+            scales = (xrai.DEFAULT_SCALES if xrai_scales is None
+                      else xrai_scales)
+            out = []
+            for pos in range(len(attrs)):
+                # The same scale→min_size ladder as xrai_saliency.
+                seg_maps = [
+                    segment_image(
+                        kept_disps[pos],
+                        SegmentConfig(method="felzenszwalb",
+                                      scale=float(sc), sigma=0.5,
+                                      min_size=max(int(round(
+                                          float(sc) / 10.0)), 5)),
+                    )
+                    for sc in scales
+                ]
+                heat, n_regions = xrai.greedy_region_ranking(
+                    attrs[pos], seg_maps)
+                out.append((heat, {"method": method,
+                                   "num_regions": int(n_regions)}))
+            return out
         if method == "meaningful":
             heats, _, p_orig, p_masked, _ = jax.device_get(state)
             return [
@@ -993,8 +1042,9 @@ def attribution_sweep(
         fidelity_steps=fidelity_steps,
         evals_per_image=(int(lm.get("iters", 150)) if method == "meaningful"
                          else {"integrated": int(steps),
-                               "smoothgrad": int(samples)}.get(method, 1)),
-        enqueue_display=lambda image: None, dispatch=dispatch,
+                               "smoothgrad": int(samples),
+                               "xrai": 2 * int(steps)}.get(method, 1)),
+        enqueue_display=enqueue_display, dispatch=dispatch,
         collect=collect,
     )
     return _finish_sweep(res, iou_m, surv_m, latencies, total_evals,

@@ -47,6 +47,7 @@ def xrai_attribution(
     target: int,
     steps: int = 16,
     baselines: Optional[Sequence[Array]] = None,
+    step_batch: Optional[int] = None,
 ) -> Array:
     """SIGNED per-pixel integrated-gradients attribution, averaged over
     ``baselines`` — f32[H, W].
@@ -57,8 +58,12 @@ def xrai_attribution(
     regions sort last), and the attribution is the MEAN over a baseline
     set (default: black + white in the image's own value range, the
     paper's pair). All |baselines|·steps backwards run as one vmapped
-    device program.
+    device program; ``step_batch`` bounds live activations via the exact
+    scan accumulation of :func:`gradient._grad_mean` (per baseline),
+    for N-image batched sweeps.
     """
+    from .gradient import _grad_mean
+
     image = jnp.asarray(image, jnp.float32)
     if baselines is None:
         lo = jnp.full_like(image, jnp.min(image))
@@ -67,16 +72,65 @@ def xrai_attribution(
     base = jnp.stack([jnp.broadcast_to(jnp.asarray(b, jnp.float32),
                                        image.shape) for b in baselines])
     alphas = (jnp.arange(steps, dtype=jnp.float32) + 0.5) / steps
-    # [B, S, H, W, C] straight paths, flattened into one batched backward.
-    path = base[:, None] + alphas[None, :, None, None, None] * (
-        image[None, None] - base[:, None])
-    flat = path.reshape(-1, *image.shape)
-
     grad_one = jax.grad(_target_logit_fn(logits_fn, variables, target))
-    grads = jax.vmap(grad_one)(flat).reshape(base.shape[0], steps,
-                                             *image.shape)
-    ig = (image[None] - base) * jnp.mean(grads, axis=1)  # [B, H, W, C]
+    if step_batch is None:
+        # [B, S, H, W, C] straight paths, one flat batched backward.
+        path = base[:, None] + alphas[None, :, None, None, None] * (
+            image[None, None] - base[:, None])
+        flat = path.reshape(-1, *image.shape)
+        grads = jax.vmap(grad_one)(flat).reshape(base.shape[0], steps,
+                                                 *image.shape)
+        avg = jnp.mean(grads, axis=1)  # [B, H, W, C]
+    else:
+        # Per-baseline scan accumulation (gradients combine linearly, so
+        # this is exact) — live memory bounded at step_batch backwards.
+        avg = jnp.stack([
+            _grad_mean(grad_one,
+                       base[b][None] + alphas[:, None, None, None]
+                       * (image - base[b])[None],
+                       step_batch)
+            for b in range(base.shape[0])
+        ])
+    ig = (image[None] - base) * avg  # [B, H, W, C]
     return jnp.sum(jnp.mean(ig, axis=0), axis=-1)
+
+
+def xrai_attribution_batch(
+    logits_fn: Callable,
+    variables: Any,
+    images,
+    targets,
+    steps: int = 16,
+    step_batch: Optional[int] = None,
+    mesh=None,
+    data_axis: str = "data",
+) -> Array:
+    """N images' signed XRAI attributions in ONE device program →
+    f32[N, H, W] (default black/white per-image baselines). Shares the
+    image-batch scaffolding of ``gradient.attribute_batch`` (pow-2
+    buckets, optional mesh shard_map); pair with ``step_batch`` — an
+    unchunked N×2×S batched IG holds N·2·S backwards' activations live.
+    The greedy region ranking stays per-image host work
+    (:func:`greedy_region_ranking`)."""
+    from .gradient import _image_batch_scaffold, _jit_image_batched
+
+    images, targets, seeds, n, bucket = _image_batch_scaffold(
+        images, targets, None, mesh, data_axis)
+    if n == 0:
+        return jnp.zeros((0,) + images.shape[1:3], jnp.float32)
+    key = ("xrai", logits_fn, int(steps), step_batch, bucket,
+           images.shape[1:], mesh, data_axis)
+    if key not in _XRAI_BATCH_CACHE:
+        def one(v, img, t, s):
+            return xrai_attribution(logits_fn, v, img, t, steps=steps,
+                                    step_batch=step_batch)
+
+        _XRAI_BATCH_CACHE[key] = _jit_image_batched(one, mesh, data_axis)
+    return _XRAI_BATCH_CACHE[key](variables, images, targets, seeds)[:n]
+
+
+# (steps, step_batch, bucket, shape, mesh) → jitted vmapped signed-IG core.
+_XRAI_BATCH_CACHE: dict = {}
 
 
 def greedy_region_ranking(

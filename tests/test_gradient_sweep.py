@@ -1054,3 +1054,32 @@ def test_attribution_sweep_meaningful(rng):
     for i in res.heatmaps:
         np.testing.assert_allclose(res2.heatmaps[i], res.heatmaps[i],
                                    atol=2e-5)
+
+
+def test_attribution_sweep_xrai(rng):
+    """method='xrai': batched signed-IG per flush, per-image host ladder
+    ranking at collect; heatmaps match xrai_saliency per image."""
+    from network_interpretation_imagenet_tpu.ops import aggregate
+    from network_interpretation_imagenet_tpu.saliency import xrai
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        attribution_sweep,
+    )
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=32,
+                            compute_dtype=jnp.float32)
+    images = [rng.rand(28, 28, 1).astype(np.float32) for _ in range(3)]
+    dataset = [(im, None, None) for im in images]
+    res = attribution_sweep(engine, list(dataset), method="xrai",
+                            image_batch=2, steps=4, keep_heatmaps=True,
+                            xrai_scales=(20.0, 60.0))
+    assert res.images_explained == 3
+    for r in res.per_image:
+        assert r["method"] == "xrai" and r["num_regions"] >= 1
+    for i, im in enumerate(images):
+        target = int(engine.predict_one(im)[0])
+        disp = aggregate.normalize_to_uint8_np(im)[:, :, 0]
+        ref = xrai.xrai_saliency(bundle.logits, variables, im, target,
+                                 disp, steps=4, scales=(20.0, 60.0))
+        np.testing.assert_allclose(res.heatmaps[i], ref.heatmap, atol=2e-5)
