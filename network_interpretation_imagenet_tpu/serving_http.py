@@ -972,7 +972,15 @@ def make_http_server(artifact_dir, host: str = "127.0.0.1",
             except Exception:
                 pass  # client gone mid-write; nothing left to say
 
-    httpd = ThreadingHTTPServer((host, port), Handler)
+    class _Server(ThreadingHTTPServer):
+        # Default listen backlog is 5; a burst of concurrent clients (load
+        # tests fire 16+ simultaneous connects) overflows it and the kernel
+        # RSTs the excess before the accept loop ever sees them. Overload
+        # policy belongs to the app layer (503 past --max-pending), so the
+        # socket layer must not shed first.
+        request_queue_size = 128
+
+    httpd = _Server((host, port), Handler)
     httpd.service = service  # default model, for tests/introspection
     httpd.services = services  # full registry ({name: SaliencyService})
     httpd.metrics = metrics
