@@ -975,9 +975,10 @@ def make_http_server(artifact_dir, host: str = "127.0.0.1",
     class _Server(ThreadingHTTPServer):
         # Default listen backlog is 5; a burst of concurrent clients (load
         # tests fire 16+ simultaneous connects) overflows it and the kernel
-        # RSTs the excess before the accept loop ever sees them. Overload
-        # policy belongs to the app layer (503 past --max-pending), so the
-        # socket layer must not shed first.
+        # drops the excess SYNs before the accept loop ever sees them — the
+        # client stalls in retransmit (or sees RST only when
+        # tcp_abort_on_overflow=1). Overload policy belongs to the app layer
+        # (503 past --max-pending), so the socket layer must not shed first.
         request_queue_size = 128
 
     httpd = _Server((host, port), Handler)
