@@ -33,6 +33,11 @@ SWEEP_IMAGES = 20
 # 197 TFLOP/s/chip.
 RESNET101_FLOPS = 15.66e9
 V5E_PEAK_FLOPS = 197e12
+# Attribution-lane FLOPs: one IG path step = forward + backward; the
+# backward re-derives both the input and weight cotangents (~2x forward),
+# so IG-16 ≈ 16 x 3 x forward per image. XRAI doubles it (2 baselines).
+IG16_FLOPS_PER_IMAGE = 16 * 3 * RESNET101_FLOPS
+XRAI_FLOPS_PER_IMAGE = 2 * IG16_FLOPS_PER_IMAGE
 
 
 def log(*a):
@@ -299,16 +304,26 @@ def tpu_rate_and_latency():
     slic_cfg = SegmentConfig(method="slic", n_segments=48, slic_iters=10)
     bo_saliency_sweep(engine, bo_sweep_dataset(16, 61), slic_cfg,
                       bo_cfg=bo_cfg, image_batch=16, seed=2)  # warm
-    # 3 flushes: exercises the depth-2 flush pipeline + device-resident
-    # uploads (a single flush can't overlap anything).
-    bo_sweep_res = bo_saliency_sweep(
-        engine, bo_sweep_dataset(48, 77), slic_cfg, bo_cfg=bo_cfg,
-        image_batch=16, seed=3,
-    )
+    # 3 flushes per run: exercises the depth-2 flush pipeline +
+    # device-resident uploads (a single flush can't overlap anything).
+    # MEDIAN OF 3 runs: BO-sweep throughput rides the axon tunnel RTT
+    # (±25% run-to-run, docs/PERFORMANCE.md), so a single-run number made
+    # BENCH_rN variance reflect tunnel weather instead of code.
+    bo_sweep_runs = [
+        bo_saliency_sweep(
+            engine, bo_sweep_dataset(48, 77 + 2 * r), slic_cfg, bo_cfg=bo_cfg,
+            image_batch=16, seed=3 + r,
+        )
+        for r in range(3)
+    ]
+    bo_sweep_rate = float(np.median(
+        [res.evals_per_sec for res in bo_sweep_runs]))
     bo_budget = bo_cfg.n_pre_samples + bo_cfg.n_iters
-    log(f"bo sweep (warm): {bo_sweep_res.images_explained} images, "
-        f"{bo_sweep_res.evals_per_sec:.1f} BO evals/s "
-        f"({bo_sweep_res.evals_per_sec / bo_budget:.1f} img/s)")
+    log(f"bo sweep (warm, median of 3): "
+        f"{bo_sweep_runs[0].images_explained} images/run, "
+        f"{bo_sweep_rate:.1f} BO evals/s "
+        f"({bo_sweep_rate / bo_budget:.1f} img/s; runs: "
+        f"{[f'{res.evals_per_sec:.1f}' for res in bo_sweep_runs]})")
 
     # --- batched attribution sweep (vmapped IG backwards, r3) -------------
     # Integrated gradients on the headline ResNet-101: 16 images × 16 path
@@ -320,19 +335,48 @@ def tpu_rate_and_latency():
 
     # step_batch=4 bounds live activations at 16·4=64 concurrent ResNet-101
     # backwards (exact scan accumulation) — 256 at once flirts with the
-    # 16 GB HBM ceiling.
+    # 16 GB HBM ceiling. Median of 3 (tunnel-RTT smoothing, same rationale
+    # as the BO sweep row).
     attribution_sweep(engine, bo_sweep_dataset(16, 91), method="integrated",
                       image_batch=16, steps=16, step_batch=4, seed=4)  # warm
-    t0 = time.perf_counter()
-    attr_res = attribution_sweep(engine, bo_sweep_dataset(32, 93),
-                                 method="integrated", image_batch=16,
-                                 steps=16, step_batch=4, seed=5)
-    attr_img_s = attr_res.images_explained / (time.perf_counter() - t0)
-    log(f"attribution sweep (IG-16, warm): {attr_res.images_explained} "
-        f"images -> {attr_img_s:.1f} img/s")
+    attr_rates = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        attr_res = attribution_sweep(engine, bo_sweep_dataset(32, 93 + 2 * r),
+                                     method="integrated", image_batch=16,
+                                     steps=16, step_batch=4, seed=5 + r)
+        attr_rates.append(
+            attr_res.images_explained / (time.perf_counter() - t0))
+    attr_img_s = float(np.median(attr_rates))
+    log(f"attribution sweep (IG-16, warm, median of 3): "
+        f"{attr_res.images_explained} images/run -> {attr_img_s:.1f} img/s "
+        f"(runs: {[f'{x:.1f}' for x in attr_rates]})")
+
+    # --- XRAI sweep (signed multi-baseline IG flushes + host ranking) -----
+    # 2 baselines × 16 steps = 32 backwards/image on device; the greedy
+    # felzenszwalb-ladder ranking overlaps as host work at collect. Collage
+    # images (not white noise) so the 5-scale ladder segments realistically.
+    def xrai_sweep_dataset(n, seed0):
+        for i in range(n):
+            yield collage(seed0 * 100 + i), None, None
+
+    attribution_sweep(engine, xrai_sweep_dataset(8, 41), method="xrai",
+                      image_batch=8, steps=16, step_batch=4, seed=6)  # warm
+    xrai_rates = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        xrai_res = attribution_sweep(engine, xrai_sweep_dataset(16, 43 + r),
+                                     method="xrai", image_batch=8,
+                                     steps=16, step_batch=4, seed=7 + r)
+        xrai_rates.append(
+            xrai_res.images_explained / (time.perf_counter() - t0))
+    xrai_img_s = float(np.median(xrai_rates))
+    log(f"xrai sweep (2x IG-16 + ranking, median of 3): "
+        f"{xrai_res.images_explained} images/run -> {xrai_img_s:.1f} img/s "
+        f"(runs: {[f'{x:.1f}' for x in xrai_rates]})")
     return (rate, p50, sweep_res.evals_per_sec, bo_p50,
-            dn_res.evals_per_sec, bo_batched_ms, bo_sweep_res.evals_per_sec,
-            ko_res.evals_per_sec, attr_img_s)
+            dn_res.evals_per_sec, bo_batched_ms, bo_sweep_rate,
+            ko_res.evals_per_sec, attr_img_s, xrai_img_s)
 
 
 def tpu_reachable(timeout_s: float = 240.0) -> bool:
@@ -375,7 +419,7 @@ def main():
     cpu_rate = cpu_reference_rate()
     (rate, p50, sweep_rate, bo_p50, dn_rate,
      bo_batched_ms, bo_sweep_rate, ko_rate,
-     attr_img_s) = tpu_rate_and_latency()
+     attr_img_s, xrai_img_s) = tpu_rate_and_latency()
     print(
         json.dumps(
             {
@@ -393,6 +437,16 @@ def main():
                     "bo_sweep_evals_per_sec": round(bo_sweep_rate, 1),
                     "knockout_sweep_evals_per_sec": round(ko_rate, 1),
                     "attribution_ig16_images_per_sec": round(attr_img_s, 1),
+                    # Context for the attribution lane (VERDICT r3): MFU of
+                    # the backward-heavy IG program, same peak-FLOPs model
+                    # as the headline row.
+                    "attribution_ig16_mfu_pct": round(
+                        attr_img_s * IG16_FLOPS_PER_IMAGE
+                        / V5E_PEAK_FLOPS * 100, 1),
+                    "xrai_sweep_images_per_sec": round(xrai_img_s, 1),
+                    "xrai_mfu_pct": round(
+                        xrai_img_s * XRAI_FLOPS_PER_IMAGE
+                        / V5E_PEAK_FLOPS * 100, 1),
                     "mfu_pct": round(rate * RESNET101_FLOPS / V5E_PEAK_FLOPS * 100, 1),
                     "mask_batch": MASK_BATCH,
                     "dtype": "bfloat16",

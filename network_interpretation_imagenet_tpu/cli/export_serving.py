@@ -31,10 +31,12 @@ def main(argv=None) -> int:
     p.add_argument("--attribution", default="",
                    help="comma-separated attribution programs to bundle "
                         "(gradient, grad_input, integrated, smoothgrad, "
-                        "gradcam, scorecam, occlusion, rise, meaningful) — "
-                        "backwards/interceptors/optimizer loops ship inside "
-                        "the AOT artifact, served by "
-                        "ExportedSaliencyServer.attribute / POST /attribute")
+                        "gradcam, scorecam, occlusion, rise, meaningful, "
+                        "xrai) — backwards/interceptors/optimizer loops "
+                        "ship inside the AOT artifact, served by "
+                        "ExportedSaliencyServer.attribute / POST /attribute "
+                        "(xrai: AOT signed-IG + host greedy ranking, "
+                        "ExportedSaliencyServer.xrai)")
     p.add_argument("--attribution-batches", default="",
                    help="comma-separated N: also export image-BATCHED "
                         "attribution programs (N vmapped backwards per "

@@ -96,10 +96,12 @@ def export_engine(
     loop ships as one program) — backward passes, intermediate-capture
     interceptors, and optimizer loops all live INSIDE the AOT program, so
     a serving host explains without the model zoo or autodiff setup.
-    (XRAI is the one per-image method excluded by design: its multi-scale
-    felzenszwalb ladder and greedy region ranking are host work around
-    the device IG program, so there is no single device program to
-    export.) ``attribution_cfg`` fixes the jit-static hyperparameters
+    ``"xrai"`` exports its device half — the signed multi-baseline IG
+    program (``attr_xrai_ig.stablehlo``) — plus a manifest entry with the
+    ranking parameters; the felzenszwalb ladder + greedy region ranking
+    run host-side in :meth:`ExportedSaliencyServer.xrai` (no model zoo or
+    autodiff needed there either).
+    ``attribution_cfg`` fixes the jit-static hyperparameters
     (``ig_steps``/``sg_samples``/``sg_sigma``/``gradcam_layer``; the layer
     defaults to the menu's deepest conv stage, resolved at export time and
     recorded in the manifest). ``attribution_batches=(N,...)`` additionally
@@ -172,6 +174,7 @@ def export_engine(
     attr_files = {}
     attr_cfg = {}
     attr_batched = {}
+    xrai_entry = {}
     if attribution:
         from network_interpretation_imagenet_tpu.saliency import (
             gradient as grad_mod,
@@ -179,7 +182,7 @@ def export_engine(
 
         supported = ("gradient", "grad_input", "integrated", "smoothgrad",
                      "gradcam", "scorecam", "occlusion", "rise",
-                     "meaningful")
+                     "meaningful", "xrai")
         unknown = [m for m in attribution if m not in supported]
         if unknown:
             raise ValueError(f"unsupported attribution methods {unknown}; "
@@ -196,6 +199,10 @@ def export_engine(
             "lm_mask_size": 28, "lm_iters": 150, "lm_lr": 0.1,
             "lm_l1": 0.05, "lm_tv": 0.1, "lm_jitter": 4,
             "lm_baseline": "blur",
+            # XRAI: host-side greedy-ranking parameters, recorded in the
+            # manifest and applied by the serving host (only the signed-IG
+            # half is a device program). None → xrai.DEFAULT_SCALES.
+            "xrai_scales": None, "xrai_min_area": 4,
         }
         bad_keys = set(attribution_cfg or {}) - set(attr_cfg)
         if bad_keys:
@@ -270,7 +277,45 @@ def export_engine(
                     compute_dtype=compute_dtype)
             return _meaningful_fn
 
-        for method in dict.fromkeys(attribution):
+        if "xrai" in attribution:
+            # XRAI is two halves by design (r3 exclusion now closed): the
+            # expensive half — signed multi-baseline IG, mean over the
+            # black/white pair — exports as ONE device program; the
+            # felzenszwalb ladder + greedy density ranking are host work
+            # the serving host runs around it (serving_http already runs
+            # host code, so this keeps the no-model-code contract:
+            # ExportedSaliencyServer.xrai needs neither the zoo nor
+            # autodiff). Ranking parameters ride the manifest.
+            from network_interpretation_imagenet_tpu.saliency import (
+                xrai as xrai_mod,
+            )
+
+            if attr_cfg["xrai_scales"] is None:
+                attr_cfg["xrai_scales"] = [
+                    float(s) for s in xrai_mod.DEFAULT_SCALES
+                ]
+
+            def _xrai_ig(v, img, t, s):
+                return xrai_mod.xrai_attribution(
+                    apply_fn, v, img, t, steps=attr_cfg["ig_steps"])
+
+            exp = jexport.export(jax.jit(_xrai_ig))(
+                var_spec,
+                jax.ShapeDtypeStruct((h, w, c), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.int32),
+                jax.ShapeDtypeStruct((), jnp.int32),
+            )
+            fname = "attr_xrai_ig.stablehlo"
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(exp.serialize())
+            xrai_entry = {
+                "file": fname,
+                "scales": [float(s) for s in attr_cfg["xrai_scales"]],
+                "min_area": int(attr_cfg["xrai_min_area"]),
+                "steps": int(attr_cfg["ig_steps"]),
+            }
+
+        for method in dict.fromkeys(m for m in attribution if m != "xrai"):
             exp = jexport.export(jax.jit(_attr_fn(method)))(
                 var_spec,
                 jax.ShapeDtypeStruct((h, w, c), jnp.float32),
@@ -336,7 +381,8 @@ def export_engine(
         "knockout_m": knockout_m,
         "knockout_files": knockout_files,
         "attribution": {"files": attr_files, "config": attr_cfg,
-                        "batched_files": attr_batched},
+                        "batched_files": attr_batched,
+                        "xrai": xrai_entry},
         "weights": WEIGHTS if include_weights else None,
         # The artifact is lowered for the exporting platform only; the
         # loader fails fast on a mismatched host instead of erroring deep
@@ -398,6 +444,12 @@ class ExportedSaliencyServer:
                 with open(os.path.join(path, fname), "rb") as f:
                     self._attr_batched.setdefault(method, {})[int(nb)] = (
                         jexport.deserialize(f.read()))
+        self.xrai_config = attr.get("xrai") or None
+        self._xrai_ig = None
+        if self.xrai_config:
+            with open(os.path.join(path, self.xrai_config["file"]),
+                      "rb") as f:
+                self._xrai_ig = jexport.deserialize(f.read())
         if variables is None:
             wpath = self.manifest.get("weights")
             if not wpath:
@@ -476,6 +528,11 @@ class ExportedSaliencyServer:
                     jnp.zeros((nb,), jnp.int32),
                 ))
                 n += 1
+        if self._xrai_ig is not None:
+            jax.block_until_ready(self._xrai_ig.call(
+                self.variables, image, jnp.int32(0), jnp.int32(0)
+            ))
+            n += 1
         return n
 
     def logits_for_windows(
@@ -649,6 +706,51 @@ class ExportedSaliencyServer:
             jnp.asarray(targets, jnp.int32), jnp.asarray(seeds, jnp.int32),
         )
         return np.asarray(jax.device_get(out), np.float32)[:n], 1
+
+    def xrai(self, image, target: int, display=None, seed: int = 0):
+        """Full XRAI from the artifact: the signed multi-baseline IG runs
+        as the AOT ``attr_xrai_ig.stablehlo`` program; the felzenszwalb
+        ladder + greedy density ranking run host-side with the SAME code
+        the live path uses (``saliency.xrai.greedy_region_ranking``), with
+        scales/min_area fixed at export time (``self.xrai_config``).
+        ``display`` is the uint8 image the ladder segments (the live
+        :func:`saliency.xrai.xrai_saliency` convention); when None it is
+        derived by min-max scaling ``image`` — segmentation only needs
+        relative contrasts. Returns :class:`saliency.xrai.XraiResult`."""
+        import jax
+        import jax.numpy as jnp
+
+        from network_interpretation_imagenet_tpu.ops import aggregate
+        from network_interpretation_imagenet_tpu.saliency import (
+            xrai as xrai_mod,
+        )
+        from network_interpretation_imagenet_tpu.segment import felzenszwalb
+
+        if self._xrai_ig is None:
+            raise ValueError(
+                "artifact has no XRAI program; re-export with "
+                "attribution=['xrai', ...] (CLI: --attribution xrai)"
+            )
+        nc = int(self.manifest["num_classes"])
+        if not 0 <= int(target) < nc:
+            # Same clamped-gather hazard as :meth:`attribute`.
+            raise ValueError(f"target {target} out of range [0, {nc})")
+        attr = np.asarray(jax.device_get(self._xrai_ig.call(
+            self.variables, jnp.asarray(image, jnp.float32),
+            jnp.int32(target), jnp.int32(seed),
+        )), np.float32)
+        if display is None:
+            display = aggregate.normalize_to_uint8_np(np.asarray(image))
+        seg_maps = [
+            # The same scale→min_size ladder as xrai_saliency.
+            felzenszwalb(display, scale=float(s), sigma=0.5,
+                         min_size=max(int(round(float(s) / 10.0)), 5))
+            for s in self.xrai_config["scales"]
+        ]
+        heat, n = xrai_mod.greedy_region_ranking(
+            attr, seg_maps, min_area=int(self.xrai_config["min_area"]))
+        return xrai_mod.XraiResult(heatmap=heat, attribution=attr,
+                                   num_regions=n)
 
 
 def load_exported(path: str, variables: Any = None) -> ExportedSaliencyServer:

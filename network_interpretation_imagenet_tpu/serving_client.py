@@ -291,19 +291,26 @@ class SaliencyClient:
 
     def attribute(self, image, method: str, target: Optional[int] = None,
                   seed: int = 0, normalize: Optional[dict] = None,
-                  preprocess: Optional[dict] = None, **extra) -> dict:
-        """Gradient-family attribution from the artifact's AOT programs
+                  preprocess: Optional[dict] = None,
+                  display: Optional[np.ndarray] = None, **extra) -> dict:
+        """Per-image attribution from the artifact's AOT programs
         (artifacts exported with ``--attribution``). Returns a dict with
         ``heatmap`` float32[H, W]; ``target=None`` lets the server infer
         it. Image wire formats match :meth:`explain` (f32 / uint8 / JPEG
-        bytes)."""
+        bytes). For ``method="xrai"`` pass ``display`` (uint8 [H, W, C],
+        the image the server's felzenszwalb ladder segments — else the
+        server min-max derives one); the result additionally carries
+        ``num_regions`` and the signed ``attribution`` array."""
         body = {"method": str(method), "seed": int(seed)}
         body.update(self._image_fields(image, "image", normalize, preprocess))
         if target is not None:
             body["target"] = int(target)
+        if display is not None:
+            body.update(_array_fields("display", display, np.uint8))
         body.update(extra)
         out = self._request("POST", "/attribute", body)
         _decode_heatmap(out)
+        _decode_heatmap(out, "attribution")
         return out
 
     def attribute_batch(self, images, method: str,

@@ -41,7 +41,11 @@ Endpoints (JSON in/out):
   bundled gradient-family programs — gradient / grad_input / integrated /
   smoothgrad / gradcam) → ``heatmap_b64`` f32[H, W]. The backward pass is
   baked into the AOT program; optional ``"target"`` (inferred when
-  absent) and ``"seed"`` (stochastic methods only).
+  absent) and ``"seed"`` (stochastic methods only). ``method="xrai"``
+  (exported via ``--attribution xrai``) runs the AOT signed-IG program +
+  the server-side felzenszwalb-ladder greedy ranking; optional
+  ``"display"`` (uint8 wire array) feeds the ladder, and the response
+  adds ``num_regions`` + ``attribution_b64``.
 * ``POST /attribute_batch`` — N images (``"images_b64"+"images_shape"``
   or the other image wire formats) + ``"method"``: ONE device call when
   the batched program pays (N > 1 and the artifact was exported with an
@@ -670,38 +674,52 @@ class SaliencyService:
         return self._mask_eval_json(res)
 
     def attribute(self, body: dict) -> dict:
-        """Gradient-family attribution from the artifact's AOT programs
+        """Per-image attribution from the artifact's AOT programs
         (``export_engine(attribution=[...])``). ``"method"`` selects the
         program; ``"target"`` is inferred via the engine's full-width
         window forward when absent; ``"seed"`` feeds stochastic methods
-        (smoothgrad)."""
+        (smoothgrad). ``method="xrai"`` runs the exported signed-IG
+        program plus the server-side felzenszwalb-ladder greedy ranking
+        (``ExportedSaliencyServer.xrai``); an optional ``"display"``
+        (uint8, same wire encoding as ``"image"``) feeds the ladder, and
+        the response additionally carries the signed attribution and
+        ``num_regions``."""
         if not isinstance(body, dict):
             raise ValueError("request body must be a JSON object")
         if self.engine_server is None:
             raise ValueError("/attribute needs an engine artifact "
                              "(this one is a fused-BO artifact)")
         methods = self.engine_server.attribution_methods
-        if not methods:
+        xrai_ok = getattr(self.engine_server, "xrai_config", None)
+        if not methods and not xrai_ok:
             raise ValueError(
                 "artifact has no attribution programs; re-export with "
                 "--attribution gradient,integrated,..."
             )
+        available = list(methods) + (["xrai"] if xrai_ok else [])
         method = body.get("method")
         if method is None:
-            raise ValueError(f"missing 'method' (available: {list(methods)})")
-        if method not in methods:
+            raise ValueError(f"missing 'method' (available: {available})")
+        if method not in available:
             # Reject BEFORE target inference — an unknown method must not
             # pay (or hold the device lock for) a full padded window-bucket
             # forward just to 400.
             raise ValueError(
                 f"artifact has no {method!r} attribution program "
-                f"(available: {list(methods)}); re-export with "
+                f"(available: {available}); re-export with "
                 "--attribution")
         image = _decode_image(body, "image")
         if image is None:
             raise ValueError("missing 'image' (or 'image_b64'+'image_shape')")
         target = body.get("target")
         seed = int(body.get("seed", 0))
+        display = None
+        if method == "xrai":
+            display = _decode_array(body, "display", np.uint8)
+            if display is not None and display.shape[:2] != image.shape[:2]:
+                raise ValueError(
+                    f"'display' spatial shape {display.shape[:2]} != "
+                    f"image {image.shape[:2]}")
         with self._lock:
             if target is None:
                 # The full-width window (keeps every segment) IS the
@@ -712,9 +730,15 @@ class SaliencyService:
                     image, segments, np.zeros(1, np.int32), 1
                 )
                 target = int(logits[0].argmax())
-            heat = self.engine_server.attribute(
-                image, int(target), str(method), seed=seed
-            )
+            if method == "xrai":
+                xres = self.engine_server.xrai(
+                    image, int(target), display=display, seed=seed
+                )
+                heat = np.asarray(xres.heatmap, np.float32)
+            else:
+                heat = self.engine_server.attribute(
+                    image, int(target), str(method), seed=seed
+                )
         enc = _encode_array(heat)
         resp = {
             "target": int(target),
@@ -723,6 +747,14 @@ class SaliencyService:
             "heatmap_b64": enc["b64"],
             "heatmap_shape": enc["shape"],
         }
+        if method == "xrai":
+            attr_enc = _encode_array(np.asarray(xres.attribution, np.float32))
+            resp["num_regions"] = int(xres.num_regions)
+            resp["attribution_b64"] = attr_enc["b64"]
+            resp["attribution_shape"] = attr_enc["shape"]
+            resp["xrai"] = {k: v for k, v in
+                            self.engine_server.xrai_config.items()
+                            if k != "file"}
         if body.get("json_arrays"):
             resp["heatmap"] = heat.tolist()
         return resp

@@ -70,6 +70,10 @@ _TPU_SMOKE = (
     # r3 bench entry's code path) + exact chunked accumulation.
     "test_gradient_sweep.py::test_attribute_batch_matches_single_all_methods",
     "test_gradient_sweep.py::test_grad_mean_chunked_is_exact",
+    # r4: serving twins of the newest lanes — knockout forwards from the
+    # artifact, and XRAI's AOT signed-IG + host ranking path.
+    "test_serving.py::test_export_knockout_matches_engine",
+    "test_serving.py::test_export_xrai_matches_live",
 )
 
 # Individually-slow tests inside otherwise-fast modules (compile-heavy

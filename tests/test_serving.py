@@ -483,3 +483,65 @@ def test_export_attribution_full_family(tmp_path, rng):
         heat = server.attribute(img, 3, name, seed=7)
         np.testing.assert_allclose(heat, np.asarray(ref), atol=2e-5,
                                    err_msg=name)
+
+
+def test_export_xrai_matches_live(tmp_path, rng):
+    """attr_xrai_ig.stablehlo + the manifest's ranking parameters must
+    reproduce the live xrai_saliency end-to-end: same signed IG program,
+    same felzenszwalb ladder, same greedy density ranking (the host half
+    is literally the same code, saliency.xrai.greedy_region_ranking)."""
+    import pytest
+
+    from network_interpretation_imagenet_tpu.saliency import xrai as xrai_mod
+
+    engine = _engine()
+    path = str(tmp_path / "xrai_artifact")
+    scales = (10.0, 30.0)
+    manifest = serving.export_engine(
+        engine, path, batch_sizes=(4,), attribution=("xrai", "gradient"),
+        attribution_cfg={"ig_steps": 4, "xrai_scales": list(scales)},
+    )
+    entry = manifest["attribution"]["xrai"]
+    assert entry["file"] == "attr_xrai_ig.stablehlo"
+    assert entry["steps"] == 4 and entry["scales"] == [10.0, 30.0]
+    assert entry["min_area"] == 4
+    # xrai does NOT occupy a gradient-family program slot — it has its own
+    # two-half path (device signed-IG + host ranking).
+    assert "xrai" not in manifest["attribution"]["files"]
+    assert "gradient" in manifest["attribution"]["files"]
+
+    server = serving.load_exported(path)
+    assert server.attribution_methods == ("gradient",)
+    assert server.xrai_config["steps"] == 4
+
+    # Structured image so every felzenszwalb scale yields real segments.
+    image = np.zeros((28, 28, 1), np.float32)
+    image[4:14, 4:14] = 0.9
+    image[16:26, 10:22] = 0.5
+    image += 0.02 * rng.randn(28, 28, 1).astype(np.float32)
+    image = np.clip(image, 0.0, 1.0)
+    display = (image * 255).astype(np.uint8)
+    target = 3
+
+    live = xrai_mod.xrai_saliency(
+        engine.bundle.logits, engine.variables, image, target, display,
+        steps=4, scales=scales)
+    srv = server.xrai(image, target, display=display)
+    np.testing.assert_allclose(srv.attribution, live.attribution, atol=1e-4)
+    assert srv.num_regions == live.num_regions
+    np.testing.assert_array_equal(srv.heatmap, live.heatmap)
+
+    # display=None derives a min-max display; result stays well-formed.
+    auto = server.xrai(image, target)
+    assert auto.heatmap.shape == (28, 28) and auto.num_regions >= 1
+
+    # warmup touches the xrai program too: 1 window bucket + 1 gradient
+    # program + 1 xrai program.
+    assert server.warmup() == 3
+
+    with pytest.raises(ValueError, match="out of range"):
+        server.xrai(image, 5000)
+    plain = str(tmp_path / "plain")
+    serving.export_engine(engine, plain, batch_sizes=(4,))
+    with pytest.raises(ValueError, match="xrai"):
+        serving.load_exported(plain).xrai(image, target)

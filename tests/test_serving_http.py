@@ -1083,3 +1083,158 @@ def test_http_attribute_batch_endpoint(tmp_path, rng):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_http_attribute_xrai(tmp_path, rng):
+    """POST /attribute method=xrai: AOT signed-IG + server-side greedy
+    ranking, parity with ExportedSaliencyServer.xrai, display wire field,
+    and 400s for shape mismatches / xrai-free artifacts."""
+    engine = _engine()
+    path = str(tmp_path / "xrai_artifact")
+    serving.export_engine(
+        engine, path, batch_sizes=(4,), attribution=("xrai",),
+        attribution_cfg={"ig_steps": 4, "xrai_scales": [10.0, 30.0]},
+    )
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = httpd.server_address[:2]
+        conn = HTTPConnection(host, port)
+        image = np.zeros((28, 28, 1), np.float32)
+        image[4:14, 4:14] = 0.9
+        image[16:26, 10:22] = 0.5
+        image += 0.02 * rng.randn(28, 28, 1).astype(np.float32)
+        image = np.clip(image, 0.0, 1.0).astype(np.float32)
+        display = (image * 255).astype(np.uint8)
+
+        body = {"image_b64": _b64(image), "image_shape": [28, 28, 1],
+                "display_b64": _b64(display), "display_shape": [28, 28, 1],
+                "method": "xrai", "target": 3}
+        status, resp = _post(conn, "/attribute", body)
+        assert status == 200
+        heat = np.frombuffer(
+            base64.b64decode(resp["heatmap_b64"]), np.float32
+        ).reshape(resp["heatmap_shape"])
+        attr = np.frombuffer(
+            base64.b64decode(resp["attribution_b64"]), np.float32
+        ).reshape(resp["attribution_shape"])
+        direct = httpd.service.engine_server.xrai(image, 3, display=display)
+        np.testing.assert_array_equal(heat, direct.heatmap)
+        np.testing.assert_allclose(attr, direct.attribution, atol=1e-6)
+        assert resp["num_regions"] == direct.num_regions >= 2
+        assert resp["xrai"]["scales"] == [10.0, 30.0]
+        assert "file" not in resp["xrai"]
+
+        # Inferred target + derived display both optional.
+        status, resp2 = _post(conn, "/attribute", {
+            "image_b64": _b64(image), "image_shape": [28, 28, 1],
+            "method": "xrai"})
+        assert status == 200 and resp2["num_regions"] >= 1
+
+        # display spatial shape must match the image.
+        status, resp3 = _post(conn, "/attribute", {
+            "image_b64": _b64(image), "image_shape": [28, 28, 1],
+            "display_b64": _b64(display[:14]), "display_shape": [14, 28, 1],
+            "method": "xrai", "target": 3})
+        assert status == 400 and "display" in resp3["error"]
+
+        # The gradient family isn't in this artifact → still a clean 400.
+        status, resp4 = _post(conn, "/attribute", {
+            "image_b64": _b64(image), "image_shape": [28, 28, 1],
+            "method": "gradient"})
+        assert status == 400 and "re-export" in resp4["error"]
+
+        # SaliencyClient round-trip decodes heatmap + attribution.
+        from network_interpretation_imagenet_tpu.serving_client import (
+            SaliencyClient,
+        )
+
+        client = SaliencyClient(host, port)
+        out = client.attribute(image, "xrai", target=3, display=display)
+        np.testing.assert_array_equal(out["heatmap"], direct.heatmap)
+        np.testing.assert_allclose(out["attribution"], direct.attribution,
+                                   atol=1e-6)
+        assert out["num_regions"] == direct.num_regions
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_http_attribute_xrai_not_exported_is_400(tmp_path, rng):
+    """An artifact with gradient programs but no xrai entry 400s on
+    method=xrai with a re-export hint."""
+    engine = _engine()
+    path = str(tmp_path / "grad_only")
+    serving.export_engine(engine, path, batch_sizes=(4,),
+                          attribution=("gradient",))
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = httpd.server_address[:2]
+        conn = HTTPConnection(host, port)
+        image = rng.rand(28, 28, 1).astype(np.float32)
+        status, resp = _post(conn, "/attribute", {
+            "image_b64": _b64(image), "image_shape": [28, 28, 1],
+            "method": "xrai"})
+        assert status == 400 and "re-export" in resp["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_http_burst_of_simultaneous_connects_all_served(tmp_path, rng):
+    """Regression pin for the listen-backlog overflow (commit 880bf79 /
+    serving_http _Server.request_queue_size): 24 SIMULTANEOUS connects —
+    released by a barrier so they hit the kernel accept queue together —
+    must all receive an HTTP response. With the stdlib default backlog of
+    5 the kernel drops the excess SYNs and clients stall in retransmit
+    (503 load-shed is allowed; transport-level failure is not)."""
+    import socket
+
+    engine = _engine()
+    path = str(tmp_path / "burst_artifact")
+    serving.export_engine(engine, path, batch_sizes=(4,))
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    # The attribute itself is the pin: the behavioral half below is
+    # timing-dependent pressure, this line fails deterministically if the
+    # fix regresses.
+    assert type(httpd).request_queue_size >= 64
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = httpd.server_address[:2]
+        n = 24
+        barrier = threading.Barrier(n)
+        failures = []
+        statuses = []
+        lock = threading.Lock()
+
+        def hit():
+            try:
+                barrier.wait(timeout=10)
+                conn = HTTPConnection(host, port, timeout=15)
+                conn.request("GET", "/healthz")
+                r = conn.getresponse()
+                r.read()
+                with lock:
+                    statuses.append(r.status)
+                conn.close()
+            except Exception as e:  # includes ConnectionReset + timeouts
+                with lock:
+                    failures.append(repr(e))
+
+        threads = [threading.Thread(target=hit) for _ in range(n)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=30)
+        assert not failures, f"transport-level failures: {failures}"
+        assert len(statuses) == n
+        # /healthz never sheds, but keep the contract honest: any HTTP
+        # status is fine at the transport layer; 200 expected here.
+        assert all(s == 200 for s in statuses)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
