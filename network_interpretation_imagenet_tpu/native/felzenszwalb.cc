@@ -59,11 +59,14 @@ struct UnionFind {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Returns the number of segments written into `labels` (int32 [h*w]).
-int32_t felzenszwalb_segment(const float* img, int32_t h, int32_t w, int32_t c,
-                             float scale, int32_t min_size, int32_t* labels) {
+// 8-connectivity edges (right, down, down-right, down-left), sorted by
+// weight. The build + O(E log E) sort is the dominant cost of a run and
+// depends only on the (pre-smoothed) image — NOT on scale/min_size — so
+// the multi-scale ladder entry point below computes it once per image.
+std::vector<Edge> build_sorted_edges(const float* img, int32_t h, int32_t w,
+                                     int32_t c) {
   const int64_t n = static_cast<int64_t>(h) * w;
   std::vector<Edge> edges;
   edges.reserve(n * 4);
@@ -77,7 +80,6 @@ int32_t felzenszwalb_segment(const float* img, int32_t h, int32_t w, int32_t c,
     return std::sqrt(acc);
   };
 
-  // 8-connectivity: right, down, down-right, down-left.
   for (int32_t y = 0; y < h; ++y) {
     for (int32_t x = 0; x < w; ++x) {
       const int64_t p = static_cast<int64_t>(y) * w + x;
@@ -96,7 +98,12 @@ int32_t felzenszwalb_segment(const float* img, int32_t h, int32_t w, int32_t c,
 
   std::stable_sort(edges.begin(), edges.end(),
                    [](const Edge& a, const Edge& b) { return a.w < b.w; });
+  return edges;
+}
 
+// One (scale, min_size) segmentation over a pre-sorted edge list.
+int32_t segment_from_edges(const std::vector<Edge>& edges, int64_t n,
+                           float scale, int32_t min_size, int32_t* labels) {
   UnionFind uf(static_cast<int32_t>(n));
 
   // Pass 1: merge when the edge weight is below both components' adaptive
@@ -127,6 +134,34 @@ int32_t felzenszwalb_segment(const float* img, int32_t h, int32_t w, int32_t c,
     labels[p] = remap[root];
   }
   return next;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of segments written into `labels` (int32 [h*w]).
+int32_t felzenszwalb_segment(const float* img, int32_t h, int32_t w, int32_t c,
+                             float scale, int32_t min_size, int32_t* labels) {
+  const int64_t n = static_cast<int64_t>(h) * w;
+  return segment_from_edges(build_sorted_edges(img, h, w, c), n, scale,
+                            min_size, labels);
+}
+
+// Multi-scale ladder (XRAI's oversegmentation stack): edges built and
+// sorted ONCE, then one union-find pass per (scale, min_size). Bit-exact
+// with n_scales independent felzenszwalb_segment calls — the per-scale
+// result is a pure function of the sorted edge list. Writes labels as
+// int32 [n_scales, h*w] and per-scale segment counts into `counts`.
+void felzenszwalb_ladder(const float* img, int32_t h, int32_t w, int32_t c,
+                         const float* scales, const int32_t* min_sizes,
+                         int32_t n_scales, int32_t* labels, int32_t* counts) {
+  const int64_t n = static_cast<int64_t>(h) * w;
+  const std::vector<Edge> edges = build_sorted_edges(img, h, w, c);
+  for (int32_t s = 0; s < n_scales; ++s) {
+    counts[s] = segment_from_edges(edges, n, scales[s], min_sizes[s],
+                                   labels + static_cast<int64_t>(s) * n);
+  }
 }
 
 }  // extern "C"

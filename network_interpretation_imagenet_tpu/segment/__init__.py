@@ -14,6 +14,7 @@ Two families:
 
 from network_interpretation_imagenet_tpu.segment.felzenszwalb import (  # noqa: F401
     felzenszwalb,
+    felzenszwalb_ladder,
 )
 from network_interpretation_imagenet_tpu.segment.slic import (  # noqa: F401
     slic,

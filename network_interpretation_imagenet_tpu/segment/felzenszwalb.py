@@ -44,13 +44,15 @@ def _load_native_locked() -> Optional[ctypes.CDLL]:
         return _lib
     _lib_tried = True
     try:
-        if not os.path.exists(_SO_PATH):
-            subprocess.run(
-                ["make", "-s", "-C", os.path.abspath(_NATIVE_DIR)],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
+        # Run make even when the .so exists: its source-newer-than-target
+        # rule rebuilds after a kernel edit (a stale cached .so would miss
+        # newly added symbols); a fresh build is a ~10 ms no-op.
+        subprocess.run(
+            ["make", "-s", "-C", os.path.abspath(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
         lib = ctypes.CDLL(_SO_PATH)
         lib.felzenszwalb_segment.restype = ctypes.c_int32
         lib.felzenszwalb_segment.argtypes = [
@@ -60,6 +62,18 @@ def _load_native_locked() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.c_float,
             ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.felzenszwalb_ladder.restype = None
+        lib.felzenszwalb_ladder.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
         _lib = lib
@@ -209,3 +223,67 @@ def felzenszwalb(
         if backend == "native":
             raise RuntimeError("native felzenszwalb kernel unavailable")
     return _felzenszwalb_numpy(img, scale, min_size)
+
+
+def felzenszwalb_ladder(
+    image: np.ndarray,
+    scales,
+    sigma: float = 0.5,
+    min_sizes=None,
+    backend: str = "auto",
+) -> list:
+    """Multi-scale FH oversegmentation (XRAI's ladder) in one pass.
+
+    Every scale shares ``sigma``, so the smoothed image, the 8-connectivity
+    edge build, and the O(E log E) sort — the dominant cost of a run — are
+    computed ONCE; only the cheap union-find passes repeat per scale
+    (``native/felzenszwalb.cc felzenszwalb_ladder``). Bit-exact with
+    ``[felzenszwalb(image, s, sigma, m) for s, m in zip(scales, min_sizes)]``
+    — each scale's result is a pure function of the sorted edge list, which
+    both paths build identically (stable sort, same emission order).
+
+    ``min_sizes`` defaults to the XRAI convention ``max(round(s/10), 5)``.
+    Returns a list of int32[H, W] contiguous label maps, one per scale.
+    """
+    scales = [float(s) for s in scales]
+    if min_sizes is None:
+        min_sizes = [max(int(round(s / 10.0)), 5) for s in scales]
+    min_sizes = [int(m) for m in min_sizes]
+    if len(min_sizes) != len(scales):
+        raise ValueError(
+            f"min_sizes length {len(min_sizes)} != scales {len(scales)}")
+    if not scales:
+        return []
+
+    img = np.asarray(image)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    img = _smooth(img.astype(np.float32), sigma)
+
+    if backend in ("auto", "native"):
+        lib = _load_native()
+        if lib is not None:
+            h, w, c = img.shape
+            img_c = np.ascontiguousarray(img, np.float32)
+            n_s = len(scales)
+            labels = np.empty(n_s * h * w, np.int32)
+            counts = np.empty(n_s, np.int32)
+            sc = np.asarray(scales, np.float32)
+            ms = np.asarray(min_sizes, np.int32)
+            lib.felzenszwalb_ladder(
+                img_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                h, w, c,
+                sc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                n_s,
+                labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            return [labels[i * h * w:(i + 1) * h * w].reshape(h, w)
+                    for i in range(n_s)]
+        if backend == "native":
+            raise RuntimeError("native felzenszwalb kernel unavailable")
+    return [_felzenszwalb_numpy(img, s, m)
+            for s, m in zip(scales, min_sizes)]

@@ -724,7 +724,9 @@ class ExportedSaliencyServer:
         from network_interpretation_imagenet_tpu.saliency import (
             xrai as xrai_mod,
         )
-        from network_interpretation_imagenet_tpu.segment import felzenszwalb
+        from network_interpretation_imagenet_tpu.segment import (
+            felzenszwalb_ladder,
+        )
 
         if self._xrai_ig is None:
             raise ValueError(
@@ -741,12 +743,10 @@ class ExportedSaliencyServer:
         )), np.float32)
         if display is None:
             display = aggregate.normalize_to_uint8_np(np.asarray(image))
-        seg_maps = [
-            # The same scale→min_size ladder as xrai_saliency.
-            felzenszwalb(display, scale=float(s), sigma=0.5,
-                         min_size=max(int(round(float(s) / 10.0)), 5))
-            for s in self.xrai_config["scales"]
-        ]
+        # The same scale→min_size ladder as xrai_saliency (one shared
+        # edge build+sort across scales).
+        seg_maps = felzenszwalb_ladder(display, self.xrai_config["scales"],
+                                       sigma=0.5)
         heat, n = xrai_mod.greedy_region_ranking(
             attr, seg_maps, min_area=int(self.xrai_config["min_area"]))
         return xrai_mod.XraiResult(heatmap=heat, attribution=attr,

@@ -190,3 +190,42 @@ def test_segment_batch_host_threads_match_serial(monkeypatch):
     segs = segment_image_batch(imgs, cfg)
     for i, img in enumerate(imgs):
         np.testing.assert_array_equal(segs[i], segment_image(img, cfg))
+
+
+def test_felzenszwalb_ladder_bit_exact_and_shared_sort(rng):
+    """felzenszwalb_ladder (one edge build+sort shared across scales — the
+    XRAI ladder's host cost fix) must be BIT-exact with independent
+    per-scale felzenszwalb calls, on both backends, including the default
+    max(round(s/10), 5) min_size rule."""
+    from network_interpretation_imagenet_tpu.segment import (
+        felzenszwalb,
+        felzenszwalb_ladder,
+    )
+
+    img = np.zeros((48, 48, 3), np.float32)
+    img[8:30, 6:22] = (0.8, 0.2, 0.1)
+    img[28:44, 26:44] = (0.1, 0.7, 0.3)
+    img += 0.05 * rng.randn(48, 48, 3)
+    disp = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    scales = (10.0, 30.0, 80.0)
+
+    for backend in ("numpy", "auto"):
+        maps = felzenszwalb_ladder(disp, scales, sigma=0.5, backend=backend)
+        assert len(maps) == 3
+        for sm, s in zip(maps, scales):
+            ref = felzenszwalb(disp, scale=s, sigma=0.5,
+                               min_size=max(int(round(s / 10.0)), 5),
+                               backend=backend)
+            np.testing.assert_array_equal(sm, ref)
+            assert sm.min() == 0  # contiguous relabeling preserved
+
+    # Explicit min_sizes override + length validation.
+    maps = felzenszwalb_ladder(disp, (10.0,), min_sizes=(20,),
+                               backend="numpy")
+    ref = felzenszwalb(disp, scale=10.0, min_size=20, backend="numpy")
+    np.testing.assert_array_equal(maps[0], ref)
+    assert felzenszwalb_ladder(disp, ()) == []
+    import pytest
+
+    with pytest.raises(ValueError, match="min_sizes"):
+        felzenszwalb_ladder(disp, (10.0, 20.0), min_sizes=(5,))
