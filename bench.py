@@ -33,10 +33,13 @@ SWEEP_IMAGES = 20
 # 197 TFLOP/s/chip.
 RESNET101_FLOPS = 15.66e9
 V5E_PEAK_FLOPS = 197e12
-# Attribution-lane FLOPs: one IG path step = forward + backward; the
-# backward re-derives both the input and weight cotangents (~2x forward),
-# so IG-16 ≈ 16 x 3 x forward per image. XRAI doubles it (2 baselines).
-IG16_FLOPS_PER_IMAGE = 16 * 3 * RESNET101_FLOPS
+# Attribution-lane FLOPs: one IG path step = forward + INPUT-gradient
+# backward. jax.grad w.r.t. the image needs no weight cotangents, so XLA
+# dead-code-eliminates the dW einsums and the backward is ~1x forward
+# (each conv's input cotangent is one transposed conv, same MACs;
+# measured bwd/fwd = 1.1-1.4x, docs/profiles/attribution_profile.txt).
+# IG-16 ≈ 16 x 2 x forward per image; XRAI doubles it (2 baselines).
+IG16_FLOPS_PER_IMAGE = 16 * 2 * RESNET101_FLOPS
 XRAI_FLOPS_PER_IMAGE = 2 * IG16_FLOPS_PER_IMAGE
 
 
