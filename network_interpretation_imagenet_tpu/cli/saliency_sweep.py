@@ -16,7 +16,7 @@ from network_interpretation_imagenet_tpu.saliency.sweep import saliency_sweep
 from network_interpretation_imagenet_tpu.utils.logging import PhaseLogger
 
 
-def _synthetic_dataset(args, spec, n):
+def _synthetic_dataset(args, spec, n, raw_u8: bool = False):
     import jax.numpy as jnp
 
     from network_interpretation_imagenet_tpu.data import synthetic_imagenet_image
@@ -26,6 +26,9 @@ def _synthetic_dataset(args, spec, n):
         base = synthetic_imagenet_image(args.seed + i, spec.image_size)
         if spec.channels == 1:
             base = base[:, :, :1]
+        if raw_u8:  # uint8 wire: /255 + normalize happen ON DEVICE
+            yield np.round(base * 255.0).astype(np.uint8), None, None
+            continue
         img = np.asarray(preprocess.normalize(jnp.asarray(base), spec.mean, spec.std))
         yield img, None, None
 
@@ -125,6 +128,11 @@ def main(argv=None):
                         "exist; means land in sweep_result.json")
     p.add_argument("--fidelity-steps", type=int, default=32,
                    help="(--fidelity) curve resolution")
+    p.add_argument("--uint8-wire", action="store_true",
+                   help="(--bo / --attribute) upload images as RAW uint8 "
+                        "(1/4 the f32 bytes per flush) and run /255 + "
+                        "normalize ON DEVICE — the fused decode→normalize "
+                        "split; only the batched-flush lanes support it")
     p.add_argument("--journal", default=None, metavar="PATH",
                    help="per-image outcome journal (JSONL) enabling --resume "
                         "(default <out>/sweep_journal.jsonl; rank-suffixed "
@@ -148,6 +156,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.bo and args.attribute:
         p.error("--bo and --attribute are mutually exclusive sweep drivers")
+    if args.uint8_wire and not (args.bo or args.attribute):
+        p.error("--uint8-wire needs a batched-flush lane (--bo/--attribute); "
+                "the window/knockout driver normalizes host-side")
     common.apply_debug_flags(args)
 
     multihost_mod = None
@@ -189,15 +200,17 @@ def main(argv=None):
                 ImagenetLocalizationDataset,
             )
 
-            dataset = ImagenetLocalizationDataset(args.data)
+            dataset = ImagenetLocalizationDataset(
+                args.data, raw_u8=args.uint8_wire)
         else:  # plain ImageFolder layout (no gt boxes → no IOU column)
             from network_interpretation_imagenet_tpu.data.image_folder import (
                 ImageFolderDataset,
             )
 
-            dataset = ImageFolderDataset(args.data)
+            dataset = ImageFolderDataset(args.data, raw_u8=args.uint8_wire)
     else:
-        dataset = _synthetic_dataset(args, spec, args.num_images)
+        dataset = _synthetic_dataset(args, spec, args.num_images,
+                                     raw_u8=args.uint8_wire)
 
     dataset_indices = None
     if args.multihost:
@@ -243,6 +256,12 @@ def main(argv=None):
             # the GP pass on only the newly-explained images.
             "keep_heatmaps": bool(args.gp_heatmaps or args.gp_class_heatmaps),
         }
+        if args.uint8_wire:
+            # Row-affecting: device-vs-host normalize differs by ulps, which
+            # forks the discrete BO trajectory — resuming a f32 journal on
+            # the u8 wire would mix incomparable rows. Stamped only when on,
+            # so pre-existing journals keep resuming.
+            jconfig["uint8_wire"] = True
         if args.attribute:
             # Only attribution sweeps stamp these keys — adding them to
             # every jconfig would make journals written before this flag
@@ -331,6 +350,7 @@ def main(argv=None):
             } if args.attribute == "meaningful" else None,
             xrai_scales=[float(v) for v in args.xrai_scales.split(",")]
             if args.attribute == "xrai" else None,
+            normalize=(spec.mean, spec.std) if args.uint8_wire else None,
         )
     elif args.bo:
         from network_interpretation_imagenet_tpu.config import BOConfig
@@ -356,6 +376,7 @@ def main(argv=None):
             dataset_indices=dataset_indices,
             journal=journal,
             fidelity_steps=args.fidelity_steps if args.fidelity else 0,
+            normalize=(spec.mean, spec.std) if args.uint8_wire else None,
         )
     else:
         res = saliency_sweep(

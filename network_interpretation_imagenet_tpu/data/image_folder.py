@@ -22,8 +22,11 @@ class ImageFolderDataset:
     files sort within each class, classes concatenate in label order.
     """
 
-    def __init__(self, data_dir: str, crop: int = 224):
+    def __init__(self, data_dir: str, crop: int = 224,
+                 raw_u8: bool = False):
         self.crop = crop
+        self.raw_u8 = raw_u8  # uint8 wire: yield resize+crop u8 (see
+        # ImagenetLocalizationDataset; normalize happens on device)
         classes = sorted(
             d for d in os.listdir(data_dir)
             if os.path.isdir(os.path.join(data_dir, d))
@@ -49,7 +52,7 @@ class ImageFolderDataset:
 
         path, label = self.items[index]
         img = Image.open(path).convert("RGB")
-        return pil_eval_transform(img, self.crop), label, None
+        return pil_eval_transform(img, self.crop, raw=self.raw_u8), label, None
 
     def __iter__(self):
         for i in range(len(self)):

@@ -79,11 +79,17 @@ def transform_gt_bbox(
 
 class ImagenetLocalizationDataset:
     """Iterates (normalized f32 HWC image, label, gt_bbox) like the reference
-    loader (``bayesian_active_learning_imagenet.py:405-415``)."""
+    loader (``bayesian_active_learning_imagenet.py:405-415``).
 
-    def __init__(self, data_dir: str, crop: int = 224):
+    ``raw_u8=True`` yields resize+crop uint8 HWC instead — the uint8 wire
+    (/255 + normalize run ON DEVICE; ``saliency.sweep`` ``normalize=``),
+    cutting each flush's host→device upload to 1/4 the f32 bytes."""
+
+    def __init__(self, data_dir: str, crop: int = 224,
+                 raw_u8: bool = False):
         self.data_dir = data_dir
         self.crop = crop
+        self.raw_u8 = raw_u8
         csv_path = os.path.join(data_dir, "LOC_val_solution.csv")
         rows = parse_loc_csv(csv_path)
         self.items = []
@@ -118,7 +124,7 @@ class ImagenetLocalizationDataset:
             pil_eval_transform,
         )
 
-        out = pil_eval_transform(img, self.crop)
+        out = pil_eval_transform(img, self.crop, raw=self.raw_u8)
         gt = transform_gt_bbox(boxes[0], img_w, img_h, self.crop)
         return out, label, gt
 

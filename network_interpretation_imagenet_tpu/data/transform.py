@@ -25,8 +25,14 @@ def resized_output_size(w: int, h: int, size: int):
 
 
 def pil_eval_transform(img, crop: int = 224,
-                       mean=IMAGENET_MEAN, std=IMAGENET_STD) -> np.ndarray:
-    """PIL image → normalized f32 [crop, crop, 3] (torchvision semantics)."""
+                       mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                       raw: bool = False) -> np.ndarray:
+    """PIL image → normalized f32 [crop, crop, 3] (torchvision semantics).
+
+    ``raw=True`` stops after resize+crop and returns uint8 HWC — the uint8
+    wire: the sweep uploads raw bytes (1/4 the f32 size) and runs the
+    /255 + normalize half ON DEVICE (``saliency.sweep`` ``normalize=``),
+    the fused decode→normalize split BASELINE.md mandates."""
     from PIL import Image
 
     w, h = img.size
@@ -35,5 +41,7 @@ def pil_eval_transform(img, crop: int = 224,
     left = int(round((new_w - crop) / 2.0))
     top = int(round((new_h - crop) / 2.0))
     img = img.crop((left, top, left + crop, top + crop))
+    if raw:
+        return np.asarray(img, np.uint8)
     arr = np.asarray(img, np.float32) / 255.0  # ToTensor
     return (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)

@@ -577,6 +577,41 @@ def saliency_sweep(
 # same batched forward (a device scalar rides along so dispatch never
 # blocks) — here the skip decision must happen BEFORE dispatch because
 # the whole flush is one program over the kept images only.
+# (mean, std) → jitted u8→normalized-f32 fn (jit retraces per shape).
+_U8_NORM_CACHE: dict = {}
+
+
+def _u8_norm_key(normalize):
+    mean, std = normalize
+    return (tuple(float(m) for m in np.ravel(mean)),
+            tuple(float(s) for s in np.ravel(std)))
+
+
+def _u8_normalize_device(u8_dev, normalize):
+    """Device half of the uint8 wire: /255 then (x-mean)/std, all f32 on
+    device — the upload carries raw bytes (4× smaller than f32)."""
+    import jax
+
+    from network_interpretation_imagenet_tpu.ops import preprocess
+
+    key = _u8_norm_key(normalize)
+    if key not in _U8_NORM_CACHE:
+        mean, std = normalize
+        _U8_NORM_CACHE[key] = jax.jit(
+            lambda u8: preprocess.normalize(
+                u8.astype(jnp.float32) / 255.0, mean, std))
+    return _U8_NORM_CACHE[key](u8_dev)
+
+
+def _u8_normalize_host(u8: np.ndarray, normalize) -> np.ndarray:
+    """Host twin of :func:`_u8_normalize_device` (same f32 op order) for
+    the few per-image host consumers (fidelity forwards)."""
+    mean, std = normalize
+    x = u8.astype(np.float32) / np.float32(255.0)
+    return ((x - np.asarray(mean, np.float32))
+            / np.asarray(std, np.float32))
+
+
 def _batched_flush_sweep(
     engine: SaliencyEngine,
     dataset: Iterable,
@@ -598,6 +633,7 @@ def _batched_flush_sweep(
     enqueue_display,
     dispatch,
     collect,
+    normalize=None,
 ) -> int:
     """Shared driver for the image-batched sweep family (fused-BO and
     attribution): depth-2 flush pipeline, batched predict +
@@ -618,6 +654,17 @@ def _batched_flush_sweep(
     Misclassified images are skipped BEFORE dispatch (one batched predict
     per flush), so no device budget is wasted on them. Returns the total
     eval count (``evals_per_image`` per explained-or-failed kept image).
+
+    ``normalize=(mean, std)`` enables the uint8 wire: datasets may yield
+    RAW uint8 HWC images (the form JPEG decode produces), which upload at
+    1/4 the bytes of pre-normalized f32 and are scaled (/255) + normalized
+    ON DEVICE — the fused decode→normalize path BASELINE.md mandates, and
+    the main lever for these per-image-cheap lanes, whose end-to-end rate
+    is transfer-bound (docs/PERFORMANCE.md attribution-lane roofline).
+    The dataset must be homogeneous (all uint8 or all float — a mixed
+    flush would silently promote raw pixels to float and skip their
+    normalization, so it errors instead); uint8 without ``normalize`` is
+    an error too (raw pixels explained as if normalized are garbage).
     """
     import jax
 
@@ -656,8 +703,11 @@ def _batched_flush_sweep(
                     row["iou"] = float(iou)
                     iou_m.update(float(iou))
                 if fidelity_steps > 0:
+                    img_j = imgs[j]
+                    if img_j.dtype == np.uint8:  # uint8 wire: host twin of
+                        img_j = _u8_normalize_host(img_j, normalize)
                     row.update(_fidelity_row_fields(
-                        engine, imgs[j], heat, int(preds[j]), gts[j],
+                        engine, img_j, heat, int(preds[j]), gts[j],
                         fidelity_steps,
                     ))
                 res.images_explained += 1
@@ -685,8 +735,21 @@ def _batched_flush_sweep(
             # ONE image upload per flush, reused by the predict, the
             # dispatch hook's device work (display/segments for BO), and
             # the main program (through a tunnel each 16-image f32 upload
-            # costs ~240 ms).
-            imgs_dev = jax.device_put(np.stack(imgs).astype(np.float32))
+            # costs ~240 ms; the uint8 wire cuts it 4×).
+            dtypes = {im.dtype for im in imgs}
+            if np.dtype(np.uint8) in dtypes and len(dtypes) > 1:
+                # np.stack would silently promote the uint8 images to
+                # float RAW pixel values and skip their normalization.
+                raise ValueError(
+                    f"flush mixes uint8 and float images ({dtypes}); the "
+                    "uint8 wire needs a homogeneous dataset")
+            arr = np.stack(imgs)
+            if arr.dtype == np.uint8:
+                # normalize=None already rejected at intake.
+                imgs_dev = _u8_normalize_device(
+                    jax.device_put(arr), normalize)
+            else:
+                imgs_dev = jax.device_put(arr.astype(np.float32))
             preds = engine.predict(imgs_dev).argmax(axis=1)
             keep = [
                 j for j in range(len(batch))
@@ -725,6 +788,17 @@ def _batched_flush_sweep(
         try:
             image, label, gt_bbox = _unpack_item(item)
             image = np.asarray(image)
+        except Exception as e:
+            res.images_failed += 1
+            log.emit({"event": "image_failed", "index": i, "error": repr(e)})
+            continue
+        if image.dtype == np.uint8 and normalize is None:
+            # Config error, not a per-image failure: fail the sweep loudly
+            # instead of logging every image as failed.
+            raise ValueError(
+                "dataset yielded uint8 images; pass normalize=(mean, std) "
+                "so the sweep can scale + normalize them on device")
+        try:
             pending.append((i, image, enqueue_display(image), label,
                             gt_bbox, t0))
             if len(pending) >= image_batch:
@@ -783,6 +857,7 @@ def bo_saliency_sweep(
     dataset_indices=None,
     journal=None,
     fidelity_steps: int = 0,
+    normalize=None,
 ) -> SweepResult:
     """Val-set sweep driven by the FLAGSHIP path: GP-EI BO per image
     (``bayesian_active_learning_imagenet.py:379-498``), batched — every
@@ -807,6 +882,17 @@ def bo_saliency_sweep(
     semantics (per-image PRNG keys derive from dataset indices, so resumed
     images match an uninterrupted run exactly). ``fidelity_steps``: same
     per-image deletion/insertion AUC + pointing-game scoring.
+
+    ``normalize=(mean, std)``: uint8 wire — datasets may yield raw uint8
+    images, uploaded at 1/4 the f32 bytes and normalized on device (see
+    ``_batched_flush_sweep``). With ``seg_cfg.method == "slic"`` displays
+    still derive from the NORMALIZED batch on device — bit-identical to
+    the f32 path fed the same normalized array; a HOST-numpy normalize
+    twin differs by 1-2 ulp (XLA compiles the fused (x/255-m)/s
+    differently), which can move one SLIC boundary pixel and hence fork
+    this discrete lane's BO trajectory. With host felzenszwalb the
+    display min-max stretches the raw uint8 instead of the normalized
+    image.
     """
     import jax.numpy as jnp
 
@@ -881,6 +967,7 @@ def bo_saliency_sweep(
         evals_per_image=bo_cfg.n_pre_samples
         + bo_cfg.n_iters * proposals_per_iter,
         enqueue_display=enqueue_display, dispatch=dispatch, collect=collect,
+        normalize=normalize,
     )
     return _finish_sweep(res, iou_m, surv_m, latencies, total_evals,
                          time.perf_counter() - t_start)
@@ -909,6 +996,7 @@ def attribution_sweep(
     sample_batch: Optional[int] = None,
     lm_cfg: Optional[dict] = None,
     xrai_scales=None,
+    normalize=None,
 ) -> SweepResult:
     """Val-set sweep driven by the gradient-family attribution path: every
     ``image_batch`` images' backward passes run as ONE vmapped program
@@ -937,6 +1025,11 @@ def attribution_sweep(
     ``step_batch``/``sample_batch`` bound the flush's live activation
     memory at image_batch·chunk concurrent backwards (exact scan
     accumulation) — required headroom for deep models at image_batch≥16.
+
+    ``normalize=(mean, std)``: uint8 wire — the dataset yields raw uint8
+    images, uploaded at 1/4 the f32 bytes and /255-normalized on device
+    (see ``_batched_flush_sweep``); for ``method="xrai"`` the raw uint8
+    image doubles as the felzenszwalb-ladder display.
     """
     import jax.numpy as jnp
 
@@ -957,6 +1050,13 @@ def attribution_sweep(
             return None  # gradient/learned-mask methods need no segmentation
         from network_interpretation_imagenet_tpu.ops import aggregate
 
+        if image.dtype == np.uint8:
+            # uint8 wire: the raw image IS the display (what a JPEG
+            # pipeline would hand xrai_saliency directly).
+            disp = image
+            if disp.ndim == 3 and disp.shape[2] == 1:
+                disp = disp[:, :, 0]
+            return disp
         disp = aggregate.normalize_to_uint8_np(image)
         if disp.ndim == 3 and disp.shape[2] == 1:
             disp = disp[:, :, 0]
@@ -1043,7 +1143,7 @@ def attribution_sweep(
                                "smoothgrad": int(samples),
                                "xrai": 2 * int(steps)}.get(method, 1)),
         enqueue_display=enqueue_display, dispatch=dispatch,
-        collect=collect,
+        collect=collect, normalize=normalize,
     )
     return _finish_sweep(res, iou_m, surv_m, latencies, total_evals,
                          time.perf_counter() - t_start)

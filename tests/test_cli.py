@@ -395,3 +395,41 @@ def test_cli_saliency_sweep_attribute(tmp_path):
     assert r["images_total"] == 3
     assert r["images_failed"] == 0
     assert r["evals_per_sec"] > 0
+
+
+def test_cli_saliency_sweep_uint8_wire(tmp_path):
+    """--uint8-wire: synthetic images travel as raw u8 and are normalized
+    on device; works for both batched-flush lanes, refused elsewhere."""
+    import pytest
+
+    from network_interpretation_imagenet_tpu.cli import (
+        saliency_sweep as cli_sweep,
+    )
+
+    out = str(tmp_path / "attr")
+    cli_sweep.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num-images", "3", "--image-batch", "2", "--dtype", "float32",
+        "--attribute", "integrated", "--ig-steps", "4",
+        "--uint8-wire", "--out", out,
+    ])
+    r = _json(os.path.join(out, "sweep_result.json"))
+    assert r["images_total"] == 3 and r["images_failed"] == 0
+
+    out2 = str(tmp_path / "bo")
+    cli_sweep.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num-images", "2", "--image-batch", "2", "--dtype", "float32",
+        "--bo", "--n_iters", "2", "--n_pre_samples", "2",
+        "--segmenter", "slic", "--n_segments", "9",
+        "--uint8-wire", "--out", out2,
+    ])
+    r2 = _json(os.path.join(out2, "sweep_result.json"))
+    assert r2["images_total"] == 2 and r2["images_failed"] == 0
+
+    # The window/knockout driver normalizes host-side: flag refused.
+    with pytest.raises(SystemExit):
+        cli_sweep.main([
+            "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+            "--num-images", "2", "--uint8-wire", "--out", str(tmp_path),
+        ])

@@ -1083,3 +1083,138 @@ def test_attribution_sweep_xrai(rng):
         ref = xrai.xrai_saliency(bundle.logits, variables, im, target,
                                  disp, steps=4, scales=(20.0, 60.0))
         np.testing.assert_allclose(res.heatmaps[i], ref.heatmap, atol=2e-5)
+
+
+def test_attribution_sweep_uint8_wire_matches_f32(rng):
+    """The uint8 wire (raw u8 dataset + normalize=(mean, std), scaled and
+    normalized ON DEVICE — 1/4 the flush upload bytes) must reproduce the
+    f32 path fed the identically host-normalized images, including the
+    fidelity row fields (which normalize the u8 image host-side)."""
+    import pytest
+
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        attribution_sweep,
+    )
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=32,
+                            compute_dtype=jnp.float32)
+    mean, std = (0.1307,), (0.3081,)
+    u8s = [rng.randint(0, 256, (28, 28, 1)).astype(np.uint8)
+           for _ in range(5)]
+    f32s = [((u.astype(np.float32) / np.float32(255.0)
+              - np.asarray(mean, np.float32))
+             / np.asarray(std, np.float32)) for u in u8s]
+
+    u8_ds = [(u, None, None) for u in u8s]
+    f32_ds = [(f, None, None) for f in f32s]
+    res_u8 = attribution_sweep(engine, u8_ds, method="integrated",
+                               image_batch=3, steps=4, seed=5,
+                               keep_heatmaps=True, fidelity_steps=4,
+                               normalize=(mean, std))
+    res_f32 = attribution_sweep(engine, f32_ds, method="integrated",
+                                image_batch=3, steps=4, seed=5,
+                                keep_heatmaps=True, fidelity_steps=4)
+    assert res_u8.images_explained == res_f32.images_explained == 5
+    for i in range(5):
+        np.testing.assert_allclose(res_u8.heatmaps[i], res_f32.heatmaps[i],
+                                   rtol=1e-4, atol=1e-6)
+    for ru, rf in zip(res_u8.per_image, res_f32.per_image):
+        assert ru["target"] == rf["target"]
+        np.testing.assert_allclose(ru["deletion_auc"], rf["deletion_auc"],
+                                   atol=1e-4)
+        np.testing.assert_allclose(ru["insertion_auc"], rf["insertion_auc"],
+                                   atol=1e-4)
+
+    # uint8 without normalize is a LOUD config error, not N failed images.
+    with pytest.raises(ValueError, match="normalize"):
+        attribution_sweep(engine, u8_ds, method="integrated",
+                          image_batch=3, steps=4, seed=5)
+
+    # Mixed u8/f32 flushes would silently promote raw pixels — rejected.
+    mixed = [(u8s[0], None, None), (f32s[1], None, None),
+             (u8s[2], None, None)]
+    res_mixed = attribution_sweep(engine, mixed, method="integrated",
+                                  image_batch=3, steps=4, seed=5,
+                                  normalize=(mean, std))
+    assert res_mixed.images_failed == 3 and res_mixed.images_explained == 0
+
+
+def test_attribution_sweep_uint8_wire_xrai_display(rng):
+    """On the uint8 wire, xrai's felzenszwalb ladder segments the RAW u8
+    image (what a JPEG pipeline hands xrai_saliency), and results match
+    the live xrai_saliency given the same display."""
+    from network_interpretation_imagenet_tpu.saliency import xrai as xm
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        attribution_sweep,
+    )
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=32,
+                            compute_dtype=jnp.float32)
+    mean, std = (0.1307,), (0.3081,)
+    u8 = np.zeros((28, 28, 1), np.uint8)
+    u8[4:14, 4:14] = 230
+    u8[16:26, 10:22] = 128
+    u8 = np.clip(u8.astype(np.int32)
+                 + (5 * rng.randn(28, 28, 1)).astype(np.int32),
+                 0, 255).astype(np.uint8)
+    scales = (10.0, 30.0)
+    res = attribution_sweep(engine, [(u8, None, None)], method="xrai",
+                            image_batch=1, steps=4, seed=5,
+                            keep_heatmaps=True, xrai_scales=scales,
+                            normalize=(mean, std))
+    assert res.images_explained == 1
+    f32 = ((u8.astype(np.float32) / np.float32(255.0)
+            - np.asarray(mean, np.float32)) / np.asarray(std, np.float32))
+    target = int(engine.predict_one(f32)[0])
+    live = xm.xrai_saliency(bundle.logits, variables, f32, target,
+                            u8[:, :, 0], steps=4, scales=scales)
+    np.testing.assert_allclose(res.heatmaps[0], live.heatmap, atol=1e-5)
+    assert res.per_image[0]["num_regions"] == live.num_regions
+
+
+def test_bo_sweep_uint8_wire_matches_f32():
+    """The uint8 wire on the FLAGSHIP BO sweep: raw-u8 input +
+    normalize=(mean, std) must reproduce the f32 path fed the SAME
+    normalized bits — so the reference dataset here is the u8 images
+    round-tripped through the device normalizer. That pins the wire
+    MECHANICS (u8 upload, on-device scale+normalize, flush composition,
+    SLIC display derivation, per-image seeds) exactly. A host-numpy
+    normalize twin is NOT a valid reference for this discrete lane: XLA's
+    compiled (x/255-m)/s differs by 1-2 ulp, which can flip a uint8
+    display bin, move a SLIC boundary pixel, and fork the whole BO
+    trajectory (masks are segment windows). The continuous-lane test
+    above covers host-normalized tolerance parity."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        _u8_normalize_device, bo_saliency_sweep,
+    )
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=8,
+                            compute_dtype=jnp.float32)
+    mean, std = (0.1307,), (0.3081,)
+    r = np.random.RandomState(3)
+    u8s = [r.randint(0, 256, (28, 28, 1)).astype(np.uint8)
+           for _ in range(4)]
+    f32s = list(np.asarray(
+        _u8_normalize_device(jax.device_put(np.stack(u8s)), (mean, std))))
+    cfg = SegmentConfig(method="slic", n_segments=9, slic_iters=4)
+    kw = dict(bo_cfg=BOConfig(n_iters=2, n_pre_samples=2), image_batch=2,
+              seed=9, keep_heatmaps=True)
+    res_u8 = bo_saliency_sweep(engine, [(u, None, None) for u in u8s],
+                               cfg, normalize=(mean, std), **kw)
+    res_f32 = bo_saliency_sweep(engine, [(f, None, None) for f in f32s],
+                                cfg, **kw)
+    assert res_u8.images_explained == res_f32.images_explained == 4
+    for i in range(4):
+        np.testing.assert_array_equal(res_u8.heatmaps[i],
+                                      res_f32.heatmaps[i])
+    for ru, rf in zip(res_u8.per_image, res_f32.per_image):
+        assert ru["target"] == rf["target"]
+        assert ru["num_segments"] == rf["num_segments"]
+        assert ru["best_start"] == rf["best_start"]
