@@ -299,14 +299,26 @@ def tpu_rate_and_latency():
         bo_saliency_sweep,
     )
 
+    # Both batched-flush lanes ride the uint8 wire (round 4): datasets
+    # yield raw u8 — the form JPEG decode produces — uploaded at 1/4 the
+    # f32 bytes and /255+normalized ON DEVICE. Measured 1.31x (BO) /
+    # 1.43x (IG-16) on these transfer-bound lanes (docs/PERFORMANCE.md).
+    from network_interpretation_imagenet_tpu.config import (
+        IMAGENET_MEAN, IMAGENET_STD,
+    )
+
+    NORM = (IMAGENET_MEAN, IMAGENET_STD)
+
     def bo_sweep_dataset(n, seed0):
         r2 = np.random.RandomState(seed0)
         for _ in range(n):
-            yield r2.rand(224, 224, 3).astype(np.float32), None, None
+            yield r2.randint(0, 256, (224, 224, 3)).astype(np.uint8), \
+                None, None
 
     slic_cfg = SegmentConfig(method="slic", n_segments=48, slic_iters=10)
     bo_saliency_sweep(engine, bo_sweep_dataset(16, 61), slic_cfg,
-                      bo_cfg=bo_cfg, image_batch=16, seed=2)  # warm
+                      bo_cfg=bo_cfg, image_batch=16, seed=2,
+                      normalize=NORM)  # warm
     # 3 flushes per run: exercises the depth-2 flush pipeline +
     # device-resident uploads (a single flush can't overlap anything).
     # MEDIAN OF 3 runs: BO-sweep throughput rides the axon tunnel RTT
@@ -315,7 +327,7 @@ def tpu_rate_and_latency():
     bo_sweep_runs = [
         bo_saliency_sweep(
             engine, bo_sweep_dataset(48, 77 + 2 * r), slic_cfg, bo_cfg=bo_cfg,
-            image_batch=16, seed=3 + r,
+            image_batch=16, seed=3 + r, normalize=NORM,
         )
         for r in range(3)
     ]
@@ -341,13 +353,15 @@ def tpu_rate_and_latency():
     # 16 GB HBM ceiling. Median of 3 (tunnel-RTT smoothing, same rationale
     # as the BO sweep row).
     attribution_sweep(engine, bo_sweep_dataset(16, 91), method="integrated",
-                      image_batch=16, steps=16, step_batch=4, seed=4)  # warm
+                      image_batch=16, steps=16, step_batch=4, seed=4,
+                      normalize=NORM)  # warm
     attr_rates = []
     for r in range(3):
         t0 = time.perf_counter()
         attr_res = attribution_sweep(engine, bo_sweep_dataset(32, 93 + 2 * r),
                                      method="integrated", image_batch=16,
-                                     steps=16, step_batch=4, seed=5 + r)
+                                     steps=16, step_batch=4, seed=5 + r,
+                                     normalize=NORM)
         attr_rates.append(
             attr_res.images_explained / (time.perf_counter() - t0))
     attr_img_s = float(np.median(attr_rates))
@@ -360,17 +374,22 @@ def tpu_rate_and_latency():
     # felzenszwalb-ladder ranking overlaps as host work at collect. Collage
     # images (not white noise) so the 5-scale ladder segments realistically.
     def xrai_sweep_dataset(n, seed0):
+        # u8 wire: the raw collage bytes double as the felzenszwalb-ladder
+        # display (exactly what a JPEG pipeline hands xrai).
         for i in range(n):
-            yield collage(seed0 * 100 + i), None, None
+            yield (np.round(collage(seed0 * 100 + i) * 255)
+                   .astype(np.uint8)), None, None
 
     attribution_sweep(engine, xrai_sweep_dataset(8, 41), method="xrai",
-                      image_batch=8, steps=16, step_batch=4, seed=6)  # warm
+                      image_batch=8, steps=16, step_batch=4, seed=6,
+                      normalize=NORM)  # warm
     xrai_rates = []
     for r in range(3):
         t0 = time.perf_counter()
         xrai_res = attribution_sweep(engine, xrai_sweep_dataset(16, 43 + r),
                                      method="xrai", image_batch=8,
-                                     steps=16, step_batch=4, seed=7 + r)
+                                     steps=16, step_batch=4, seed=7 + r,
+                                     normalize=NORM)
         xrai_rates.append(
             xrai_res.images_explained / (time.perf_counter() - t0))
     xrai_img_s = float(np.median(xrai_rates))
@@ -453,6 +472,9 @@ def main():
                     "mfu_pct": round(rate * RESNET101_FLOPS / V5E_PEAK_FLOPS * 100, 1),
                     "mask_batch": MASK_BATCH,
                     "dtype": "bfloat16",
+                    # BO/attribution/XRAI sweep rows ride the uint8 wire
+                    # (raw-u8 uploads + on-device normalize, round 4).
+                    "sweep_wire": "uint8",
                 },
             }
         )

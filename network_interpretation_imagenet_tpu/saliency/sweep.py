@@ -680,6 +680,10 @@ def _batched_flush_sweep(
         if not inflight:
             return
         state, keep, idxs, preds, gts, t0s, imgs = inflight.pop(0)
+        # Deferred-predict flushes carry DEVICE preds (int32 [B]); one bulk
+        # fetch here (64 B, the program is long done) instead of a blocking
+        # round trip before dispatch.
+        preds = np.asarray(preds)
         try:
             results = collect(state)
         except Exception as e:
@@ -750,18 +754,30 @@ def _batched_flush_sweep(
                     jax.device_put(arr), normalize)
             else:
                 imgs_dev = jax.device_put(arr.astype(np.float32))
-            preds = engine.predict(imgs_dev).argmax(axis=1)
-            keep = [
-                j for j in range(len(batch))
-                if labels[j] is None or int(preds[j]) == int(labels[j])
-            ]
-            for j in range(len(batch)):
-                if j not in keep:
-                    res.images_skipped_misclassified += 1
-                    log.emit({"event": "skip_misclassified", "index": idxs[j],
-                              "pred": int(preds[j]), "label": int(labels[j])})
-            if not keep:
-                return
+            if all(lab is None for lab in labels):
+                # Deferred-predict path (no skip decision to make): targets
+                # stay ON DEVICE as int32 [B] — dispatch hooks feed them to
+                # their programs without the blocking logits round trip the
+                # labeled path needs; finalize() fetches them for the rows
+                # once the program is done. Device argmax == host argmax
+                # (same logits, same lowest-index tie break).
+                preds = jnp.argmax(
+                    engine.predict_logits_device(imgs_dev), axis=1)
+                keep = list(range(len(batch)))
+            else:
+                preds = engine.predict(imgs_dev).argmax(axis=1)
+                keep = [
+                    j for j in range(len(batch))
+                    if labels[j] is None or int(preds[j]) == int(labels[j])
+                ]
+                for j in range(len(batch)):
+                    if j not in keep:
+                        res.images_skipped_misclassified += 1
+                        log.emit({"event": "skip_misclassified",
+                                  "index": idxs[j], "pred": int(preds[j]),
+                                  "label": int(labels[j])})
+                if not keep:
+                    return
             state = dispatch(imgs_dev, disps, keep, idxs, preds)
         except Exception as e:
             # Skipped images are already accounted for; only the dispatched
@@ -937,11 +953,16 @@ def bo_saliency_sweep(
         # PRNG stream is invariant to flush composition (--image-batch
         # value, skip patterns) and matches a single-image
         # bo_window_saliency(seed=seed+index) call exactly.
+        # Deferred-predict flushes hand preds as a DEVICE int32 [B]
+        # (keep == all there): it rides into the runner as-is, whose
+        # operand padding materializes it AFTER the slic fetch above —
+        # the predict round trip leaves the dispatch critical path.
         collect_fn = bo_window_saliency_multi_async(
             engine, keep_imgs, segs, bo_cfg,
             window_fraction=window_fraction,
             per_image_seeds=[seed + int(idxs[j]) for j in keep],
-            targets=[int(preds[j]) for j in keep], mesh=mesh,
+            targets=(preds if not isinstance(preds, np.ndarray)
+                     else [int(preds[j]) for j in keep]), mesh=mesh,
             proposals_per_iter=proposals_per_iter,
         )
         return collect_fn, ss
@@ -1065,7 +1086,13 @@ def attribution_sweep(
     def dispatch(imgs_dev, disps, keep, idxs, preds):
         keep_imgs = (imgs_dev if len(keep) == int(imgs_dev.shape[0]) else
                      jnp.take(imgs_dev, jnp.asarray(keep), axis=0))
-        kept_targets = np.asarray([int(preds[j]) for j in keep], np.int32)
+        # Deferred-predict flushes (unlabeled datasets) hand preds as a
+        # DEVICE int32 [B] with keep == all: targets feed the program
+        # without ANY host round trip — this lane's dispatch then has
+        # zero syncs (the labeled path fetched logits for the skip
+        # decision already, so host ints cost nothing extra there).
+        kept_targets = (preds if not isinstance(preds, np.ndarray) else
+                        np.asarray([int(preds[j]) for j in keep], np.int32))
         kept_seeds = np.asarray([seed + int(idxs[j]) for j in keep],
                                 np.int32)
         if method == "meaningful":

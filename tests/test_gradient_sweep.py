@@ -1218,3 +1218,55 @@ def test_bo_sweep_uint8_wire_matches_f32():
         assert ru["target"] == rf["target"]
         assert ru["num_segments"] == rf["num_segments"]
         assert ru["best_start"] == rf["best_start"]
+
+
+def test_batched_sweep_deferred_predict_matches_labeled(rng):
+    """Unlabeled flushes take the deferred-predict path (targets stay on
+    device, no blocking logits fetch before dispatch); they must be
+    BIT-identical to the labeled path (host preds for the skip decision)
+    given labels that keep every image — same targets, same programs.
+    Covers both batched-flush lanes; also re-pins that a wrong label
+    still skips."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        attribution_sweep, bo_saliency_sweep,
+    )
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=16,
+                            compute_dtype=jnp.float32)
+    imgs = [rng.rand(28, 28, 1).astype(np.float32) for _ in range(4)]
+    preds = [int(engine.predict_one(im)[0]) for im in imgs]
+
+    unlabeled = [(im, None, None) for im in imgs]
+    labeled = [(im, p, None) for im, p in zip(imgs, preds)]
+
+    kw = dict(method="integrated", image_batch=2, steps=4, seed=7,
+              keep_heatmaps=True)
+    res_d = attribution_sweep(engine, unlabeled, **kw)
+    res_l = attribution_sweep(engine, labeled, **kw)
+    assert res_d.images_explained == res_l.images_explained == 4
+    assert res_l.images_skipped_misclassified == 0
+    for i in range(4):
+        np.testing.assert_array_equal(res_d.heatmaps[i], res_l.heatmaps[i])
+        assert (res_d.per_image[i]["target"]
+                == res_l.per_image[i]["target"] == preds[i])
+
+    cfg = SegmentConfig(method="slic", n_segments=9, slic_iters=4)
+    bkw = dict(bo_cfg=BOConfig(n_iters=2, n_pre_samples=2), image_batch=2,
+               seed=11, keep_heatmaps=True)
+    res_bd = bo_saliency_sweep(engine, unlabeled, cfg, **bkw)
+    res_bl = bo_saliency_sweep(engine, labeled, cfg, **bkw)
+    assert res_bd.images_explained == res_bl.images_explained == 4
+    for i in range(4):
+        np.testing.assert_array_equal(res_bd.heatmaps[i],
+                                      res_bl.heatmaps[i])
+        assert (res_bd.per_image[i]["best_start"]
+                == res_bl.per_image[i]["best_start"])
+
+    # A wrong label must still skip (the labeled path's whole point).
+    bad = [(imgs[0], (preds[0] + 1) % 10, None)] + labeled[1:]
+    res_s = attribution_sweep(engine, bad, **kw)
+    assert res_s.images_skipped_misclassified == 1
+    assert res_s.images_explained == 3
