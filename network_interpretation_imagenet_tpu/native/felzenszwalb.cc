@@ -148,6 +148,41 @@ int32_t felzenszwalb_segment(const float* img, int32_t h, int32_t w, int32_t c,
                             min_size, labels);
 }
 
+// Connected components (4-connectivity) of an int32 label map: two pixels
+// join iff adjacent AND equal input label. Writes component ids into `out`
+// (contiguous, raster first-occurrence order) and returns the component
+// count. Consumed by segment/slic.py's enforce_connectivity, replacing its
+// per-label scipy.ndimage.label loop (one O(n alpha) pass instead of S
+// passes; component IDENTITY is all the caller needs, so the id scheme
+// only has to be deterministic, which first-occurrence order is).
+int32_t label_components(const int32_t* labels, int32_t h, int32_t w,
+                         int32_t* out) {
+  const int64_t n = static_cast<int64_t>(h) * w;
+  UnionFind uf(static_cast<int32_t>(n));
+  auto join = [&uf](int64_t a, int64_t b) {
+    const int32_t ra = uf.find(static_cast<int32_t>(a));
+    const int32_t rb = uf.find(static_cast<int32_t>(b));
+    if (ra != rb) uf.merge(ra, rb, 0.f);  // merge expects roots
+  };
+  for (int32_t y = 0; y < h; ++y) {
+    const int64_t row = static_cast<int64_t>(y) * w;
+    for (int32_t x = 0; x < w; ++x) {
+      const int64_t i = row + x;
+      const int32_t lab = labels[i];
+      if (x + 1 < w && labels[i + 1] == lab) join(i, i + 1);
+      if (y + 1 < h && labels[i + w] == lab) join(i, i + w);
+    }
+  }
+  std::vector<int32_t> remap(n, -1);
+  int32_t next_id = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t root = uf.find(static_cast<int32_t>(i));
+    if (remap[root] < 0) remap[root] = next_id++;
+    out[i] = remap[root];
+  }
+  return next_id;
+}
+
 // Multi-scale ladder (XRAI's oversegmentation stack): edges built and
 // sorted ONCE, then one union-find pass per (scale, min_size). Bit-exact
 // with n_scales independent felzenszwalb_segment calls — the per-scale

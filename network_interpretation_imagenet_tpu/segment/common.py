@@ -99,10 +99,24 @@ def segment_image_batch(displays, cfg: SegmentConfig):
     slic_mod = importlib.import_module(
         "network_interpretation_imagenet_tpu.segment.slic"
     )
-    segs = np.asarray(slic_mod.slic_batch(
+    segs_dev = slic_mod.slic_batch(
         displays, n_segments=cfg.n_segments, compactness=cfg.compactness,
         num_iters=cfg.slic_iters,
-    ))
+    )
+    # u8 segment wire: k-means labels are < gh*gw (pad centroids sit at a
+    # 1e6 sentinel and are never assigned), so when that fits in uint8 the
+    # N·H·W map fetches at 1/4 the int32 bytes — these flushes ride a
+    # ~30 MB/s tunnel, where a 16×224² int32 fetch alone costs ~120 ms.
+    import jax.numpy as jnp
+    from network_interpretation_imagenet_tpu.segment.slic import _grid_shape
+
+    h, w = (displays.shape[1:3] if isinstance(displays, jax.Array)
+            else np.asarray(displays[0]).shape[:2])
+    gh, gw = _grid_shape(int(h), int(w), cfg.n_segments)
+    if gh * gw <= 255:
+        segs = np.asarray(segs_dev.astype(jnp.uint8)).astype(np.int32)
+    else:
+        segs = np.asarray(segs_dev)
 
     def _post(seg):
         if cfg.enforce_connectivity:

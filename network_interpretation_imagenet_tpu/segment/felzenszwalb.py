@@ -64,6 +64,13 @@ def _load_native_locked() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.label_components.restype = ctypes.c_int32
+        lib.label_components.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.felzenszwalb_ladder.restype = None
         lib.felzenszwalb_ladder.argtypes = [
             ctypes.POINTER(ctypes.c_float),
@@ -223,6 +230,29 @@ def felzenszwalb(
         if backend == "native":
             raise RuntimeError("native felzenszwalb kernel unavailable")
     return _felzenszwalb_numpy(img, scale, min_size)
+
+
+def label_components(labels: np.ndarray):
+    """4-connectivity connected components of an int32 label map (pixels
+    join iff adjacent AND equal label) via the native kernel: returns
+    ``(comp int32[H, W], n_components)`` with contiguous ids in raster
+    first-occurrence order, or ``None`` when the toolchain is unavailable
+    (callers fall back to the per-label ``scipy.ndimage.label`` loop).
+    One O(n·alpha) pass over the whole map — the fast path of
+    ``segment.slic.enforce_connectivity``."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    labels = np.ascontiguousarray(labels, np.int32)
+    h, w = labels.shape
+    out = np.empty(h * w, np.int32)
+    n = lib.label_components(
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        h,
+        w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out.reshape(h, w), int(n)
 
 
 def felzenszwalb_ladder(

@@ -179,33 +179,62 @@ def enforce_connectivity(labels: np.ndarray, min_fraction: float = 0.25) -> np.n
     of the label's largest component).
 
     k-means assignment can leave isolated islands; downstream window masks
-    behave better with spatially coherent superpixels. Fully vectorized:
-    per-label connected components via ``scipy.ndimage.label`` (C), fragment
-    absorption via ONE Euclidean distance transform — ~2 ms at 224², which is
-    why it can be on by default (round 1's per-pixel Python floodfill took
-    seconds).
+    behave better with spatially coherent superpixels. Fast path: ONE
+    native union-find CC pass over the whole map
+    (``felzenszwalb.label_components``) + vectorized keep rule; fallback:
+    per-label components via ``scipy.ndimage.label`` (bit-identical keep
+    set). Fragment absorption via ONE Euclidean distance transform. ~5 ms
+    at 224² even on fragmented noise input (the scipy loop is ~25 ms
+    there), which is why it can be on by default (round 1's per-pixel
+    Python floodfill took seconds).
     """
     from scipy import ndimage
 
     labels = np.asarray(labels, np.int32)
-    keep_pix = np.zeros(labels.shape, bool)
-    # Per-label CC restricted to the label's bounding box (find_objects):
-    # coherent labels cost O(label area), so the pass is ~O(H·W) total on
-    # typical SLIC output.
-    slices = ndimage.find_objects(labels + 1)
-    for lab, sl in enumerate(slices):
-        if sl is None:
-            continue
-        mask = labels[sl] == lab
-        comp, n = ndimage.label(mask)  # 4-connectivity components of this label
-        if n <= 1:
-            keep_pix[sl] |= mask
-            continue
-        sizes = np.bincount(comp.ravel())[1:]  # component 0 = background
-        big = np.concatenate(
-            [[False], sizes >= max(1, min_fraction * sizes.max())]
+    cc = None
+    try:  # one native O(n) CC pass over the whole map (fast path)
+        from network_interpretation_imagenet_tpu.segment.felzenszwalb import (
+            label_components,
         )
-        keep_pix[sl] |= big[comp]
+
+        cc = label_components(labels)
+    except Exception:
+        cc = None
+    if cc is not None:
+        # Same keep rule as the loop below, computed from ONE global CC:
+        # a fragment survives iff its size >= max(1, min_fraction * the
+        # largest fragment of ITS label). Global same-label 4-conn
+        # components == per-label ndimage.label components, so keep_pix is
+        # bit-identical to the fallback (pinned by test_segment).
+        # ~1 ms vs ~22 ms for the S ndimage.label calls at 224²/S=48.
+        comp, n = cc
+        flat_comp = comp.ravel()
+        sizes = np.bincount(flat_comp, minlength=n)
+        comp_label = np.zeros(n, np.int64)
+        comp_label[flat_comp] = labels.ravel()  # constant per component
+        max_per_label = np.zeros(int(labels.max()) + 1, np.int64)
+        np.maximum.at(max_per_label, comp_label, sizes)
+        thresh = np.maximum(1, min_fraction * max_per_label)
+        keep_pix = (sizes >= thresh[comp_label])[comp]
+    else:  # toolchain-free fallback: per-label CC on bounding boxes
+        keep_pix = np.zeros(labels.shape, bool)
+        # Per-label CC restricted to the label's bounding box
+        # (find_objects): coherent labels cost O(label area), so the pass
+        # is ~O(H·W) total on typical SLIC output.
+        slices = ndimage.find_objects(labels + 1)
+        for lab, sl in enumerate(slices):
+            if sl is None:
+                continue
+            mask = labels[sl] == lab
+            comp, n = ndimage.label(mask)  # 4-conn components of this label
+            if n <= 1:
+                keep_pix[sl] |= mask
+                continue
+            sizes = np.bincount(comp.ravel())[1:]  # component 0 = background
+            big = np.concatenate(
+                [[False], sizes >= max(1, min_fraction * sizes.max())]
+            )
+            keep_pix[sl] |= big[comp]
 
     if keep_pix.all():
         return labels

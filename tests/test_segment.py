@@ -229,3 +229,84 @@ def test_felzenszwalb_ladder_bit_exact_and_shared_sort(rng):
 
     with pytest.raises(ValueError, match="min_sizes"):
         felzenszwalb_ladder(disp, (10.0, 20.0), min_sizes=(5,))
+
+
+def test_label_components_matches_scipy():
+    """Native one-pass CC == per-label scipy components: identical
+    PARTITION (component identity is all enforce_connectivity consumes),
+    ids contiguous in raster first-occurrence order."""
+    import importlib
+
+    from scipy import ndimage
+
+    F = importlib.import_module(
+        "network_interpretation_imagenet_tpu.segment.felzenszwalb")
+    if F._load_native() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    r = np.random.RandomState(0)
+    labels = r.randint(0, 5, (40, 37)).astype(np.int32)
+    comp, n = F.label_components(labels)
+    assert comp.shape == labels.shape
+    assert comp.min() == 0 and comp.max() == n - 1
+    # Raster first-occurrence order: first index of id k precedes id k+1.
+    firsts = np.full(n, -1)
+    flat = comp.ravel()
+    for i, c in enumerate(flat):
+        if firsts[c] < 0:
+            firsts[c] = i
+    assert (np.diff(firsts) > 0).all()
+    # Partition parity: scipy per-label CC induces the same equivalence.
+    total = 0
+    for lab in range(int(labels.max()) + 1):
+        scomp, sn = ndimage.label(labels == lab)
+        total += sn
+        for k in range(1, sn + 1):
+            ids = np.unique(comp[scomp == k])
+            assert len(ids) == 1  # one native component per scipy component
+    assert total == n
+
+
+def test_enforce_connectivity_fast_path_matches_fallback(monkeypatch):
+    """The native-CC keep rule must be BIT-identical to the per-label
+    scipy loop (the BO lane's discrete trajectory rides on it)."""
+    import importlib
+
+    F = importlib.import_module(
+        "network_interpretation_imagenet_tpu.segment.felzenszwalb")
+    slic_mod = importlib.import_module(
+        "network_interpretation_imagenet_tpu.segment.slic")
+    if F._load_native() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    r = np.random.RandomState(3)
+    for shape in [(64, 64), (48, 80)]:
+        seg = np.asarray(slic(
+            r.randint(0, 256, shape + (3,)).astype(np.uint8),
+            n_segments=12, num_iters=4))
+        fast = slic_mod.enforce_connectivity(seg)
+        monkeypatch.setattr(F, "label_components", lambda l: None)
+        slow = slic_mod.enforce_connectivity(seg)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(fast, slow)
+
+
+def test_segs_to_device_u8_wire_roundtrip():
+    """The u8 segment-upload wire is lossless for label maps < 256 and
+    falls back to int32 above."""
+    import jax.numpy as jnp
+
+    from network_interpretation_imagenet_tpu.saliency.bo_pipeline import (
+        _segs_to_device,
+    )
+
+    r = np.random.RandomState(1)
+    small = r.randint(0, 256, (2, 16, 16)).astype(np.int32)
+    d = _segs_to_device(small)
+    assert d.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(d), small)
+    big = small.copy()
+    big[0, 0, 0] = 300
+    np.testing.assert_array_equal(np.asarray(_segs_to_device(big)), big)
