@@ -301,8 +301,9 @@ def tpu_rate_and_latency():
 
     # Both batched-flush lanes ride the uint8 wire (round 4): datasets
     # yield raw u8 — the form JPEG decode produces — uploaded at 1/4 the
-    # f32 bytes and /255+normalized ON DEVICE. Measured 1.31x (BO) /
-    # 1.43x (IG-16) on these transfer-bound lanes (docs/PERFORMANCE.md).
+    # f32 bytes and /255+normalized ON DEVICE. With deferred predict +
+    # native CC + the u8 segment wire this lifted the lanes 2-3x over r3
+    # on these transfer-bound paths (docs/PERFORMANCE.md round-4 ladder).
     from network_interpretation_imagenet_tpu.config import (
         IMAGENET_MEAN, IMAGENET_STD,
     )

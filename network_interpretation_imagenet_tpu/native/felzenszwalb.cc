@@ -17,6 +17,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstring>
 #include <vector>
 
 namespace {
@@ -61,8 +62,41 @@ struct UnionFind {
 
 namespace {
 
+// LSD radix sort of edges by weight, 4 passes of 8 bits over the float's
+// bit pattern. Edge weights are sqrt sums (>= 0, no NaN), and for
+// non-negative IEEE-754 floats bit-pattern order == value order; each
+// counting pass is stable, so the result is IDENTICAL to
+// std::stable_sort by w (ties keep emission order — the property the
+// numpy-backend bit-parity relies on) at ~4-5x the speed on the ~200k
+// edges of a 224^2 image (the sort dominates an FH run and the XRAI
+// ladder's shared prefix).
+void radix_sort_edges(std::vector<Edge>& edges) {
+  const size_t n = edges.size();
+  if (n < 2) return;
+  std::vector<Edge> tmp(n);
+  Edge* src = edges.data();
+  Edge* dst = tmp.data();
+  for (int pass = 0; pass < 4; ++pass) {
+    const int shift = pass * 8;
+    size_t count[257] = {0};
+    for (size_t i = 0; i < n; ++i) {
+      uint32_t bits;
+      std::memcpy(&bits, &src[i].w, 4);
+      ++count[((bits >> shift) & 0xFFu) + 1];
+    }
+    for (int b = 0; b < 256; ++b) count[b + 1] += count[b];
+    for (size_t i = 0; i < n; ++i) {
+      uint32_t bits;
+      std::memcpy(&bits, &src[i].w, 4);
+      dst[count[(bits >> shift) & 0xFFu]++] = src[i];
+    }
+    std::swap(src, dst);
+  }
+  // 4 (even) passes: the final swap points src back at edges.data().
+}
+
 // 8-connectivity edges (right, down, down-right, down-left), sorted by
-// weight. The build + O(E log E) sort is the dominant cost of a run and
+// weight. The build + sort is the dominant cost of a run and
 // depends only on the (pre-smoothed) image — NOT on scale/min_size — so
 // the multi-scale ladder entry point below computes it once per image.
 std::vector<Edge> build_sorted_edges(const float* img, int32_t h, int32_t w,
@@ -96,8 +130,7 @@ std::vector<Edge> build_sorted_edges(const float* img, int32_t h, int32_t w,
     }
   }
 
-  std::stable_sort(edges.begin(), edges.end(),
-                   [](const Edge& a, const Edge& b) { return a.w < b.w; });
+  radix_sort_edges(edges);
   return edges;
 }
 

