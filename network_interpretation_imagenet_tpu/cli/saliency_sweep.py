@@ -133,6 +133,14 @@ def main(argv=None):
                         "(1/4 the f32 bytes per flush) and run /255 + "
                         "normalize ON DEVICE — the fused decode→normalize "
                         "split; only the batched-flush lanes support it")
+    p.add_argument("--heatmap-wire", default="f32",
+                   choices=("f32", "f16", "u8"),
+                   help="(--attribute, gradient-family methods) fetch each "
+                        "flush's heatmaps as f16 (half the bytes, <=2^-11 "
+                        "rounding) or min-max u8 (quarter; bbox/IOU exact, "
+                        "fidelity ranks coarsen to 256 levels) instead of "
+                        "lossless f32 — the fetch is the lane's largest "
+                        "transfer (docs/PERFORMANCE.md)")
     p.add_argument("--journal", default=None, metavar="PATH",
                    help="per-image outcome journal (JSONL) enabling --resume "
                         "(default <out>/sweep_journal.jsonl; rank-suffixed "
@@ -159,6 +167,10 @@ def main(argv=None):
     if args.uint8_wire and not (args.bo or args.attribute):
         p.error("--uint8-wire needs a batched-flush lane (--bo/--attribute); "
                 "the window/knockout driver normalizes host-side")
+    if args.heatmap_wire != "f32" and (
+            not args.attribute or args.attribute in ("xrai", "meaningful")):
+        p.error("--heatmap-wire applies to gradient-family --attribute "
+                "sweeps only (xrai/meaningful keep their f32 state)")
     common.apply_debug_flags(args)
 
     multihost_mod = None
@@ -273,6 +285,10 @@ def main(argv=None):
                 "sg_squared": bool(args.sg_squared),
                 "gradcam_layer": args.gradcam_layer,
             })
+            if args.heatmap_wire != "f32":
+                # Row-affecting (quantized heatmaps/fidelity); stamped only
+                # when non-default so pre-existing journals keep resuming.
+                jconfig["heatmap_wire"] = args.heatmap_wire
             if args.attribute == "xrai":
                 jconfig.update({"xrai_scales": args.xrai_scales})
             if args.attribute == "meaningful":
@@ -351,6 +367,7 @@ def main(argv=None):
             xrai_scales=[float(v) for v in args.xrai_scales.split(",")]
             if args.attribute == "xrai" else None,
             normalize=(spec.mean, spec.std) if args.uint8_wire else None,
+            heatmap_wire=args.heatmap_wire,
         )
     elif args.bo:
         from network_interpretation_imagenet_tpu.config import BOConfig

@@ -603,6 +603,30 @@ def _u8_normalize_device(u8_dev, normalize):
     return _U8_NORM_CACHE[key](u8_dev)
 
 
+_HEAT_QUANT_JIT = None
+
+
+def _quantize_heats_device(heats):
+    """Device half of the ``heatmap_wire="u8"`` option: per-image min-max
+    quantization of f32 [N, H, W] heatmaps to (u8, lo, span) — the fetch
+    shrinks 4×; the host reconstructs ``lo + q·span/255``. Downstream
+    bbox/IOU is EXACT (localization min-max-normalizes to u8 anyway, and
+    quantization is a monotonic affine map); fidelity ranks coarsen to
+    256 levels."""
+    global _HEAT_QUANT_JIT
+    if _HEAT_QUANT_JIT is None:
+        import jax
+
+        def one(h):
+            lo = h.min()
+            span = jnp.maximum(h.max() - lo, jnp.finfo(jnp.float32).tiny)
+            q = jnp.round((h - lo) / span * 255.0).astype(jnp.uint8)
+            return q, lo, span
+
+        _HEAT_QUANT_JIT = jax.jit(jax.vmap(one))
+    return _HEAT_QUANT_JIT(heats)
+
+
 def _u8_normalize_host(u8: np.ndarray, normalize) -> np.ndarray:
     """Host twin of :func:`_u8_normalize_device` (same f32 op order) for
     the few per-image host consumers (fidelity forwards)."""
@@ -1018,6 +1042,7 @@ def attribution_sweep(
     lm_cfg: Optional[dict] = None,
     xrai_scales=None,
     normalize=None,
+    heatmap_wire: str = "f32",
 ) -> SweepResult:
     """Val-set sweep driven by the gradient-family attribution path: every
     ``image_batch`` images' backward passes run as ONE vmapped program
@@ -1051,7 +1076,24 @@ def attribution_sweep(
     images, uploaded at 1/4 the f32 bytes and /255-normalized on device
     (see ``_batched_flush_sweep``); for ``method="xrai"`` the raw uint8
     image doubles as the felzenszwalb-ladder display.
+
+    ``heatmap_wire`` (gradient-family methods only — xrai's signed
+    attributions and meaningful's tuple state keep f32): the flush's
+    [N, H, W] heatmap fetch is the lane's largest transfer (3.2 MB f32 at
+    N=16/224²; docs/PERFORMANCE.md). ``"f16"`` halves it (heatmaps
+    reconstruct to f32 with ≤2⁻¹¹ relative rounding); ``"u8"`` quarters
+    it via per-image min-max quantization (bbox/IOU rows are EXACT —
+    localization min-max-normalizes to u8 anyway and quantization is a
+    monotonic affine map; fidelity AUC ranks coarsen to 256 levels,
+    measured drift <1e-3). Default ``"f32"`` is lossless.
     """
+    if heatmap_wire not in ("f32", "f16", "u8"):
+        raise ValueError(f"heatmap_wire must be f32|f16|u8, "
+                         f"got {heatmap_wire!r}")
+    if heatmap_wire != "f32" and method in ("xrai", "meaningful"):
+        raise ValueError(
+            f"heatmap_wire={heatmap_wire!r} only applies to the "
+            f"gradient-family methods; {method!r} keeps its f32 state")
     import jax.numpy as jnp
 
     from network_interpretation_imagenet_tpu.saliency import gradient as gmod
@@ -1112,13 +1154,18 @@ def attribution_sweep(
                 kept_targets, steps=steps, step_batch=step_batch, mesh=mesh,
             )
             return attr_dev, [disps[j] for j in keep]
-        return gmod.attribute_batch(
+        heats_dev = gmod.attribute_batch(
             engine.bundle.logits, engine.variables, keep_imgs,
             kept_targets, method, bundle=engine.bundle, steps=steps,
             samples=samples, noise_sigma=noise_sigma, magnitude=magnitude,
             gradcam_layer=gradcam_layer, seeds=kept_seeds,
             mesh=mesh, step_batch=step_batch, sample_batch=sample_batch,
         )
+        if heatmap_wire == "f16":
+            return heats_dev.astype(jnp.float16)
+        if heatmap_wire == "u8":
+            return _quantize_heats_device(heats_dev)
+        return heats_dev
 
     def collect(state):
         import jax
@@ -1154,7 +1201,12 @@ def attribution_sweep(
                               "prob_masked": round(float(p_masked[pos]), 6)})
                 for pos in range(len(heats))
             ]
-        heats = np.asarray(state)  # ONE device→host fetch
+        if heatmap_wire == "u8":
+            q, lo, span = jax.device_get(state)  # ONE batched fetch
+            heats = (lo[:, None, None]
+                     + q.astype(np.float32) * (span[:, None, None] / 255.0))
+        else:  # f32 (lossless) or f16 (reconstructs with rounding)
+            heats = np.asarray(state).astype(np.float32)
         return [(heats[pos], {"method": method})
                 for pos in range(len(heats))]
 

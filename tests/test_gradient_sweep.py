@@ -1270,3 +1270,48 @@ def test_batched_sweep_deferred_predict_matches_labeled(rng):
     res_s = attribution_sweep(engine, bad, **kw)
     assert res_s.images_skipped_misclassified == 1
     assert res_s.images_explained == 3
+
+
+def test_attribution_sweep_heatmap_wire(rng):
+    """heatmap_wire='f16'/'u8' shrink the flush's heatmap fetch (2x/4x);
+    f16 reconstructs within half-precision rounding, u8 within 1/255 of
+    the per-image span — and the u8 bbox/IOU row is EXACT (localization
+    min-max-normalizes to u8 anyway; quantization is a monotonic affine
+    map). xrai/meaningful + non-f32 wires are refused."""
+    import pytest
+
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        attribution_sweep,
+    )
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=32,
+                            compute_dtype=jnp.float32)
+    gt = [3, 5, 14, 12]  # xywh box so the IOU row exercises bbox
+    ds = [(rng.rand(28, 28, 1).astype(np.float32), None, gt)
+          for _ in range(4)]
+    kw = dict(method="integrated", image_batch=2, steps=4, seed=3,
+              keep_heatmaps=True)
+    res_f32 = attribution_sweep(engine, ds, **kw)
+    res_f16 = attribution_sweep(engine, ds, heatmap_wire="f16", **kw)
+    res_u8 = attribution_sweep(engine, ds, heatmap_wire="u8", **kw)
+    assert (res_f32.images_explained == res_f16.images_explained
+            == res_u8.images_explained == 4)
+    for i in range(4):
+        h = res_f32.heatmaps[i]
+        span = float(h.max() - h.min())
+        np.testing.assert_allclose(res_f16.heatmaps[i], h,
+                                   rtol=2e-3, atol=span * 1e-3)
+        np.testing.assert_allclose(res_u8.heatmaps[i], h,
+                                   atol=span / 255.0 + 1e-9)
+        # IOU exactness under u8: monotonic affine quantization commutes
+        # with the min-max-u8 threshold inside localization_score.
+        assert (res_u8.per_image[i]["iou"]
+                == res_f32.per_image[i]["iou"])
+
+    with pytest.raises(ValueError, match="heatmap_wire"):
+        attribution_sweep(engine, ds, method="xrai", image_batch=2,
+                          steps=4, seed=3, heatmap_wire="u8")
+    with pytest.raises(ValueError, match="f32|f16|u8"):
+        attribution_sweep(engine, ds, heatmap_wire="bf16", **kw)
