@@ -658,6 +658,7 @@ def _batched_flush_sweep(
     dispatch,
     collect,
     normalize=None,
+    prepare=None,
 ) -> int:
     """Shared driver for the image-batched sweep family (fused-BO and
     attribution): depth-2 flush pipeline, batched predict +
@@ -678,6 +679,15 @@ def _batched_flush_sweep(
     Misclassified images are skipped BEFORE dispatch (one batched predict
     per flush), so no device budget is wasted on them. Returns the total
     eval count (``evals_per_image`` per explained-or-failed kept image).
+
+    ``prepare(imgs_dev, disps, keep) -> prep_state`` (optional hook) lets
+    a lane ISSUE device work + async device→host copies for a flush as
+    soon as its images are uploaded, while the PREVIOUS flush's
+    host-heavy ``dispatch`` (which then receives ``prep_state``) is still
+    running — a second pipeline stage in front of the dispatch/collect
+    one, so tunnel transfers stream underneath host CPU work instead of
+    serializing with it (the BO lane's SLIC fetch rides this). The hook
+    must not block.
 
     ``normalize=(mean, std)`` enables the uint8 wire: datasets may yield
     RAW uint8 HWC images (the form JPEG decode produces), which upload at
@@ -752,6 +762,29 @@ def _batched_flush_sweep(
                 log.emit({"event": "image_failed", "index": idxs[j],
                           "error": repr(e)})
 
+    # Staged flushes: uploaded + prepared (device work issued, async copies
+    # streaming) but not yet dispatched — at most one, so the pipeline is
+    # upload/prepare(k) → dispatch(k-1) → finalize(k-2).
+    staged = []
+
+    def dispatch_staged():
+        if not staged:
+            return
+        imgs_dev, disps, keep, idxs, preds, gts, t0s, imgs, prep = \
+            staged.pop(0)
+        try:
+            state = dispatch(imgs_dev, disps, keep, idxs, preds, prep)
+        except Exception as e:
+            failed = [idxs[j] for j in keep]
+            res.images_failed += len(failed)
+            log.emit({"event": "batch_failed", "indices": failed,
+                      "error": repr(e)})
+            return
+        inflight.append((state, keep, idxs, preds, gts, t0s, imgs))
+        # Finalize the PREVIOUS flush now that this one is on the device.
+        while len(inflight) > 1:
+            finalize()
+
     def flush():
         if not pending:
             return
@@ -802,9 +835,12 @@ def _batched_flush_sweep(
                                   "label": int(labels[j])})
                 if not keep:
                     return
-            state = dispatch(imgs_dev, disps, keep, idxs, preds)
+            # Issue the lane's device front half + async copies NOW (must
+            # not block); its results are consumed by dispatch() one stage
+            # later, with the copies having streamed under the host work.
+            prep = prepare(imgs_dev, disps, keep) if prepare else None
         except Exception as e:
-            # Skipped images are already accounted for; only the dispatched
+            # Skipped images are already accounted for; only the kept
             # (or, pre-predict, the whole) set counts as failed.
             failed = [b[0] for b in batch] if keep is None else \
                 [batch[j][0] for j in keep]
@@ -812,10 +848,12 @@ def _batched_flush_sweep(
             log.emit({"event": "batch_failed", "indices": failed,
                       "error": repr(e)})
             return
-        inflight.append((state, keep, idxs, preds, gts, t0s, imgs))
-        # Finalize the PREVIOUS flush now that this one is on the device.
-        while len(inflight) > 1:
-            finalize()
+        staged.append((imgs_dev, disps, keep, idxs, preds, gts, t0s, imgs,
+                       prep))
+        # Dispatch the PREVIOUS staged flush (its async copies have been
+        # streaming while this one decoded + uploaded).
+        while len(staged) > 1:
+            dispatch_staged()
 
     for pos, item in enumerate(dataset):
         if max_images is not None and pos >= max_images:
@@ -847,6 +885,8 @@ def _batched_flush_sweep(
             res.images_failed += 1
             log.emit({"event": "image_failed", "index": i, "error": repr(e)})
     flush()
+    while staged:
+        dispatch_staged()
     while inflight:
         finalize()
     return total_evals
@@ -955,23 +995,46 @@ def bo_saliency_sweep(
             disp = disp[:, :, 0]
         return disp
 
-    def dispatch(imgs_dev, disps, keep, idxs, preds):
+    def prepare(imgs_dev, disps, keep):
+        """Issue the SLIC front half (device display derive + vmapped
+        k-means + async u8 copy) as soon as the flush's images land —
+        the segment fetch then streams UNDER the previous flush's host
+        postpass/dispatch instead of serializing after it."""
+        if seg_cfg.method != "slic":
+            return None  # Felzenszwalb is host work in dispatch
+        from network_interpretation_imagenet_tpu.segment import (
+            slic_batch_device,
+        )
+
         keep_imgs = (imgs_dev if len(keep) == int(imgs_dev.shape[0]) else
                      jnp.take(imgs_dev, jnp.asarray(keep), axis=0))
-        with log.phase("segment_batch", count=len(keep)):
-            if seg_cfg.method == "slic":
-                # Display batch derived ON DEVICE (vmapped twin of the
-                # host normalize_to_uint8_np used at enqueue time).
-                disp_dev = aggregate.normalize_to_uint8_batch(keep_imgs)
-                if disp_dev.ndim == 4 and disp_dev.shape[-1] == 1:
-                    disp_dev = disp_dev[..., 0]
-                seg_in = disp_dev
-            else:  # Felzenszwalb is host work anyway
-                seg_in = [disps[j] for j in keep]
-            segs = [
-                np.asarray(s, np.int32)
-                for s in segment_image_batch(seg_in, seg_cfg)
-            ]
+        # Display batch derived ON DEVICE (vmapped twin of the host
+        # normalize_to_uint8_np used at enqueue time).
+        disp_dev = aggregate.normalize_to_uint8_batch(keep_imgs)
+        if disp_dev.ndim == 4 and disp_dev.shape[-1] == 1:
+            disp_dev = disp_dev[..., 0]
+        segs_dev = slic_batch_device(disp_dev, seg_cfg)
+        segs_dev.copy_to_host_async()
+        return keep_imgs, segs_dev
+
+    def dispatch(imgs_dev, disps, keep, idxs, preds, prep):
+        from network_interpretation_imagenet_tpu.segment import (
+            slic_postpass_host,
+        )
+
+        if prep is not None:  # SLIC: device half already issued + streamed
+            keep_imgs, segs_dev = prep
+            with log.phase("segment_batch", count=len(keep)):
+                segs = slic_postpass_host(np.asarray(segs_dev), seg_cfg)
+        else:
+            keep_imgs = (imgs_dev if len(keep) == int(imgs_dev.shape[0])
+                         else jnp.take(imgs_dev, jnp.asarray(keep), axis=0))
+            with log.phase("segment_batch", count=len(keep)):
+                segs = [
+                    np.asarray(s, np.int32)
+                    for s in segment_image_batch(
+                        [disps[j] for j in keep], seg_cfg)
+                ]
         ss = [int(s.max()) + 1 for s in segs]
         # Per-image seeds derive from DATASET indices, so each image's
         # PRNG stream is invariant to flush composition (--image-batch
@@ -1012,7 +1075,7 @@ def bo_saliency_sweep(
         evals_per_image=bo_cfg.n_pre_samples
         + bo_cfg.n_iters * proposals_per_iter,
         enqueue_display=enqueue_display, dispatch=dispatch, collect=collect,
-        normalize=normalize,
+        normalize=normalize, prepare=prepare,
     )
     return _finish_sweep(res, iou_m, surv_m, latencies, total_evals,
                          time.perf_counter() - t_start)
@@ -1125,7 +1188,7 @@ def attribution_sweep(
             disp = disp[:, :, 0]
         return disp
 
-    def dispatch(imgs_dev, disps, keep, idxs, preds):
+    def dispatch(imgs_dev, disps, keep, idxs, preds, prep):
         keep_imgs = (imgs_dev if len(keep) == int(imgs_dev.shape[0]) else
                      jnp.take(imgs_dev, jnp.asarray(keep), axis=0))
         # Deferred-predict flushes (unlabeled datasets) hand preds as a

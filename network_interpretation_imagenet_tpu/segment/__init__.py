@@ -24,4 +24,6 @@ from network_interpretation_imagenet_tpu.segment.common import (  # noqa: F401
     relabel_sequential,
     segment_image,
     segment_image_batch,
+    slic_batch_device,
+    slic_postpass_host,
 )

@@ -101,7 +101,23 @@ def segment_image_batch(displays, cfg: SegmentConfig):
         if cfg.method != "slic" or not displays:
             return _segment_batch_host(displays, cfg)
 
+    return slic_postpass_host(np.asarray(slic_batch_device(displays, cfg)),
+                              cfg)
+
+
+def slic_batch_device(displays, cfg: SegmentConfig):
+    """Device half of the batched SLIC path: dispatch the vmapped k-means
+    program and return the DEVICE label batch — uint8 when the k-means
+    label bound fits (labels are < gh·gw; pad centroids sit at a 1e6
+    sentinel and are never assigned), so the N·H·W map fetches at 1/4 the
+    int32 bytes (these flushes ride a ~30 MB/s tunnel, where a 16×224²
+    int32 fetch alone costs ~120 ms). Non-blocking: callers may
+    ``copy_to_host_async()`` and overlap the fetch with host work, then
+    finish with :func:`slic_postpass_host`."""
     import importlib
+
+    import jax
+    import jax.numpy as jnp
 
     slic_mod = importlib.import_module(
         "network_interpretation_imagenet_tpu.segment.slic"
@@ -110,20 +126,28 @@ def segment_image_batch(displays, cfg: SegmentConfig):
         displays, n_segments=cfg.n_segments, compactness=cfg.compactness,
         num_iters=cfg.slic_iters,
     )
-    # u8 segment wire: k-means labels are < gh*gw (pad centroids sit at a
-    # 1e6 sentinel and are never assigned), so when that fits in uint8 the
-    # N·H·W map fetches at 1/4 the int32 bytes — these flushes ride a
-    # ~30 MB/s tunnel, where a 16×224² int32 fetch alone costs ~120 ms.
-    import jax.numpy as jnp
     from network_interpretation_imagenet_tpu.segment.slic import _grid_shape
 
     h, w = (displays.shape[1:3] if isinstance(displays, jax.Array)
             else np.asarray(displays[0]).shape[:2])
     gh, gw = _grid_shape(int(h), int(w), cfg.n_segments)
     if gh * gw <= 255:
-        segs = np.asarray(segs_dev.astype(jnp.uint8)).astype(np.int32)
-    else:
-        segs = np.asarray(segs_dev)
+        return segs_dev.astype(jnp.uint8)
+    return segs_dev
+
+
+def slic_postpass_host(segs: np.ndarray, cfg: SegmentConfig) -> list:
+    """Host half of the batched SLIC path: connectivity + relabel per
+    image over the fetched [N, H, W] label batch (any int dtype), same
+    results as per-image :func:`segment_image` calls."""
+    import importlib
+
+    slic_mod = importlib.import_module(
+        "network_interpretation_imagenet_tpu.segment.slic"
+    )
+    segs = np.asarray(segs)
+    if segs.dtype != np.int32:
+        segs = segs.astype(np.int32)
 
     def _post(seg):
         if cfg.enforce_connectivity:
@@ -131,9 +155,9 @@ def segment_image_batch(displays, cfg: SegmentConfig):
         return relabel_sequential(seg)
 
     if len(segs) > 1:
-        # Per-image host postpass (~14 ms each at 224²) threads: scipy's
-        # ndimage kernels release the GIL, so a 16-image flush's ~220 ms
-        # serial tail shrinks to the slowest single image.
+        # Per-image host postpass threads: the scipy/native kernels
+        # release the GIL, so a flush's serial tail shrinks to the
+        # slowest single image on multi-core hosts (no-op on 1 core).
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(8, len(segs))) as pool:
