@@ -1216,6 +1216,10 @@ def attribution_sweep(
                 engine.bundle.logits, engine.variables, keep_imgs,
                 kept_targets, steps=steps, step_batch=step_batch, mesh=mesh,
             )
+            # Stream the attribution stack host-ward as soon as the
+            # program finishes — collect's fetch then finds it local
+            # instead of blocking the tunnel after the ladder host work.
+            attr_dev.copy_to_host_async()
             return attr_dev, [disps[j] for j in keep]
         heats_dev = gmod.attribute_batch(
             engine.bundle.logits, engine.variables, keep_imgs,
@@ -1225,9 +1229,14 @@ def attribution_sweep(
             mesh=mesh, step_batch=step_batch, sample_batch=sample_batch,
         )
         if heatmap_wire == "f16":
-            return heats_dev.astype(jnp.float16)
-        if heatmap_wire == "u8":
-            return _quantize_heats_device(heats_dev)
+            heats_dev = heats_dev.astype(jnp.float16)
+        elif heatmap_wire == "u8":
+            heats_dev = _quantize_heats_device(heats_dev)
+        # Async host-ward copy: the collect fetch streams while the
+        # previous flush's rows finalize instead of blocking after them.
+        for leaf in (heats_dev if isinstance(heats_dev, tuple)
+                     else (heats_dev,)):
+            leaf.copy_to_host_async()
         return heats_dev
 
     def collect(state):
