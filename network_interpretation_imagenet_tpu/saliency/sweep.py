@@ -661,17 +661,18 @@ def _batched_flush_sweep(
     prepare=None,
 ) -> int:
     """Shared driver for the image-batched sweep family (fused-BO and
-    attribution): depth-2 flush pipeline, batched predict +
-    misclassification skip, per-image IOU/fidelity/heatmap/journal rows.
+    attribution): staged flush pipeline (upload/prepare(k) →
+    dispatch(k-1) → finalize(k-2)), batched predict + misclassification
+    skip, per-image IOU/fidelity/heatmap/journal rows.
 
     The per-flush compute is the only part that differs between drivers,
-    so it arrives as three hooks:
+    so it arrives as hooks:
 
     * ``enqueue_display(image) -> disp|None`` — enqueue-time host work
       (e.g. uint8 display for host Felzenszwalb);
-    * ``dispatch(imgs_dev, disps, keep, idxs, preds) -> state`` — launch
-      the flush's device program over the KEPT images (async: return
-      without fetching); raising marks the kept images failed;
+    * ``dispatch(imgs_dev, disps, keep, idxs, preds, prep) -> state`` —
+      launch the flush's device program over the KEPT images (async:
+      return without fetching); raising marks the kept images failed;
     * ``collect(state) -> [(heatmap, extra_row_fields)]`` aligned with
       ``keep`` — fetch results; a ``"survival"`` key in the extra fields
       feeds the survival meter.
@@ -951,8 +952,8 @@ def bo_saliency_sweep(
 
     NOTE on ``p50_latency_s``: per-image "seconds" rows span enqueue→flush-
     finalize, so with ``image_batch`` > 1 they include the whole flush's
-    batched BO program (and, since the flushes pipeline depth-2, up to one
-    additional in-flight flush) — an upper bound shared by up to
+    batched BO program (and, since the flushes pipeline at depth 3, up to two
+    additional in-flight flushes) — an upper bound shared by up to
     ``image_batch`` images, NOT isolated per-image latency (bench.py
     measures that; ~120 ms for ResNet-101). Throughput (``evals_per_sec``,
     or images/s from ``images_explained``/wall) is this sweep's primary
@@ -1122,7 +1123,7 @@ def attribution_sweep(
     ``lm_cfg``, rows additionally carry prob_original/prob_masked), or
     ``"xrai"`` (the batched signed-IG program per flush +
     per-image host felzenszwalb-ladder greedy ranking at collect time —
-    host ranking overlaps the NEXT flush's device work in the depth-2
+    host ranking overlaps the NEXT flush's device work in the staged
     pipeline; ``xrai_scales`` sets the ladder, rows carry num_regions).
     Stochastic seeds derive from
     DATASET indices (``seed + index``), so per-image results are invariant
