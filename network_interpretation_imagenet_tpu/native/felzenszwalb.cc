@@ -216,6 +216,166 @@ int32_t label_components(const int32_t* labels, int32_t h, int32_t w,
   return next_id;
 }
 
+// Full SLIC connectivity postpass (segment/slic.py enforce_connectivity
+// fast path): 4-connectivity CC of the label map, keep rule (a fragment
+// survives iff its size >= max(1, min_fraction * the largest fragment of
+// ITS label)), then adjacency absorption — each dropped fragment takes
+// the label of the adjacent SURVIVING region it shares the longest
+// boundary with (ties: smaller label id; fragments adjacent only to
+// other dropped fragments resolve over rounds, so final labels are
+// always spatially CONNECTED). Pure integer counting: the numpy twin in
+// slic.py implements the identical spec bit-for-bit. Writes final labels
+// (NOT relabeled) into `out`; returns the number of absorption rounds.
+int32_t slic_postpass(const int32_t* labels, int32_t h, int32_t w,
+                      float min_fraction, int32_t* out) {
+  const int64_t n = static_cast<int64_t>(h) * w;
+  // --- connected components (same spec as label_components) ---
+  std::vector<int32_t> comp(n);
+  int32_t n_comp;
+  {
+    UnionFind uf(static_cast<int32_t>(n));
+    auto join = [&uf](int64_t a, int64_t b) {
+      const int32_t ra = uf.find(static_cast<int32_t>(a));
+      const int32_t rb = uf.find(static_cast<int32_t>(b));
+      if (ra != rb) uf.merge(ra, rb, 0.f);
+    };
+    for (int32_t y = 0; y < h; ++y) {
+      const int64_t row = static_cast<int64_t>(y) * w;
+      for (int32_t x = 0; x < w; ++x) {
+        const int64_t i = row + x;
+        const int32_t lab = labels[i];
+        if (x + 1 < w && labels[i + 1] == lab) join(i, i + 1);
+        if (y + 1 < h && labels[i + w] == lab) join(i, i + w);
+      }
+    }
+    std::vector<int32_t> remap(n, -1);
+    n_comp = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const int32_t root = uf.find(static_cast<int32_t>(i));
+      if (remap[root] < 0) remap[root] = n_comp++;
+      comp[i] = remap[root];
+    }
+  }
+  // --- per-component size, label; keep rule ---
+  std::vector<int64_t> sizes(n_comp, 0);
+  std::vector<int32_t> comp_label(n_comp, 0);
+  int32_t max_label = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    sizes[comp[i]]++;
+    comp_label[comp[i]] = labels[i];
+    if (labels[i] > max_label) max_label = labels[i];
+  }
+  std::vector<int64_t> max_per_label(max_label + 1, 0);
+  for (int32_t c = 0; c < n_comp; ++c)
+    max_per_label[comp_label[c]] =
+        std::max(max_per_label[comp_label[c]], sizes[c]);
+  std::vector<char> assigned(n_comp);
+  std::vector<int32_t> final_label(n_comp);
+  int32_t unassigned = 0;
+  for (int32_t c = 0; c < n_comp; ++c) {
+    const double thr =
+        std::max(1.0, static_cast<double>(min_fraction) *
+                          static_cast<double>(max_per_label[comp_label[c]]));
+    assigned[c] = sizes[c] >= thr ? 1 : 0;
+    final_label[c] = comp_label[c];
+    if (!assigned[c]) ++unassigned;
+  }
+  // --- adjacency absorption over rounds ---
+  int32_t rounds = 0;
+  if (unassigned > 0) {
+    // Differing-comp neighbor pairs with an INITIALLY-DROPPED left side
+    // (only those ever need an incoming label), counting-sorted by that
+    // side once; groups then scan in O(edges) per round.
+    std::vector<int32_t> ea, eb;
+    ea.reserve(n / 4);
+    eb.reserve(n / 4);
+    auto add = [&](int64_t a, int64_t b) {
+      const int32_t ca = comp[a], cb = comp[b];
+      if (ca == cb) return;
+      if (!assigned[ca]) {
+        ea.push_back(ca);
+        eb.push_back(cb);
+      }
+      if (!assigned[cb]) {
+        ea.push_back(cb);
+        eb.push_back(ca);
+      }
+    };
+    for (int32_t y = 0; y < h; ++y) {
+      const int64_t row = static_cast<int64_t>(y) * w;
+      for (int32_t x = 0; x < w; ++x) {
+        const int64_t i = row + x;
+        if (x + 1 < w) add(i, i + 1);
+        if (y + 1 < h) add(i, i + w);
+      }
+    }
+    // Counting sort by ea (stable; O(E + n_comp)).
+    const size_t n_edges = ea.size();
+    std::vector<int32_t> cnt(n_comp + 1, 0);
+    for (size_t k = 0; k < n_edges; ++k) cnt[ea[k] + 1]++;
+    for (int32_t c = 0; c < n_comp; ++c) cnt[c + 1] += cnt[c];
+    std::vector<int32_t> sa(n_edges), sb(n_edges);
+    {
+      std::vector<int32_t> pos(cnt.begin(), cnt.end() - 1);
+      for (size_t k = 0; k < n_edges; ++k) {
+        const int32_t p = pos[ea[k]]++;
+        sa[p] = ea[k];
+        sb[p] = eb[k];
+      }
+    }
+    while (unassigned > 0) {
+      ++rounds;
+      // Decide this round from LAST round's assignments only (batch
+      // semantics — matches the vectorized numpy twin).
+      std::vector<int32_t> new_label(n_comp, -1);
+      size_t e = 0;
+      while (e < n_edges) {
+        const int32_t ca = sa[e];
+        size_t start = e;
+        while (e < n_edges && sa[e] == ca) ++e;
+        if (assigned[ca]) continue;
+        // Boundary-length count per adjacent ASSIGNED label; ties ->
+        // smaller label id.
+        int64_t best_count = 0;
+        int32_t best_label = -1;
+        // Tiny local tally: comps touch few distinct labels.
+        std::vector<std::pair<int32_t, int64_t>> tally;
+        for (size_t k = start; k < e; ++k) {
+          const int32_t cb = sb[k];
+          if (!assigned[cb]) continue;
+          const int32_t lb = final_label[cb];
+          bool found = false;
+          for (auto& t : tally)
+            if (t.first == lb) {
+              t.second++;
+              found = true;
+              break;
+            }
+          if (!found) tally.emplace_back(lb, 1);
+        }
+        for (const auto& t : tally)
+          if (t.second > best_count ||
+              (t.second == best_count && t.first < best_label)) {
+            best_count = t.second;
+            best_label = t.first;
+          }
+        if (best_label >= 0) new_label[ca] = best_label;
+      }
+      int32_t progressed = 0;
+      for (int32_t c = 0; c < n_comp; ++c)
+        if (new_label[c] >= 0) {
+          final_label[c] = new_label[c];
+          assigned[c] = 1;
+          ++progressed;
+        }
+      unassigned -= progressed;
+      if (progressed == 0) break;  // unreachable on a connected grid
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) out[i] = final_label[comp[i]];
+  return rounds;
+}
+
 // Multi-scale ladder (XRAI's oversegmentation stack): edges built and
 // sorted ONCE, then one union-find pass per (scale, min_size). Bit-exact
 // with n_scales independent felzenszwalb_segment calls — the per-scale

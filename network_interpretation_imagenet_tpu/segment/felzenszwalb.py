@@ -71,6 +71,14 @@ def _load_native_locked() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.slic_postpass.restype = ctypes.c_int32
+        lib.slic_postpass.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.felzenszwalb_ladder.restype = None
         lib.felzenszwalb_ladder.argtypes = [
             ctypes.POINTER(ctypes.c_float),
@@ -253,6 +261,27 @@ def label_components(labels: np.ndarray):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out.reshape(h, w), int(n)
+
+
+def slic_postpass_native(labels: np.ndarray, min_fraction: float):
+    """Native full SLIC connectivity postpass (CC + keep rule + adjacency
+    absorption — see ``segment.slic.enforce_connectivity`` for the spec):
+    returns the absorbed int32 label map (NOT relabeled), or ``None``
+    when the toolchain is unavailable."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    labels = np.ascontiguousarray(labels, np.int32)
+    h, w = labels.shape
+    out = np.empty(h * w, np.int32)
+    lib.slic_postpass(
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        h,
+        w,
+        ctypes.c_float(min_fraction),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out.reshape(h, w)
 
 
 def felzenszwalb_ladder(

@@ -174,75 +174,105 @@ def slic(
 
 
 def enforce_connectivity(labels: np.ndarray, min_fraction: float = 0.25) -> np.ndarray:
-    """Host postprocess: re-assign disconnected fragments of each SLIC label
-    to the nearest surviving label (fragments smaller than ``min_fraction``
-    of the label's largest component).
+    """Host postprocess: merge disconnected fragments of each SLIC label
+    into an ADJACENT surviving region.
 
-    k-means assignment can leave isolated islands; downstream window masks
-    behave better with spatially coherent superpixels. Fast path: ONE
-    native union-find CC pass over the whole map
-    (``felzenszwalb.label_components``) + vectorized keep rule; fallback:
-    per-label components via ``scipy.ndimage.label`` (bit-identical keep
-    set). Fragment absorption via ONE Euclidean distance transform. ~5 ms
-    at 224² even on fragmented noise input (the scipy loop is ~25 ms
-    there), which is why it can be on by default (round 1's per-pixel
-    Python floodfill took seconds).
+    Spec (integer-exact across backends): 4-connectivity components of
+    the label map; a fragment SURVIVES iff its size >= max(1,
+    ``min_fraction`` x the largest fragment of ITS label) -- the largest
+    fragment always survives, so every label keeps at least one region;
+    each dropped fragment then takes the label of the adjacent SURVIVING
+    region it shares the LONGEST boundary with (ties -> smaller label
+    id; fragments touching only other dropped fragments resolve over
+    rounds, each round reading the previous round's assignments only).
+    Absorbed regions stay spatially CONNECTED -- skimage-style SLIC
+    semantics (the round-4a nearest-kept-pixel EDT rule could attach a
+    fragment to a NON-adjacent label, leaving disconnected label
+    regions, and its float distance ties were backend-defined).
+
+    Fast path: one native pass (``felzenszwalb.slic_postpass`` -- CC +
+    keep rule + absorption, ~1 ms at 224^2 even on fragmented noise
+    input); fallback: :func:`_enforce_connectivity_np`, bit-identical by
+    construction (pure integer counting; parity pinned by test_segment).
     """
-    from scipy import ndimage
-
     labels = np.asarray(labels, np.int32)
-    cc = None
-    try:  # one native O(n) CC pass over the whole map (fast path)
+    try:  # native full postpass
         from network_interpretation_imagenet_tpu.segment.felzenszwalb import (
-            label_components,
+            slic_postpass_native,
         )
 
-        cc = label_components(labels)
+        out = slic_postpass_native(labels, min_fraction)
+        if out is not None:
+            return out
     except Exception:
-        cc = None
-    if cc is not None:
-        # Same keep rule as the loop below, computed from ONE global CC:
-        # a fragment survives iff its size >= max(1, min_fraction * the
-        # largest fragment of ITS label). Global same-label 4-conn
-        # components == per-label ndimage.label components, so keep_pix is
-        # bit-identical to the fallback (pinned by test_segment).
-        # ~1 ms vs ~22 ms for the S ndimage.label calls at 224²/S=48.
-        comp, n = cc
-        flat_comp = comp.ravel()
-        sizes = np.bincount(flat_comp, minlength=n)
-        comp_label = np.zeros(n, np.int64)
-        comp_label[flat_comp] = labels.ravel()  # constant per component
-        max_per_label = np.zeros(int(labels.max()) + 1, np.int64)
-        np.maximum.at(max_per_label, comp_label, sizes)
-        thresh = np.maximum(1, min_fraction * max_per_label)
-        keep_pix = (sizes >= thresh[comp_label])[comp]
-    else:  # toolchain-free fallback: per-label CC on bounding boxes
-        keep_pix = np.zeros(labels.shape, bool)
-        # Per-label CC restricted to the label's bounding box
-        # (find_objects): coherent labels cost O(label area), so the pass
-        # is ~O(H·W) total on typical SLIC output.
-        slices = ndimage.find_objects(labels + 1)
-        for lab, sl in enumerate(slices):
-            if sl is None:
-                continue
-            mask = labels[sl] == lab
-            comp, n = ndimage.label(mask)  # 4-conn components of this label
-            if n <= 1:
-                keep_pix[sl] |= mask
-                continue
-            sizes = np.bincount(comp.ravel())[1:]  # component 0 = background
-            big = np.concatenate(
-                [[False], sizes >= max(1, min_fraction * sizes.max())]
-            )
-            keep_pix[sl] |= big[comp]
+        pass
+    return _enforce_connectivity_np(labels, min_fraction)
 
-    if keep_pix.all():
+
+def _enforce_connectivity_np(labels: np.ndarray,
+                             min_fraction: float) -> np.ndarray:
+    """Toolchain-free numpy twin of the native ``slic_postpass`` (same
+    integer spec, same results -- see :func:`enforce_connectivity`). CC
+    comes from per-label ``scipy.ndimage.label`` calls offset into global
+    component ids; absorption counts boundary pairs with ``np.unique``
+    per round."""
+    from scipy import ndimage
+
+    h, w = labels.shape
+    # --- global component ids (per-label scipy CC, offset to global) ---
+    comp = np.zeros((h, w), np.int64)
+    n_comp = 0
+    slices = ndimage.find_objects(labels + 1)
+    for lab, sl in enumerate(slices):
+        if sl is None:
+            continue
+        mask = labels[sl] == lab
+        sub, n = ndimage.label(mask)  # 4-connectivity
+        comp[sl][mask] = sub[mask] + n_comp - 1
+        n_comp += n
+
+    # --- keep rule ---
+    flat = comp.ravel()
+    sizes = np.bincount(flat, minlength=n_comp)
+    comp_label = np.zeros(n_comp, np.int64)
+    comp_label[flat] = labels.ravel()  # constant per component
+    max_per_label = np.zeros(int(labels.max()) + 1, np.int64)
+    np.maximum.at(max_per_label, comp_label, sizes)
+    thresh = np.maximum(1, min_fraction * max_per_label)
+    assigned = sizes >= thresh[comp_label]
+    final_label = comp_label.copy()
+    if assigned.all():
         return labels
-    # Every dropped pixel takes the label of its nearest kept pixel.
-    _, (iy, ix) = ndimage.distance_transform_edt(~keep_pix, return_indices=True)
-    out = labels.copy()
-    out[~keep_pix] = labels[iy[~keep_pix], ix[~keep_pix]]
-    return out
+
+    # --- adjacency absorption (boundary-majority, rounds) ---
+    ha, hb = comp[:, :-1].ravel(), comp[:, 1:].ravel()
+    va, vb = comp[:-1, :].ravel(), comp[1:, :].ravel()
+    pa = np.concatenate([ha, hb, va, vb])
+    pb = np.concatenate([hb, ha, vb, va])
+    diff = pa != pb
+    pa, pb = pa[diff], pb[diff]
+    n_labels = np.int64(int(labels.max()) + 1)
+    while not assigned.all():
+        m = ~assigned[pa] & assigned[pb]
+        if not m.any():
+            break  # unreachable on a connected grid
+        # Count boundary pairs per (dropped comp, neighbor label); pick
+        # max count, ties -> smaller label. Encoding score = count *
+        # n_labels - label makes one maximum.at both rank and decode:
+        # higher count always wins (count >= 1 => score >= 1), equal
+        # counts prefer the smaller label, and label = (-score) mod
+        # n_labels recovers the winner.
+        keys = pa[m] * n_labels + final_label[pb[m]]
+        uniq, counts = np.unique(keys, return_counts=True)
+        ca = uniq // n_labels
+        lb = uniq % n_labels
+        score = counts.astype(np.int64) * n_labels - lb
+        best = np.zeros(n_comp, np.int64)
+        np.maximum.at(best, ca, score)
+        chosen = np.unique(ca)
+        final_label[chosen] = (-best[chosen]) % n_labels
+        assigned[chosen] = True
+    return final_label[comp].astype(np.int32)
 
 
 def slic_batch(

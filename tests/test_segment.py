@@ -269,8 +269,12 @@ def test_label_components_matches_scipy():
 
 
 def test_enforce_connectivity_fast_path_matches_fallback(monkeypatch):
-    """The native-CC keep rule must be BIT-identical to the per-label
-    scipy loop (the BO lane's discrete trajectory rides on it)."""
+    """The native slic_postpass (CC + keep rule + adjacency absorption)
+    must be BIT-identical to the numpy twin — the spec is pure integer
+    counting, so the two backends can and must agree exactly (the BO
+    lane's discrete trajectory rides on it). Also pins the absorption
+    anchor property: surviving pixels keep their labels, and every
+    absorbed fragment lands on a label adjacent to it."""
     import importlib
 
     F = importlib.import_module(
@@ -282,12 +286,25 @@ def test_enforce_connectivity_fast_path_matches_fallback(monkeypatch):
 
         pytest.skip("native toolchain unavailable")
     r = np.random.RandomState(3)
-    for shape in [(64, 64), (48, 80)]:
-        seg = np.asarray(slic(
+    segs = [
+        np.asarray(slic(
             r.randint(0, 256, shape + (3,)).astype(np.uint8),
             n_segments=12, num_iters=4))
+        for shape in [(64, 64), (48, 80)]
+    ]
+    # Nested-fragment case: a dropped fragment adjacent only to another
+    # dropped fragment resolves in round 2.
+    lab = np.zeros((12, 12), np.int32)
+    lab[:, 6:] = 1
+    lab[5, 5] = 1
+    lab[5, 4] = 2
+    lab[0:2, 0:2] = 2
+    lab[10:, 10:] = 2
+    segs.append(lab)
+    for seg in segs:
         fast = slic_mod.enforce_connectivity(seg)
-        monkeypatch.setattr(F, "label_components", lambda l: None)
+        monkeypatch.setattr(F, "slic_postpass_native",
+                            lambda l, f: None)
         slow = slic_mod.enforce_connectivity(seg)
         monkeypatch.undo()
         np.testing.assert_array_equal(fast, slow)
