@@ -109,14 +109,25 @@ def main(argv=None):
                         "random window masks")
     p.add_argument("--attribute", default=None, metavar="METHOD",
                    choices=["gradient", "grad_input", "integrated",
-                            "smoothgrad", "gradcam", "meaningful", "xrai"],
-                   help="drive the sweep with a gradient-family attribution "
-                        "method instead of masks: every --image-batch "
-                        "images' backward passes run as ONE vmapped program "
-                        "(no segmentation step; hyperparameters via "
-                        "--ig-steps/--sg-samples/--sg-sigma/--gradcam-layer; "
-                        "'meaningful' = Fong-Vedaldi learned deletion masks, "
-                        "N Adam loops in one program, --lm-* flags)")
+                            "smoothgrad", "gradcam", "meaningful", "xrai",
+                            "occlusion", "rise", "scorecam"],
+                   help="drive the sweep with a per-image attribution "
+                        "method instead of masks: gradient-family methods "
+                        "run every --image-batch images' backward passes as "
+                        "ONE vmapped program (no segmentation step; "
+                        "hyperparameters via --ig-steps/--sg-samples/"
+                        "--sg-sigma/--gradcam-layer); 'meaningful' = "
+                        "Fong-Vedaldi learned deletion masks, N Adam loops "
+                        "in one program, --lm-* flags; occlusion/rise/"
+                        "scorecam dispatch one jitted mask-batched program "
+                        "per image (--patch/--stride, --rise-*, "
+                        "--scorecam-channels, --attr-mask-batch)")
+    p.add_argument("--attr-mask-batch", type=int, default=None,
+                   help="(--attribute occlusion/rise/scorecam) per-image "
+                        "forward chunk; default keeps each method's "
+                        "one-shot default (occlusion/scorecam 64, rise "
+                        "250). For rise this is part of the RNG stream — "
+                        "a method hyperparameter, not a tuning knob")
     common.add_method_flags(p)
     common.add_bo_flags(p)
     p.add_argument("--proposals-per-iter", type=int, default=1,
@@ -169,8 +180,9 @@ def main(argv=None):
                 "the window/knockout driver normalizes host-side")
     if args.heatmap_wire != "f32" and (
             not args.attribute or args.attribute in ("xrai", "meaningful")):
-        p.error("--heatmap-wire applies to gradient-family --attribute "
-                "sweeps only (xrai/meaningful keep their f32 state)")
+        p.error("--heatmap-wire applies to gradient-family/mask-batched "
+                "--attribute sweeps only (xrai/meaningful keep their f32 "
+                "state)")
     common.apply_debug_flags(args)
 
     multihost_mod = None
@@ -291,6 +303,21 @@ def main(argv=None):
                 jconfig["heatmap_wire"] = args.heatmap_wire
             if args.attribute == "xrai":
                 jconfig.update({"xrai_scales": args.xrai_scales})
+            if args.attribute == "occlusion":
+                jconfig.update({"patch": args.patch,
+                                "stride": args.stride})
+            if args.attribute == "rise":
+                # The chunk is part of rise's RNG stream → row-affecting.
+                jconfig.update({
+                    "rise_masks": args.rise_masks,
+                    "rise_grid": args.rise_grid,
+                    "rise_keep": args.rise_keep,
+                    "attr_mask_batch": args.attr_mask_batch,
+                })
+            if args.attribute == "scorecam":
+                jconfig.update({
+                    "scorecam_channels": args.scorecam_channels,
+                })
             if args.attribute == "meaningful":
                 jconfig.update({
                     "lm_mask_size": args.lm_mask_size,
@@ -368,6 +395,13 @@ def main(argv=None):
             if args.attribute == "xrai" else None,
             normalize=(spec.mean, spec.std) if args.uint8_wire else None,
             heatmap_wire=args.heatmap_wire,
+            patch=args.patch,
+            stride=args.stride,
+            rise_masks=args.rise_masks,
+            rise_grid=args.rise_grid,
+            rise_keep_prob=args.rise_keep,
+            mask_batch=args.attr_mask_batch,
+            scorecam_channels=args.scorecam_channels,
         )
     elif args.bo:
         from network_interpretation_imagenet_tpu.config import BOConfig

@@ -529,6 +529,154 @@ def _occlusion_core(logits_fn, patch: int, batch: int, compute_dtype):
 BATCHABLE_METHODS = ("gradient", "grad_input", "integrated", "smoothgrad",
                      "gradcam")
 
+#: Per-image methods whose device program batches over MASKS internally.
+#: Sweeps run them as ONE program per flush that ``lax.map``s the
+#: per-image computation over the image axis — sequential per image, so
+#: live activation memory stays at ONE image's mask chunk (an N-way vmap
+#: would multiply it by the image bucket with no throughput win: each
+#: chunk already fills the chip — same reasoning as serving.py's
+#: batched-export exclusion), while the flush still costs one dispatch
+#: and one stacked fetch (per-image dispatch pays a tunnel RTT per
+#: eager op on remote-attached chips — measured 10× the program cost).
+MASK_BATCHED_METHODS = ("occlusion", "rise", "scorecam")
+
+# (method, logits_fn/bundle, hyperparams) → jitted per-image program.
+_MASK_ONE_CACHE: dict = {}
+# (+ bucket, shape, mesh) → jitted lax.map program for sweeps.
+_MASK_BATCH_CACHE: dict = {}
+
+
+def _mask_one_body(
+    logits_fn,
+    bundle,
+    method: str,
+    *,
+    patch: int = 32,
+    stride: int = 16,
+    rise_masks: int = 1000,
+    rise_grid: int = 7,
+    rise_keep_prob: float = 0.5,
+    mask_batch: Optional[int] = None,
+    gradcam_layer: Optional[str] = None,
+    scorecam_channels: int = 64,
+):
+    """Unjitted ``(variables, image, target, seed) -> f32[H, W]`` body for
+    a :data:`MASK_BATCHED_METHODS` method, hyperparameters closed over —
+    the traceable unit :func:`mask_method_one_fn` jits per image and
+    :func:`mask_method_batch` ``lax.map``s per flush. Results match the
+    one-shot fns exactly: same ops traced, and rise's masks derive from
+    ``PRNGKey(seed)`` with the same chunk structure whenever
+    ``mask_batch`` matches the one-shot ``batch``.
+
+    ``mask_batch=None`` keeps each method's one-shot default chunk
+    (occlusion/scorecam 64, rise 250). ``scorecam`` needs ``bundle``;
+    ``gradcam_layer=None`` resolves the canonical deepest conv stage
+    inside the trace (static — same menu logic as :func:`scorecam`).
+    NOTE for rise: the sampled masks are a function of (seed, mask_batch,
+    rise_masks) — changing the chunk size changes the random masks, so
+    sweeps must treat ``mask_batch`` as a method hyperparameter, not a
+    tuning knob, if reproducibility matters.
+    """
+    if method not in MASK_BATCHED_METHODS:
+        raise ValueError(f"unknown mask-batched method {method!r}; choose "
+                         f"from {MASK_BATCHED_METHODS}")
+    if method == "scorecam" and bundle is None:
+        raise ValueError("method='scorecam' needs bundle=")
+    if method == "occlusion":
+        b = 64 if mask_batch is None else int(mask_batch)
+
+        def one(v, img, t, s):
+            return occlusion_map(logits_fn, v, img, t, patch=patch,
+                                 stride=stride, batch=b)
+    elif method == "rise":
+        b = 250 if mask_batch is None else int(mask_batch)
+
+        def one(v, img, t, s):
+            return rise_map(logits_fn, v, img, t, num_masks=rise_masks,
+                            grid=rise_grid, keep_prob=rise_keep_prob,
+                            batch=b, seed=s)
+    else:  # scorecam
+        b = 64 if mask_batch is None else int(mask_batch)
+
+        def one(v, img, t, s):
+            return scorecam(bundle, v, img, t, layer=gradcam_layer,
+                            channels=scorecam_channels, batch=b)
+
+    return one
+
+
+def _mask_cfg_key(logits_fn, bundle, method, kw):
+    return (method, bundle if method == "scorecam" else logits_fn,
+            int(kw.get("patch", 32)), int(kw.get("stride", 16)),
+            int(kw.get("rise_masks", 1000)), int(kw.get("rise_grid", 7)),
+            float(kw.get("rise_keep_prob", 0.5)), kw.get("mask_batch"),
+            kw.get("gradcam_layer"), int(kw.get("scorecam_channels", 64)))
+
+
+def mask_method_one_fn(logits_fn, bundle, method: str, **kw):
+    """ONE jitted ``(variables, image, target, seed) -> f32[H, W]`` program
+    for a :data:`MASK_BATCHED_METHODS` method — the whole method
+    (occlusion's baseline forward, scorecam's capture forward + layer
+    resolution, rise's key derivation) lowers into one program instead of
+    the one-shot fns' eager preamble. See :func:`_mask_one_body` for the
+    hyperparameters and RNG contract."""
+    key = _mask_cfg_key(logits_fn, bundle, method, kw)
+    if key not in _MASK_ONE_CACHE:
+        _MASK_ONE_CACHE[key] = jax.jit(
+            _mask_one_body(logits_fn, bundle, method, **kw))
+    return _MASK_ONE_CACHE[key]
+
+
+def mask_method_batch(
+    logits_fn,
+    variables,
+    images,
+    targets,
+    method: str,
+    *,
+    bundle=None,
+    seeds=None,
+    mesh=None,
+    data_axis: str = "data",
+    **kw,
+) -> Array:
+    """N images' mask-batched attributions as ONE device program →
+    f32[N, H, W]: ``lax.map`` (sequential scan, NOT vmap) of the
+    per-image body over the image axis, so live memory stays at one
+    image's mask chunk while the flush costs a single dispatch + one
+    stacked fetch — the sweep-scale entry for
+    :data:`MASK_BATCHED_METHODS`. Shares the pow-2 bucket scaffolding of
+    :func:`attribute_batch` (per-image results are bit-identical across
+    flush compositions: the scan body is per-image). With ``mesh`` the
+    padded image axis shards over ``data_axis`` and each device maps its
+    shard sequentially. Hyperparameters as in :func:`_mask_one_body`."""
+    images, targets, seeds, n, bucket = _image_batch_scaffold(
+        images, targets, seeds, mesh, data_axis)
+    if n == 0:
+        return jnp.zeros((0,) + images.shape[1:3], jnp.float32)
+    key = _mask_cfg_key(logits_fn, bundle, method, kw) + (
+        bucket, images.shape[1:], mesh, data_axis)
+    if key not in _MASK_BATCH_CACHE:
+        one = _mask_one_body(logits_fn, bundle, method, **kw)
+
+        def run(v, imgs, ts, ss):
+            return jax.lax.map(lambda a: one(v, *a), (imgs, ts, ss))
+
+        if mesh is None:
+            _MASK_BATCH_CACHE[key] = jax.jit(run)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            _MASK_BATCH_CACHE[key] = jax.jit(shard_map(
+                run,
+                mesh=mesh,
+                in_specs=(P(), P(data_axis), P(data_axis), P(data_axis)),
+                out_specs=P(data_axis),
+                check_vma=False,
+            ))
+    return _MASK_BATCH_CACHE[key](variables, images, targets, seeds)[:n]
+
 # (method, fn/bundle, hyperparams, bucket, shape, mesh, axis) → jitted
 # vmapped (optionally shard_map'd) core — one compile per pow-2 image
 # bucket, shared across sweep flushes (see the occlusion-cache note).

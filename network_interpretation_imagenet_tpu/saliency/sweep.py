@@ -679,7 +679,9 @@ def _batched_flush_sweep(
 
     Misclassified images are skipped BEFORE dispatch (one batched predict
     per flush), so no device budget is wasted on them. Returns the total
-    eval count (``evals_per_image`` per explained-or-failed kept image).
+    eval count (``evals_per_image`` per explained-or-failed kept image;
+    may be a callable of the image shape for shape-dependent counts like
+    occlusion's position grid).
 
     ``prepare(imgs_dev, disps, keep) -> prep_state`` (optional hook) lets
     a lane ISSUE device work + async device→host copies for a flush as
@@ -731,7 +733,11 @@ def _batched_flush_sweep(
             return
         for pos, j in enumerate(keep):
             try:
-                total_evals += evals_per_image
+                # Callable form: per-image eval count depends on the image
+                # shape (occlusion's position grid) — resolved per row.
+                total_evals += (evals_per_image(imgs[j].shape)
+                                if callable(evals_per_image)
+                                else evals_per_image)
                 heat, extra = results[pos]
                 heat = np.asarray(heat)
                 row = {"index": idxs[j], "target": int(preds[j]), **extra}
@@ -921,6 +927,31 @@ def _finish_sweep(res, iou_m, surv_m, latencies, total_evals, wall):
     return res
 
 
+def _attr_evals_per_image(method: str, *, steps, samples, lm, rise_masks,
+                          mask_batch, patch, stride, scorecam_channels):
+    """Per-image device-eval count for :func:`attribution_sweep`'s
+    ``evals_per_sec``: backward passes for the gradient family, masked
+    forwards for the mask-batched family. Occlusion's count depends on
+    the image shape (position grid), so it returns a callable the flush
+    driver resolves per row."""
+    if method == "meaningful":
+        return int(lm.get("iters", 150))
+    if method == "rise":
+        chunk = 250 if mask_batch is None else int(mask_batch)
+        return -(-int(rise_masks) // chunk) * chunk  # rounds up, like rise_map
+    if method == "occlusion":
+        def n_positions(shape):
+            h, w = int(shape[0]), int(shape[1])
+            return (max(0, (h - patch) // stride + 1)
+                    * max(0, (w - patch) // stride + 1))
+
+        return n_positions
+    if method == "scorecam":
+        return int(scorecam_channels)
+    return {"integrated": int(steps), "smoothgrad": int(samples),
+            "xrai": 2 * int(steps)}.get(method, 1)
+
+
 def bo_saliency_sweep(
     engine: SaliencyEngine,
     dataset: Iterable,
@@ -1107,6 +1138,13 @@ def attribution_sweep(
     xrai_scales=None,
     normalize=None,
     heatmap_wire: str = "f32",
+    patch: int = 32,
+    stride: int = 16,
+    rise_masks: int = 1000,
+    rise_grid: int = 7,
+    rise_keep_prob: float = 0.5,
+    mask_batch: Optional[int] = None,
+    scorecam_channels: int = 64,
 ) -> SweepResult:
     """Val-set sweep driven by the gradient-family attribution path: every
     ``image_batch`` images' backward passes run as ONE vmapped program
@@ -1141,15 +1179,35 @@ def attribution_sweep(
     (see ``_batched_flush_sweep``); for ``method="xrai"`` the raw uint8
     image doubles as the felzenszwalb-ladder display.
 
-    ``heatmap_wire`` (gradient-family methods only — xrai's signed
-    attributions and meaningful's tuple state keep f32): the flush's
-    [N, H, W] heatmap fetch is the lane's largest transfer (3.2 MB f32 at
-    N=16/224²; docs/PERFORMANCE.md). ``"f16"`` halves it (heatmaps
-    reconstruct to f32 with ≤2⁻¹¹ relative rounding); ``"u8"`` quarters
-    it via per-image min-max quantization (bbox/IOU rows are EXACT —
-    localization min-max-normalizes to u8 anyway and quantization is a
-    monotonic affine map; fidelity AUC ranks coarsen to 256 levels,
+    ``heatmap_wire`` (gradient-family and mask-batched methods — xrai's
+    signed attributions and meaningful's tuple state keep f32): the
+    flush's [N, H, W] heatmap fetch is the lane's largest transfer
+    (3.2 MB f32 at N=16/224²; docs/PERFORMANCE.md). ``"f16"`` halves it
+    (heatmaps reconstruct to f32 with ≤2⁻¹¹ relative rounding); ``"u8"``
+    quarters it via per-image min-max quantization (bbox/IOU rows are
+    EXACT — localization min-max-normalizes to u8 anyway and quantization
+    is a monotonic affine map; fidelity AUC ranks coarsen to 256 levels,
     measured drift <1e-3). Default ``"f32"`` is lossless.
+
+    The mask-batched per-image methods (``"occlusion"`` / ``"rise"`` /
+    ``"scorecam"``, :data:`gradient.MASK_BATCHED_METHODS`) run each flush
+    as ONE ``lax.map`` program over the kept images (sequential per
+    image — their mask chunks already fill the chip, so an N-way vmap
+    would multiply memory, not throughput; per-image dispatch would pay
+    a tunnel RTT per launch), and share everything else in the lane:
+    one upload per flush, batched/deferred predict, async heatmap
+    collect, journal resume, fidelity rows, and the uint8/heatmap wires.
+    Hyperparameters: ``patch``/``stride`` (occlusion),
+    ``rise_masks``/``rise_grid``/``rise_keep_prob`` (rise),
+    ``scorecam_channels``/``gradcam_layer`` (scorecam), ``mask_batch``
+    (the per-image forward chunk; None keeps each method's one-shot
+    default — for rise this is part of the RNG stream, see
+    :func:`gradient.mask_method_one_fn`). RISE seeds derive from dataset
+    indices like every stochastic lane. ``evals_per_sec`` counts masked
+    forwards (rise's rounded-up mask count, occlusion's position grid,
+    scorecam's scored channels). ``mesh`` shards the image axis for the
+    gradient family (vmapped) AND the mask-batched family (each device
+    lax.maps its shard sequentially).
     """
     if heatmap_wire not in ("f32", "f16", "u8"):
         raise ValueError(f"heatmap_wire must be f32|f16|u8, "
@@ -1157,15 +1215,18 @@ def attribution_sweep(
     if heatmap_wire != "f32" and method in ("xrai", "meaningful"):
         raise ValueError(
             f"heatmap_wire={heatmap_wire!r} only applies to the "
-            f"gradient-family methods; {method!r} keeps its f32 state")
+            f"gradient-family/mask-batched methods; {method!r} keeps its "
+            f"f32 state")
     import jax.numpy as jnp
 
     from network_interpretation_imagenet_tpu.saliency import gradient as gmod
 
     extra_methods = ("meaningful", "xrai")
-    if method not in extra_methods and method not in gmod.BATCHABLE_METHODS:
+    all_methods = (gmod.BATCHABLE_METHODS + extra_methods
+                   + gmod.MASK_BATCHED_METHODS)
+    if method not in all_methods:
         raise ValueError(f"unknown attribution method {method!r}; choose "
-                         f"from {gmod.BATCHABLE_METHODS + extra_methods}")
+                         f"from {all_methods}")
     res, iou_m, surv_m, latencies, done, log = _sweep_scaffold(
         journal, logger, keep_heatmaps)
     t_start = time.perf_counter()
@@ -1222,6 +1283,28 @@ def attribution_sweep(
             # instead of blocking the tunnel after the ladder host work.
             attr_dev.copy_to_host_async()
             return attr_dev, [disps[j] for j in keep]
+        if method in gmod.MASK_BATCHED_METHODS:
+            # ONE program per flush that lax.maps the per-image body (NOT
+            # an N-way vmap — memory stays at one image's mask chunk; NOT
+            # per-image dispatch — each eager launch pays a tunnel RTT,
+            # measured 10× the program cost on a remote-attached chip).
+            heats_dev = gmod.mask_method_batch(
+                engine.bundle.logits, engine.variables, keep_imgs,
+                kept_targets, method, bundle=engine.bundle,
+                seeds=kept_seeds, mesh=mesh,
+                patch=patch, stride=stride, rise_masks=rise_masks,
+                rise_grid=rise_grid, rise_keep_prob=rise_keep_prob,
+                mask_batch=mask_batch, gradcam_layer=gradcam_layer,
+                scorecam_channels=scorecam_channels,
+            )
+            if heatmap_wire == "f16":
+                heats_dev = heats_dev.astype(jnp.float16)
+            elif heatmap_wire == "u8":
+                heats_dev = _quantize_heats_device(heats_dev)
+            for leaf in (heats_dev if isinstance(heats_dev, tuple)
+                         else (heats_dev,)):
+                leaf.copy_to_host_async()
+            return heats_dev
         heats_dev = gmod.attribute_batch(
             engine.bundle.logits, engine.variables, keep_imgs,
             kept_targets, method, bundle=engine.bundle, steps=steps,
@@ -1290,10 +1373,10 @@ def attribution_sweep(
         journal=journal, keep_heatmaps=keep_heatmaps,
         dataset_indices=dataset_indices, bbox_threshold=bbox_threshold,
         fidelity_steps=fidelity_steps,
-        evals_per_image=(int(lm.get("iters", 150)) if method == "meaningful"
-                         else {"integrated": int(steps),
-                               "smoothgrad": int(samples),
-                               "xrai": 2 * int(steps)}.get(method, 1)),
+        evals_per_image=_attr_evals_per_image(
+            method, steps=steps, samples=samples, lm=lm,
+            rise_masks=rise_masks, mask_batch=mask_batch, patch=patch,
+            stride=stride, scorecam_channels=scorecam_channels),
         enqueue_display=enqueue_display, dispatch=dispatch,
         collect=collect, normalize=normalize,
     )

@@ -433,3 +433,29 @@ def test_cli_saliency_sweep_uint8_wire(tmp_path):
             "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
             "--num-images", "2", "--uint8-wire", "--out", str(tmp_path),
         ])
+
+
+def test_cli_saliency_sweep_mask_batched_methods(tmp_path):
+    """--attribute occlusion/rise/scorecam: one jitted mask-batched
+    program per image, full sweep artifacts (rows, evals accounting,
+    method hyperparameters pass through)."""
+    from network_interpretation_imagenet_tpu.cli import (
+        saliency_sweep as cli_sweep,
+    )
+
+    for method, extra in (
+        ("rise", ["--rise-masks", "16", "--rise-grid", "4",
+                  "--attr-mask-batch", "8"]),
+        ("occlusion", ["--patch", "8", "--stride", "8"]),
+        ("scorecam", ["--scorecam-channels", "4"]),
+    ):
+        out = str(tmp_path / method)
+        cli_sweep.main([
+            "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+            "--num-images", "3", "--image-batch", "2", "--dtype", "float32",
+            "--attribute", method, "--out", out,
+        ] + extra)
+        r = _json(os.path.join(out, "sweep_result.json"))
+        assert r["images_total"] == 3, method
+        assert r["images_failed"] == 0, method
+        assert r["evals_per_sec"] > 0, method

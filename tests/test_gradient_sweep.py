@@ -1315,3 +1315,160 @@ def test_attribution_sweep_heatmap_wire(rng):
                           steps=4, seed=3, heatmap_wire="u8")
     with pytest.raises(ValueError, match="f32|f16|u8"):
         attribution_sweep(engine, ds, heatmap_wire="bf16", **kw)
+
+
+# ---------------------------------------------------------------------------
+# Mask-batched per-image methods at sweep scale (occlusion / rise / scorecam)
+# ---------------------------------------------------------------------------
+
+
+def _mask_batched_engine():
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=32,
+                            compute_dtype=jnp.float32)
+    return bundle, variables, engine
+
+
+def test_mask_batched_sweep_matches_one_shot(rng):
+    """occlusion/rise/scorecam at sweep scale return EXACTLY the one-shot
+    fns' heatmaps (same ops in one jitted program; rise additionally
+    shares the PRNG chunk structure when mask_batch matches the one-shot
+    batch), with seeds derived from dataset indices."""
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        attribution_sweep,
+    )
+
+    bundle, variables, engine = _mask_batched_engine()
+    imgs = [rng.rand(28, 28, 1).astype(np.float32) for _ in range(3)]
+    ds = [(im, None, None) for im in imgs]
+    targets = [
+        int(np.argmax(np.asarray(engine.predict(jnp.asarray(im)[None]))[0]))
+        for im in imgs
+    ]
+    seed = 11
+
+    cases = {
+        "rise": (
+            dict(rise_masks=32, rise_grid=4, rise_keep_prob=0.5,
+                 mask_batch=16),
+            lambda im, t, i: grad_mod.rise_map(
+                bundle.logits, variables, im, t, num_masks=32, grid=4,
+                keep_prob=0.5, batch=16, seed=seed + i),
+        ),
+        "occlusion": (
+            dict(patch=8, stride=8, mask_batch=8),
+            lambda im, t, i: grad_mod.occlusion_map(
+                bundle.logits, variables, im, t, patch=8, stride=8,
+                batch=8),
+        ),
+        "scorecam": (
+            dict(scorecam_channels=4, mask_batch=4),
+            lambda im, t, i: grad_mod.scorecam(
+                bundle, variables, im, t, channels=4, batch=4),
+        ),
+    }
+    for method, (kw, one_shot) in cases.items():
+        res = attribution_sweep(engine, ds, method=method, image_batch=2,
+                                seed=seed, keep_heatmaps=True, **kw)
+        assert res.images_explained == 3, method
+        for i in range(3):
+            want = np.asarray(one_shot(imgs[i], targets[i], i))
+            np.testing.assert_allclose(
+                res.heatmaps[i], want, rtol=1e-5, atol=1e-6,
+                err_msg=f"{method} image {i}")
+            assert res.per_image[i]["method"] == method
+
+
+def test_mask_batched_sweep_eval_accounting(rng):
+    """evals_per_sec counts masked forwards: rise rounds masks up to a
+    chunk multiple, occlusion resolves its position grid from the image
+    shape (callable evals_per_image), scorecam counts scored channels."""
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        _attr_evals_per_image,
+    )
+
+    assert _attr_evals_per_image(
+        "rise", steps=0, samples=0, lm={}, rise_masks=33, mask_batch=16,
+        patch=8, stride=8, scorecam_channels=4) == 48  # 33 -> 3 chunks
+    occ = _attr_evals_per_image(
+        "occlusion", steps=0, samples=0, lm={}, rise_masks=0,
+        mask_batch=None, patch=8, stride=8, scorecam_channels=4)
+    assert callable(occ)
+    assert occ((28, 28, 1)) == 9   # 3x3 grid of 8px patches at stride 8
+    assert occ((8, 8, 1)) == 1
+    assert occ((7, 8, 1)) == 0     # patch exceeds height
+    assert _attr_evals_per_image(
+        "scorecam", steps=0, samples=0, lm={}, rise_masks=0,
+        mask_batch=None, patch=8, stride=8, scorecam_channels=4) == 4
+
+
+def test_mask_batched_sweep_heatmap_wire_and_journal(rng):
+    """The mask-batched lane shares the heatmap wire (u8 IOU rows exact)
+    and journal resume (rows invariant to interruption) with the
+    gradient family."""
+    from network_interpretation_imagenet_tpu.saliency.journal import (
+        SweepJournal,
+    )
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        attribution_sweep,
+    )
+
+    _, _, engine = _mask_batched_engine()
+    gt = [3, 5, 14, 12]
+    ds = [(rng.rand(28, 28, 1).astype(np.float32), None, gt)
+          for _ in range(4)]
+    kw = dict(method="occlusion", image_batch=2, patch=8, stride=8,
+              mask_batch=8, seed=3, keep_heatmaps=True)
+    res_f32 = attribution_sweep(engine, ds, **kw)
+    res_u8 = attribution_sweep(engine, ds, heatmap_wire="u8", **kw)
+    assert res_u8.images_explained == res_f32.images_explained == 4
+    for i in range(4):
+        h = res_f32.heatmaps[i]
+        span = float(h.max() - h.min())
+        np.testing.assert_allclose(res_u8.heatmaps[i], h,
+                                   atol=span / 255.0 + 1e-9)
+        assert res_u8.per_image[i]["iou"] == res_f32.per_image[i]["iou"]
+
+    # Journal resume: first run explains 2 images, the resumed run the
+    # other 2; merged rows must equal the uninterrupted run's.
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        jpath = os.path.join(td, "sweep.journal")
+        j1 = SweepJournal(jpath, config={"attribute": "occlusion"},
+                          keep_heatmaps=True)
+        attribution_sweep(engine, ds[:2], journal=j1, dataset_indices=[0, 1],
+                          **kw)
+        j2 = SweepJournal(jpath, resume=True, keep_heatmaps=True,
+                          config={"attribute": "occlusion"})
+        res_resumed = attribution_sweep(engine, ds, journal=j2,
+                                        dataset_indices=[0, 1, 2, 3], **kw)
+        assert res_resumed.images_explained == 4
+        by_index = {r["index"]: r for r in res_resumed.per_image}
+        for i in range(4):
+            np.testing.assert_allclose(
+                by_index[i]["iou"], res_f32.per_image[i]["iou"])
+
+
+def test_mask_batched_sweep_mesh_matches_single(rng):
+    """Mesh-sharded mask-batched sweep (each device lax.maps its image
+    shard) matches the single-device run exactly."""
+    from network_interpretation_imagenet_tpu.parallel import make_mesh
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        attribution_sweep,
+    )
+
+    _, _, engine = _mask_batched_engine()
+    ds = [(rng.rand(28, 28, 1).astype(np.float32), None, None)
+          for _ in range(3)]
+    kw = dict(method="rise", image_batch=3, rise_masks=16, rise_grid=4,
+              mask_batch=8, seed=5, keep_heatmaps=True)
+    res_single = attribution_sweep(engine, ds, **kw)
+    res_mesh = attribution_sweep(engine, ds, mesh=make_mesh(), **kw)
+    assert res_mesh.images_explained == res_single.images_explained == 3
+    for i in range(3):
+        np.testing.assert_allclose(res_mesh.heatmaps[i],
+                                   res_single.heatmaps[i],
+                                   rtol=1e-5, atol=1e-6)
