@@ -74,6 +74,9 @@ _TPU_SMOKE = (
     # artifact, and XRAI's AOT signed-IG + host ranking path.
     "test_serving.py::test_export_knockout_matches_engine",
     "test_serving.py::test_export_xrai_matches_live",
+    # r4: the mask-batched sweep lane (occlusion/rise/scorecam as ONE
+    # lax.map program per flush) — real-chip coverage of the scan body.
+    "test_gradient_sweep.py::test_mask_batched_sweep_matches_one_shot",
 )
 
 # Individually-slow tests inside otherwise-fast modules (compile-heavy
