@@ -65,7 +65,12 @@ def main():
 
     bundle = create_model("resnet101", "imagenet")
     variables = bundle.init(jax.random.PRNGKey(0))
-    engine = SaliencyEngine(bundle, variables, mask_batch=4096)
+    # NOTE: the engine's mask_batch does NOT reach the mask-batched
+    # attribution lane — per-image chunking comes from attribution_sweep's
+    # own ``mask_batch`` kwarg (left unset below → each method's one-shot
+    # default: occlusion/scorecam 64, rise 250; for RISE the chunk is part
+    # of the RNG stream, i.e. a method hyperparameter).
+    engine = SaliencyEngine(bundle, variables)
 
     # (method kwargs, images per run, evals/image note). Hyperparameters
     # are each method's reference-scale defaults: occlusion 32/16 -> 13x13

@@ -9,9 +9,18 @@ explanation method is most faithful for THIS model?" quantitatively
 instead of by eyeballing heatmaps.
 
 Methods: ``window`` (reference random superpixel windows), ``knockout``,
-``bo`` (the flagship fused BO loop), ``occlusion``, ``gradient``,
+``bo`` (the flagship fused BO loop), ``gp`` (window labels smoothed by the
+exact Kronecker pixel-GP posterior mean — the reference's KISS-GP
+regression surrogate, ``gp_superpixel_data_imagenet.py:407-523``),
+``gp_cls`` (grid-inducing Bernoulli GP survive-probability map,
+``gp_classification.py:139-264``), ``occlusion``, ``gradient``,
 ``grad_input``, ``integrated``, ``smoothgrad``, ``rise``, ``gradcam``,
 ``scorecam``, ``xrai``, ``meaningful``.
+
+Ranking comes with paired-bootstrap 95% CIs over images: methods are
+grouped into tiers, and a tier boundary is drawn only where the paired
+bootstrap separates adjacent methods (P(margin_A > margin_B) ≥ the
+``--tier-sep`` threshold). Point-estimate ranks inside a tier are noise.
 
     python -m network_interpretation_imagenet_tpu.cli.compare_saliency_methods \
         --arch resnet18 --ckpt weights.msgpack --data <imagenet> \
@@ -32,9 +41,18 @@ from network_interpretation_imagenet_tpu.saliency import (
 )
 from network_interpretation_imagenet_tpu.saliency import gradient as grad_mod
 
-METHODS = ("window", "knockout", "bo", "occlusion", "gradient",
-           "grad_input", "integrated", "smoothgrad", "rise", "gradcam",
-           "scorecam", "xrai", "meaningful")
+METHODS = ("window", "knockout", "bo", "gp", "gp_cls", "occlusion",
+           "gradient", "grad_input", "integrated", "smoothgrad", "rise",
+           "gradcam", "scorecam", "xrai", "meaningful")
+
+
+def _window_heat(engine, image, segments, target: int, args) -> np.ndarray:
+    """Summed-label window heatmap — the GP surrogates' training field."""
+    return pipeline.random_window_saliency(
+        engine, image, segments, num_samples=args.num_mask_samples,
+        window_fraction=args.window_fraction, seed=args.seed,
+        target=target,
+    ).heatmap.astype(np.float32)
 
 
 def _heatmap(method: str, engine, image, disp, segments, target: int, args):
@@ -63,6 +81,41 @@ def _heatmap(method: str, engine, image, disp, segments, target: int, args):
             target=target, fused=args.fused,
         )
         return out.heatmap
+    if method == "gp":
+        # The reference's distinctive move: smooth the summed mask-label
+        # field with a pixel-grid GP and read the posterior MEAN as the
+        # saliency map (gp_superpixel_data_imagenet.py:407-523,
+        # gp_regression.py:227-282). Here the KISS-GP approximation is
+        # replaced by the exact Kronecker-eigen solve (gp/kron.py).
+        from network_interpretation_imagenet_tpu.gp import kron
+
+        heat = _window_heat(engine, image, segments, target, args)
+        params, _ = kron.fit_adam(heat, iters=args.gp_iters, lr=args.gp_lr)
+        mean, _ = kron.posterior(params, heat)
+        return np.asarray(mean)
+    if method == "gp_cls":
+        # Bernoulli-likelihood variant (gp_classification.py:139-264):
+        # median-binarized labels, grid-inducing variational GP, probit
+        # survive-probability map as the heatmap.
+        from network_interpretation_imagenet_tpu.gp import variational as vgp
+
+        heat = _window_heat(engine, image, segments, target, args)
+        h, w = heat.shape
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        coords = np.stack([yy.ravel(), xx.ravel()], -1).astype(np.float32)
+        flat = heat.ravel()
+        y01 = (flat > np.median(flat)).astype(np.float32)
+        train_idx = np.arange(len(flat))
+        if len(train_idx) > args.gp_train_subsample:
+            rng = np.random.RandomState(args.seed)
+            train_idx = rng.choice(
+                train_idx, args.gp_train_subsample, replace=False)
+        model = vgp.init_model(max(h, w), grid_size=args.gp_grid_size)
+        model, _ = vgp.fit_adam(
+            model, coords[train_idx], y01[train_idx],
+            iters=args.gp_cls_iters, lr=args.gp_lr)
+        probs = np.asarray(vgp.predict_proba(model, coords))
+        return probs.reshape(h, w)
     if method == "occlusion":
         return grad_mod.occlusion_map(
             logits_fn, variables, image, target, patch=args.patch,
@@ -121,6 +174,26 @@ def main(argv=None):
                    help=f"comma list from {','.join(METHODS)}")
     p.add_argument("--num-images", type=int, default=8)
     p.add_argument("--fidelity-steps", type=int, default=32)
+    g = p.add_argument_group("gp surrogate methods")
+    g.add_argument("--gp_iters", type=int, default=20,
+                   help="gp: Adam iters for the Kronecker pixel-GP "
+                        "(reference gp_regression.py:179-224)")
+    g.add_argument("--gp_lr", type=float, default=0.1)
+    g.add_argument("--gp-cls-iters", type=int, default=30,
+                   help="gp_cls: ELBO Adam iters "
+                        "(reference gp_classification.py:176)")
+    g.add_argument("--gp-grid-size", type=int, default=10,
+                   help="gp_cls: inducing grid side "
+                        "(reference gp_classification.py:141)")
+    g.add_argument("--gp-train-subsample", type=int, default=4096,
+                   help="gp_cls: max training pixels")
+    g = p.add_argument_group("statistics")
+    g.add_argument("--bootstrap", type=int, default=2000,
+                   help="paired bootstrap resamples over images for the "
+                        "margin CIs and tier separation (0 disables)")
+    g.add_argument("--tier-sep", type=float, default=0.975,
+                   help="P(margin_A > margin_B) needed to draw a tier "
+                        "boundary between adjacent methods")
     common.add_method_flags(p)
     common.add_bo_flags(p)
     args = p.parse_args(argv)
@@ -188,23 +261,70 @@ def main(argv=None):
     # is better on both axes).
     order = sorted(methods, key=lambda m: summary[m]["mean_insertion_auc"]
                    - summary[m]["mean_deletion_auc"], reverse=True)
-    header = f"{'method':>12}  {'del_auc↓':>9}  {'ins_auc↑':>9}  {'s/img':>7}"
+
+    # Paired bootstrap over images: every method saw the SAME image set, so
+    # resampling one index vector per replicate preserves the per-image
+    # pairing — CIs on each mean margin AND P(margin_A > margin_B) for
+    # adjacent pairs in the ranking come from the same replicates. Rank
+    # boundaries are drawn only where that probability clears --tier-sep;
+    # everything else is a tie (a tier), not a rank.
+    margins = {
+        m: np.array([r["insertion_auc"] - r["deletion_auc"]
+                     for r in rows[m]])
+        for m in methods
+    }
+    tiers: list[list[str]] = [[order[0]]] if order else []
+    seps: dict[str, float] = {}
+    if args.bootstrap > 0 and used > 1:
+        rng = np.random.RandomState(args.seed)
+        idx = rng.randint(0, used, size=(args.bootstrap, used))
+        boot = {m: margins[m][idx].mean(axis=1) for m in methods}
+        for m in methods:
+            lo, hi = np.percentile(boot[m], [2.5, 97.5])
+            summary[m]["margin_mean"] = round(float(margins[m].mean()), 5)
+            summary[m]["margin_ci95"] = [round(float(lo), 5),
+                                         round(float(hi), 5)]
+        for a, b in zip(order, order[1:]):
+            p_gt = float(np.mean(boot[a] > boot[b]))
+            seps[f"{a}>{b}"] = round(p_gt, 4)
+            if p_gt >= args.tier_sep:
+                tiers.append([b])
+            else:
+                tiers[-1].append(b)
+    else:
+        tiers = [list(order)]
+        for m in methods:
+            summary[m]["margin_mean"] = round(float(margins[m].mean()), 5)
+
+    tier_of = {m: i + 1 for i, t in enumerate(tiers) for m in t}
+    header = (f"{'tier':>4}  {'method':>12}  {'del_auc↓':>9}  "
+              f"{'ins_auc↑':>9}  {'margin':>7}  {'ci95':>18}  {'s/img':>7}")
     if any("pointing_game_acc" in summary[m] for m in methods):
         header += f"  {'point':>6}"
     print(header)
     for m in order:
         s = summary[m]
-        line = (f"{m:>12}  {s['mean_deletion_auc']:>9.4f}  "
+        ci = s.get("margin_ci95")
+        ci_s = f"[{ci[0]:+.3f},{ci[1]:+.3f}]" if ci else "-"
+        line = (f"{tier_of[m]:>4}  {m:>12}  {s['mean_deletion_auc']:>9.4f}  "
                 f"{s['mean_insertion_auc']:>9.4f}  "
+                f"{s['margin_mean']:>+7.3f}  {ci_s:>18}  "
                 f"{s['seconds_per_image']:>7.2f}")
         if "pointing_game_acc" in s:
             line += f"  {s['pointing_game_acc']:>6.2f}"
         print(line)
+    if len(tiers) < len(order):
+        print("(methods sharing a tier are NOT separated at "
+              f"P≥{args.tier_sep:g} by the paired bootstrap — their "
+              "in-tier order is noise)")
 
     common.emit_result(args.out, "method_comparison.json", {
         "images_used": used,
         "fidelity_steps": args.fidelity_steps,
         "ranking": order,
+        "tiers": tiers,
+        "adjacent_separation": seps,
+        "bootstrap": args.bootstrap,
         "methods": summary,
     })
     return 0

@@ -178,11 +178,13 @@ def main(argv=None):
     if args.uint8_wire and not (args.bo or args.attribute):
         p.error("--uint8-wire needs a batched-flush lane (--bo/--attribute); "
                 "the window/knockout driver normalizes host-side")
-    if args.heatmap_wire != "f32" and (
-            not args.attribute or args.attribute in ("xrai", "meaningful")):
-        p.error("--heatmap-wire applies to gradient-family/mask-batched "
-                "--attribute sweeps only (xrai/meaningful keep their f32 "
-                "state)")
+    if args.heatmap_wire != "f32" and not args.attribute:
+        p.error("--heatmap-wire applies to --attribute sweeps only")
+    if args.heatmap_wire != "f32" and args.attribute == "meaningful":
+        p.error("--heatmap-wire: 'meaningful' keeps its f32 tuple state")
+    if args.heatmap_wire == "u8" and args.attribute == "xrai":
+        p.error("--heatmap-wire=u8 destroys the sign of xrai's "
+                "attributions; use f16 (sign-preserving) or f32")
     common.apply_debug_flags(args)
 
     multihost_mod = None

@@ -1212,11 +1212,15 @@ def attribution_sweep(
     if heatmap_wire not in ("f32", "f16", "u8"):
         raise ValueError(f"heatmap_wire must be f32|f16|u8, "
                          f"got {heatmap_wire!r}")
-    if heatmap_wire != "f32" and method in ("xrai", "meaningful"):
+    if method == "meaningful" and heatmap_wire != "f32":
         raise ValueError(
-            f"heatmap_wire={heatmap_wire!r} only applies to the "
-            f"gradient-family/mask-batched methods; {method!r} keeps its "
-            f"f32 state")
+            f"heatmap_wire={heatmap_wire!r}: 'meaningful' keeps its f32 "
+            f"tuple state (heatmaps + per-image probabilities)")
+    if method == "xrai" and heatmap_wire == "u8":
+        raise ValueError(
+            "heatmap_wire='u8': per-image min-max quantization destroys "
+            "the SIGN of xrai's attributions; use 'f16' (sign-preserving, "
+            "<=2^-11 relative rounding) or 'f32'")
     import jax.numpy as jnp
 
     from network_interpretation_imagenet_tpu.saliency import gradient as gmod
@@ -1278,6 +1282,13 @@ def attribution_sweep(
                 engine.bundle.logits, engine.variables, keep_imgs,
                 kept_targets, steps=steps, step_batch=step_batch, mesh=mesh,
             )
+            # The signed-attribution stack is this lane's largest fetch;
+            # f16 halves it and PRESERVES SIGN (only u8 min-max is lossy
+            # for signed data) — the region ranking sums ~10²-10⁵-pixel
+            # regions, so 2⁻¹¹ relative rounding is far below the
+            # between-region gaps it ranks.
+            if heatmap_wire == "f16":
+                attr_dev = attr_dev.astype(jnp.float16)
             # Stream the attribution stack host-ward as soon as the
             # program finishes — collect's fetch then finds it local
             # instead of blocking the tunnel after the ladder host work.
@@ -1330,7 +1341,9 @@ def attribution_sweep(
             from network_interpretation_imagenet_tpu.saliency import xrai
 
             attrs, kept_disps = state
-            attrs = np.asarray(attrs)  # ONE device→host fetch
+            # ONE device→host fetch; f16 wires reconstruct to f32 for the
+            # ladder math.
+            attrs = np.asarray(attrs).astype(np.float32)
             scales = (xrai.DEFAULT_SCALES if xrai_scales is None
                       else xrai_scales)
             out = []

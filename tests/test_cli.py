@@ -378,6 +378,38 @@ def test_cli_compare_saliency_methods(tmp_path):
         assert 0.0 <= s["mean_insertion_auc"] <= 1.0
 
 
+def test_cli_compare_saliency_gp_methods(tmp_path):
+    """'gp' (Kronecker pixel-GP mean) and 'gp_cls' (Bernoulli variational
+    GP) rank alongside their window training field, with paired-bootstrap
+    margin CIs and a tier partition of the ranking."""
+    import json
+
+    from network_interpretation_imagenet_tpu.cli import (
+        compare_saliency_methods,
+    )
+
+    rc = compare_saliency_methods.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num-images", "3", "--num_mask_samples", "8",
+        "--methods", "window,gp,gp_cls",
+        "--gp_iters", "5", "--gp-cls-iters", "5", "--gp-grid-size", "4",
+        "--bootstrap", "200",
+        "--fidelity-steps", "8", "--out", str(tmp_path),
+        "--platform", "cpu", "--mask-batch", "16",
+    ])
+    assert rc == 0
+    payload = json.loads((tmp_path / "method_comparison.json").read_text())
+    assert set(payload["ranking"]) == {"window", "gp", "gp_cls"}
+    # Tiers partition the ranking in order.
+    assert [m for t in payload["tiers"] for m in t] == payload["ranking"]
+    for m in payload["ranking"]:
+        s = payload["methods"][m]
+        lo, hi = s["margin_ci95"]
+        assert lo <= s["margin_mean"] <= hi
+    # Adjacent-pair separation probabilities exist for every boundary.
+    assert len(payload["adjacent_separation"]) == 2
+
+
 def test_cli_saliency_sweep_attribute(tmp_path):
     """--attribute drives the sweep with batched gradient-family
     attribution (no segmentation pass; per-image rows carry the method)."""

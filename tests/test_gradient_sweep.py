@@ -1085,6 +1085,38 @@ def test_attribution_sweep_xrai(rng):
         np.testing.assert_allclose(res.heatmaps[i], ref.heatmap, atol=2e-5)
 
 
+def test_attribution_sweep_xrai_f16_wire(rng):
+    """xrai + heatmap_wire='f16': the signed-IG attribution stack rides
+    the wire in half precision (sign preserved; <=2^-11 relative
+    rounding) and the host ladder reconstructs to f32 — region heatmaps
+    match the f32 wire within the rounding the region sums absorb."""
+    from network_interpretation_imagenet_tpu.saliency.sweep import (
+        attribution_sweep,
+    )
+
+    bundle = create_model("mnist_cnn", "mnist")
+    variables = bundle.init(jax.random.PRNGKey(0))
+    engine = SaliencyEngine(bundle, variables, mask_batch=32,
+                            compute_dtype=jnp.float32)
+    images = [rng.rand(28, 28, 1).astype(np.float32) for _ in range(3)]
+    dataset = [(im, None, None) for im in images]
+    kw = dict(method="xrai", image_batch=2, steps=4, keep_heatmaps=True,
+              xrai_scales=(20.0, 60.0))
+    res_f32 = attribution_sweep(engine, list(dataset), **kw)
+    res_f16 = attribution_sweep(engine, list(dataset),
+                                heatmap_wire="f16", **kw)
+    assert res_f16.images_explained == res_f32.images_explained == 3
+    for i in range(3):
+        h = res_f32.heatmaps[i]
+        span = float(h.max() - h.min()) or 1.0
+        # f16 has ~3 decimal digits; the ladder's region sums average the
+        # per-pixel rounding down further.
+        np.testing.assert_allclose(res_f16.heatmaps[i], h,
+                                   rtol=5e-3, atol=span * 2e-3)
+        assert (res_f16.per_image[i]["num_regions"]
+                == res_f32.per_image[i]["num_regions"])
+
+
 def test_attribution_sweep_uint8_wire_matches_f32(rng):
     """The uint8 wire (raw u8 dataset + normalize=(mean, std), scaled and
     normalized ON DEVICE — 1/4 the flush upload bytes) must reproduce the
