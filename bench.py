@@ -41,6 +41,12 @@ V5E_PEAK_FLOPS = 197e12
 # IG-16 ≈ 16 x 2 x forward per image; XRAI doubles it (2 baselines).
 IG16_FLOPS_PER_IMAGE = 16 * 2 * RESNET101_FLOPS
 XRAI_FLOPS_PER_IMAGE = 2 * IG16_FLOPS_PER_IMAGE
+# RISE (the method-comparison study's most-faithful AND fastest method,
+# docs/METHOD_COMPARISON.md) is pure masked forwards: 1000 soft masks per
+# image at Petsiuk et al.'s defaults — its natural ceiling is the
+# masked-forward headline rate (7.5k evals/s ⇒ ~7.5 img/s).
+RISE_MASKS = 1000
+RISE_FLOPS_PER_IMAGE = RISE_MASKS * RESNET101_FLOPS
 
 
 def log(*a):
@@ -370,6 +376,27 @@ def tpu_rate_and_latency():
         f"{attr_res.images_explained} images/run -> {attr_img_s:.1f} img/s "
         f"(runs: {[f'{x:.1f}' for x in attr_rates]})")
 
+    # --- RISE sweep (the study's default-recommendation method) ----------
+    # 1000 soft-masked forwards per image as ONE lax.map program per
+    # 16-image flush (mask chunk 250 — part of RISE's RNG stream, a method
+    # hyperparameter, not a tuning knob). Pure masked forwards: compare
+    # directly against the 7.5k evals/s masked-forward headline.
+    attribution_sweep(engine, bo_sweep_dataset(8, 51), method="rise",
+                      image_batch=8, seed=8, normalize=NORM)  # warm
+    rise_rates = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        rise_res = attribution_sweep(engine, bo_sweep_dataset(16, 53 + r),
+                                     method="rise", image_batch=8,
+                                     seed=9 + r, normalize=NORM)
+        rise_rates.append(
+            rise_res.images_explained / (time.perf_counter() - t0))
+    rise_img_s = float(np.median(rise_rates))
+    log(f"rise sweep (1000 masks/img, median of 3): "
+        f"{rise_res.images_explained} images/run -> {rise_img_s:.1f} img/s "
+        f"= {rise_img_s * RISE_MASKS:.0f} masked-forward evals/s "
+        f"(runs: {[f'{x:.1f}' for x in rise_rates]})")
+
     # --- XRAI sweep (signed multi-baseline IG flushes + host ranking) -----
     # 2 baselines × 16 steps = 32 backwards/image on device; the greedy
     # felzenszwalb-ladder ranking overlaps as host work at collect. Collage
@@ -399,7 +426,7 @@ def tpu_rate_and_latency():
         f"(runs: {[f'{x:.1f}' for x in xrai_rates]})")
     return (rate, p50, sweep_res.evals_per_sec, bo_p50,
             dn_res.evals_per_sec, bo_batched_ms, bo_sweep_rate,
-            ko_res.evals_per_sec, attr_img_s, xrai_img_s)
+            ko_res.evals_per_sec, attr_img_s, xrai_img_s, rise_img_s)
 
 
 def tpu_reachable(timeout_s: float = 240.0) -> bool:
@@ -442,7 +469,7 @@ def main():
     cpu_rate = cpu_reference_rate()
     (rate, p50, sweep_rate, bo_p50, dn_rate,
      bo_batched_ms, bo_sweep_rate, ko_rate,
-     attr_img_s, xrai_img_s) = tpu_rate_and_latency()
+     attr_img_s, xrai_img_s, rise_img_s) = tpu_rate_and_latency()
     print(
         json.dumps(
             {
@@ -469,6 +496,15 @@ def main():
                     "xrai_sweep_images_per_sec": round(xrai_img_s, 1),
                     "xrai_mfu_pct": round(
                         xrai_img_s * XRAI_FLOPS_PER_IMAGE
+                        / V5E_PEAK_FLOPS * 100, 1),
+                    # RISE: the method study's recommended default. Its
+                    # masked-forward rate (img/s x 1000 masks) reads
+                    # directly against the headline evals/s row.
+                    "rise_sweep_images_per_sec": round(rise_img_s, 1),
+                    "rise_masked_forward_evals_per_sec": round(
+                        rise_img_s * RISE_MASKS, 1),
+                    "rise_mfu_pct": round(
+                        rise_img_s * RISE_FLOPS_PER_IMAGE
                         / V5E_PEAK_FLOPS * 100, 1),
                     "mfu_pct": round(rate * RESNET101_FLOPS / V5E_PEAK_FLOPS * 100, 1),
                     "mask_batch": MASK_BATCH,

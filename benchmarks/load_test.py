@@ -102,11 +102,16 @@ def drive(art, dynamic, conc, n_req, wait_ms):
         assert not errs, errs[:3]
         lat = np.asarray(lats) * 1e3
         stats = (dict(httpd.service._batcher.stats) if dynamic else {})
+        # Device-section durations attribute any latency tail: a client
+        # p95 that tracks slow DEVICE calls is tunnel/device weather
+        # (amplified by coalescing — one slow call stalls its group);
+        # a tail with fast device calls would be host-side queueing.
         return {
             "rps": len(lats) / wall,
             "p50_ms": float(np.percentile(lat, 50)),
             "p95_ms": float(np.percentile(lat, 95)),
             "batcher": stats,
+            "device": httpd.service.device_call_stats(),
         }
     finally:
         httpd.shutdown()
@@ -142,6 +147,8 @@ def main():
               f"/{dyn['batcher'].get('requests')} "
               f"maxgrp={dyn['batcher'].get('max_group')}",
               flush=True)
+        print(f"       device-call ms: serialized {base['device']}  "
+              f"dynamic {dyn['device']}", flush=True)
 
 
 if __name__ == "__main__":

@@ -369,6 +369,7 @@ class _DynamicBatcher:
         bo = self._service.bo_server
         n = len(reqs)
         calls = 0
+        t_dev = time.perf_counter()
         try:
             images = np.stack([r["image"] for r in reqs])
             segs = [r["segments"] for r in reqs]
@@ -404,6 +405,10 @@ class _DynamicBatcher:
                 except Exception as e:
                     r["error"] = e
         finally:
+            # One duration per GROUP (covers predict + explain_many/serial
+            # fallback): a slow entry here that lines up with n slow client
+            # latencies is the coalesced-call tail signature.
+            self._service.record_device_call(time.perf_counter() - t_dev)
             with self._lock:
                 self.stats["device_calls"] += calls
                 self.stats["max_group"] = max(self.stats["max_group"], n)
@@ -427,6 +432,14 @@ class SaliencyService:
 
         self._lock = device_lock or threading.Lock()
         self._batcher = None
+        # Device-call durations (seconds, bounded): every BO /explain
+        # device section — serialized or coalesced — records here, so a
+        # latency tail can be ATTRIBUTED: if the slowest client latencies
+        # line up with slow device calls, the tail is the device/tunnel
+        # (one slow coalesced call stalls its whole group); if not, it is
+        # host-side queueing. Read via /metrics ("device_call_ms").
+        self._call_lock = threading.Lock()
+        self.device_call_s: list = []
         # A directory may hold BOTH artifact kinds (export_engine and
         # export_bo_engine share the weights blob when pointed at one dir);
         # load whatever is present — /explain prefers the fused-BO loop,
@@ -446,6 +459,27 @@ class SaliencyService:
             k for k, s in (("bo", self.bo_server), ("engine", self.engine_server))
             if s is not None
         )
+
+    def record_device_call(self, seconds: float) -> None:
+        """Append one device-section duration (bounded; drops after 65536
+        entries rather than growing without limit in a long-lived server)."""
+        with self._call_lock:
+            if len(self.device_call_s) < 65536:
+                self.device_call_s.append(float(seconds))
+
+    def device_call_stats(self) -> dict:
+        """Summary of recorded device-section durations (ms)."""
+        with self._call_lock:
+            arr = np.asarray(self.device_call_s, np.float64) * 1e3
+        if arr.size == 0:
+            return {"count": 0}
+        return {
+            "count": int(arr.size),
+            "p50_ms": round(float(np.percentile(arr, 50)), 1),
+            "p95_ms": round(float(np.percentile(arr, 95)), 1),
+            "max_ms": round(float(arr.max()), 1),
+            "over_1s": int(np.sum(arr > 1000.0)),
+        }
 
     def enable_dynamic_batching(self, wait_ms: float = 5.0,
                                 max_pending: int = 256) -> None:
@@ -508,6 +542,7 @@ class SaliencyService:
                 )
             else:
                 with self._lock:
+                    t_dev = time.perf_counter()
                     if target is None:
                         target = int(
                             self.bo_server.predict_logits(image).argmax()
@@ -516,6 +551,7 @@ class SaliencyService:
                         image, segments, window_fraction=wf, seed=seed,
                         target=target,
                     )
+                    self.record_device_call(time.perf_counter() - t_dev)
             return self._bo_item_json(
                 out, bo_res, int(target), bool(body.get("json_arrays"))
             )
@@ -952,6 +988,9 @@ def make_http_server(artifact_dir, host: str = "127.0.0.1",
                 # /metrics observes only real work (POST endpoints), not
                 # itself or health probes.
                 snap = metrics.snapshot()
+                dev = service.device_call_stats()
+                if dev.get("count"):
+                    snap["device_call_ms"] = dev
                 if service._batcher is not None:
                     snap["dynamic_batch"] = dict(service._batcher.stats)
                 named = {n: dict(s._batcher.stats)

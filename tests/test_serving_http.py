@@ -654,6 +654,13 @@ def test_http_dynamic_batching_coalesces_and_matches(tmp_path, rng):
     assert db["max_group"] >= 2  # coalescing actually happened
     assert db["device_calls"] < n  # fewer device calls than requests
 
+    # Device-section durations are recorded per coalesced GROUP so a
+    # client-latency tail can be attributed to slow device calls.
+    dev = snap["device_call_ms"]
+    assert dev["count"] >= 1
+    assert 0 <= dev["p50_ms"] <= dev["p95_ms"] <= dev["max_ms"]
+    assert "over_1s" in dev
+
 
 def test_http_dynamic_batching_mixed_groups(tmp_path, rng):
     """Concurrent requests with different window fractions can't share a
