@@ -29,6 +29,7 @@ bootstrap separates adjacent methods (P(margin_A > margin_B) ≥ the
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -187,6 +188,17 @@ def main(argv=None):
                         "(reference gp_classification.py:141)")
     g.add_argument("--gp-train-subsample", type=int, default=4096,
                    help="gp_cls: max training pixels")
+    p.add_argument("--jpeg-dir", default=None, metavar="DIR",
+                   help="score real JPEG/PNG files (recursive) instead of "
+                        "--synthetic/--data: each image is resized + "
+                        "center-cropped to the dataset's input size "
+                        "(torchvision eval arithmetic) and normalized "
+                        "with the dataset's statistics; targets are the "
+                        "model's own argmax (no labels, no skip rule). "
+                        "Meant as a SECONDARY table on real photographs "
+                        "— e.g. the committed tests/fixtures/imagenet_loc "
+                        "JPEGs through the trained CIFAR ResNet-56 — not "
+                        "as the primary in-domain ranking")
     g = p.add_argument_group("statistics")
     g.add_argument("--bootstrap", type=int, default=2000,
                    help="paired bootstrap resamples over images for the "
@@ -208,6 +220,41 @@ def main(argv=None):
     engine = common.build_engine(args)
     seg_cfg = common.segment_config(args)
 
+    jpegs: list = []
+    if args.jpeg_dir:
+        import glob as _glob
+
+        from network_interpretation_imagenet_tpu.config import DATASETS
+
+        exts = ("*.JPEG", "*.jpeg", "*.jpg", "*.png")
+        jpegs = sorted(
+            f for e in exts
+            for f in _glob.glob(os.path.join(args.jpeg_dir, "**", e),
+                                recursive=True))
+        if not jpegs:
+            p.error(f"--jpeg-dir {args.jpeg_dir!r}: no JPEG/PNG files found")
+        spec = DATASETS[args.dataset]
+
+        def _load_jpeg(path):
+            from PIL import Image
+
+            from network_interpretation_imagenet_tpu.data.transform import (
+                pil_eval_transform,
+            )
+            from network_interpretation_imagenet_tpu.ops import preprocess
+
+            import jax.numpy as jnp
+
+            pil = Image.open(path).convert("RGB")
+            img = pil_eval_transform(pil, crop=spec.image_size,
+                                     mean=spec.mean, std=spec.std)
+            if spec.channels == 1:
+                img = img.mean(axis=2, keepdims=True).astype(np.float32)
+            disp = np.asarray(preprocess.to_display_uint8(jnp.asarray(img)))
+            if spec.channels == 1:
+                disp = disp[:, :, 0]
+            return img, disp
+
     rows = {m: [] for m in methods}
     times = {m: 0.0 for m in methods}
     used = 0
@@ -215,9 +262,15 @@ def main(argv=None):
     # semantics, common.resolve_image does ds[idx-1]); iterate base + i like
     # the sibling CLIs so image 0 isn't double-counted by the idx-1 clamp.
     base_index = args.eval_img_index
-    for i in range(args.num_images):
+    n_images = (min(args.num_images, len(jpegs)) if jpegs
+                else args.num_images)
+    for i in range(n_images):
         args.eval_img_index = base_index + i
-        image, disp, label, gt_bbox = common.resolve_image(args)
+        if jpegs:
+            image, disp = _load_jpeg(jpegs[i])
+            label, gt_bbox = None, None
+        else:
+            image, disp, label, gt_bbox = common.resolve_image(args)
         target, _ = engine.predict_one(image)
         if label is not None and int(target) != int(label):
             continue  # reference semantics: explain correct predictions
@@ -320,6 +373,9 @@ def main(argv=None):
 
     common.emit_result(args.out, "method_comparison.json", {
         "images_used": used,
+        "source": ("jpeg-dir" if jpegs else
+                   "synthetic" if (args.synthetic or not args.data)
+                   else "dataset"),
         "fidelity_steps": args.fidelity_steps,
         "ranking": order,
         "tiers": tiers,

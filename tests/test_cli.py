@@ -410,6 +410,31 @@ def test_cli_compare_saliency_gp_methods(tmp_path):
     assert len(payload["adjacent_separation"]) == 2
 
 
+def test_cli_compare_saliency_jpeg_dir(tmp_path):
+    """--jpeg-dir scores real committed JPEGs (resized/cropped/normalized
+    to the dataset's input geometry, incl. the 1-channel collapse) as a
+    secondary table; the JSON stamps source='jpeg-dir'."""
+    import json
+
+    from network_interpretation_imagenet_tpu.cli import (
+        compare_saliency_methods,
+    )
+
+    rc = compare_saliency_methods.main([
+        "--jpeg-dir", "tests/fixtures/imagenet_loc",
+        "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num-images", "8",  # capped by the 3 fixture JPEGs
+        "--methods", "gradient,rise", "--num_mask_samples", "8",
+        "--bootstrap", "100", "--fidelity-steps", "8",
+        "--out", str(tmp_path), "--platform", "cpu", "--mask-batch", "16",
+    ])
+    assert rc == 0
+    payload = json.loads((tmp_path / "method_comparison.json").read_text())
+    assert payload["source"] == "jpeg-dir"
+    assert payload["images_used"] == 3  # every fixture JPEG, no skip rule
+    assert set(payload["ranking"]) == {"gradient", "rise"}
+
+
 def test_cli_saliency_sweep_attribute(tmp_path):
     """--attribute drives the sweep with batched gradient-family
     attribution (no segmentation pass; per-image rows carry the method)."""
