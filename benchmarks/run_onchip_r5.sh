@@ -20,19 +20,21 @@ OUT="${1:-/tmp/onchip_r5}"
 CKPT="${2:-/tmp/cifar56_converted/weights.msgpack}"
 mkdir -p "$OUT"
 export PYTHONPATH="${PYTHONPATH:-}:$PWD"
+export PYTHONUNBUFFERED=1  # stream stage logs through tee
 
+# Every stage runs under the tunnel-flap watchdog (benchmarks/
+# tpu_watchdog.py): probe until the tunnel answers, launch, and kill +
+# retry if the stage flatlines on CPU (the wedged-client signature —
+# the tunnel can hang a fresh client forever). --stall is generous
+# because long REMOTE compiles also burn no host CPU; the persistent
+# compile cache makes a false kill cheap (completed compiles are kept).
 run() {
   name="$1"; shift
   echo "=== [$name] $* ==="
-  ( time timeout 3600 "$@" ) 2>&1 | tee "$OUT/$name.log"
+  ( time python benchmarks/tpu_watchdog.py --retries 5 --stall 420 \
+      --timeout 3600 -- "$@" ) 2>&1 | tee "$OUT/$name.log"
   echo "=== [$name] exit=${PIPESTATUS[0]} ==="
 }
-
-# 0. Is the chip actually there? Bail fast if not.
-if ! timeout 300 python -c "import jax; assert jax.devices()[0].platform == 'tpu', jax.devices(); print('tpu ok:', jax.devices())"; then
-  echo "TPU tunnel not answering -- aborting r5 run." >&2
-  exit 1
-fi
 
 # 1. Fresh smoke log (ADVICE r4: the committed log predates the newest
 #    tpu_smoke test; recapture with the current selection).

@@ -77,6 +77,9 @@ _TPU_SMOKE = (
     # r4: the mask-batched sweep lane (occlusion/rise/scorecam as ONE
     # lax.map program per flush) — real-chip coverage of the scan body.
     "test_gradient_sweep.py::test_mask_batched_sweep_matches_one_shot",
+    # r5: the sign-preserving f16 attribution wire for xrai — real-chip
+    # coverage of the halved fetch + f32 reconstruct.
+    "test_gradient_sweep.py::test_attribution_sweep_xrai_f16_wire",
 )
 
 # Individually-slow tests inside otherwise-fast modules (compile-heavy
