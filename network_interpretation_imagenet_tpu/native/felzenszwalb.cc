@@ -18,6 +18,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -390,6 +391,144 @@ void felzenszwalb_ladder(const float* img, int32_t h, int32_t w, int32_t c,
     counts[s] = segment_from_edges(edges, n, scales[s], min_sizes[s],
                                    labels + static_cast<int64_t>(s) * n);
   }
+}
+
+// XRAI greedy region ranking (saliency/xrai.py greedy_region_ranking's
+// native twin — BIT-EXACT by replicating its float64 arithmetic and
+// accumulation ORDER): repeatedly claim the segment with the highest
+// uncovered-attribution density. The numpy path rescans the full image
+// per claim (ids[m] == best, then whole-range bincount subtractions);
+// here a one-time CSR of per-segment pixel lists makes each claim touch
+// only its own pixels, and a stamp array confines the num/den updates
+// to the segments actually touched (subtracting an all-zero bincount
+// row is a no-op, so skipping it is exact). Per-segment deltas
+// accumulate over claimed pixels in ascending order — the same order
+// np.bincount sums — then subtract once, matching the numpy FP result
+// bit-for-bit. attr: f64[hw]; maps: int32[n_maps, hw] (any label
+// offset; min is subtracted per map like the numpy path); out_heat:
+// f32[hw] rank-valued in (0, 1]. Returns the number of claimed regions.
+int32_t xrai_greedy_rank(const double* attr, const int32_t* maps_in,
+                         int32_t n_maps, int32_t hw_i, int32_t min_area,
+                         float* out_heat) {
+  const int64_t hw = hw_i;
+  if (n_maps <= 0 || hw <= 0) return -1;
+
+  std::vector<int32_t> counts(n_maps), offsets(n_maps);
+  std::vector<int32_t> ids(static_cast<int64_t>(n_maps) * hw);
+  int64_t s_total = 0;
+  for (int32_t m = 0; m < n_maps; ++m) {
+    const int32_t* sm = maps_in + static_cast<int64_t>(m) * hw;
+    int32_t mn = sm[0], mx = sm[0];
+    for (int64_t p = 1; p < hw; ++p) {
+      mn = std::min(mn, sm[p]);
+      mx = std::max(mx, sm[p]);
+    }
+    offsets[m] = static_cast<int32_t>(s_total);
+    counts[m] = mx - mn + 1;
+    int32_t* dst = ids.data() + static_cast<int64_t>(m) * hw;
+    for (int64_t p = 0; p < hw; ++p) dst[p] = sm[p] - mn;
+    s_total += counts[m];
+  }
+
+  // Initial tallies, ascending pixel order per map (np.bincount's order).
+  std::vector<double> num(s_total, 0.0), den(s_total, 0.0);
+  for (int32_t m = 0; m < n_maps; ++m) {
+    const int32_t* idm = ids.data() + static_cast<int64_t>(m) * hw;
+    const int64_t off = offsets[m];
+    for (int64_t p = 0; p < hw; ++p) {
+      num[off + idm[p]] += attr[p];
+      den[off + idm[p]] += 1.0;
+    }
+  }
+
+  // CSR: each global segment's pixel list, ascending (counting sort).
+  std::vector<int64_t> seg_start(s_total + 1, 0);
+  for (int32_t m = 0; m < n_maps; ++m) {
+    const int32_t* idm = ids.data() + static_cast<int64_t>(m) * hw;
+    const int64_t off = offsets[m];
+    for (int64_t p = 0; p < hw; ++p) ++seg_start[off + idm[p] + 1];
+  }
+  for (int64_t s = 0; s < s_total; ++s) seg_start[s + 1] += seg_start[s];
+  std::vector<int32_t> pix(static_cast<int64_t>(n_maps) * hw);
+  {
+    std::vector<int64_t> cursor(seg_start.begin(), seg_start.end() - 1);
+    for (int32_t m = 0; m < n_maps; ++m) {
+      const int32_t* idm = ids.data() + static_cast<int64_t>(m) * hw;
+      const int64_t off = offsets[m];
+      for (int64_t p = 0; p < hw; ++p)
+        pix[cursor[off + idm[p]]++] = static_cast<int32_t>(p);
+    }
+  }
+
+  std::vector<uint8_t> covered(hw, 0), alive(s_total);
+  for (int64_t s = 0; s < s_total; ++s) alive[s] = den[s] >= min_area;
+  std::vector<double> heat(hw, 0.0);
+  std::vector<double> dnum(s_total, 0.0), dden(s_total, 0.0);
+  std::vector<int32_t> stamp(s_total, 0);
+  std::vector<int32_t> claimed;
+  std::vector<int64_t> touched;
+  claimed.reserve(hw);
+  const double neg_inf = -std::numeric_limits<double>::infinity();
+
+  int32_t rank = 0;
+  int32_t claim_id = 0;  // stamps even rankless (fully-covered) claims
+  while (true) {
+    // First-maximum argmax over alive segments (np.argmax tie rule).
+    double best_gain = neg_inf;
+    int64_t best = -1;
+    for (int64_t s = 0; s < s_total; ++s) {
+      if (!alive[s]) continue;
+      const double g = num[s] / std::max(den[s], 1.0);
+      if (best < 0 || g > best_gain) {
+        best_gain = g;
+        best = s;
+      }
+    }
+    if (best < 0) break;  // no segment alive
+    alive[best] = 0;
+
+    claimed.clear();
+    for (int64_t k = seg_start[best]; k < seg_start[best + 1]; ++k) {
+      const int32_t p = pix[k];
+      if (!covered[p]) claimed.push_back(p);
+    }
+    if (claimed.empty()) continue;
+    ++rank;
+    for (const int32_t p : claimed) {
+      covered[p] = 1;
+      heat[p] = rank;
+    }
+
+    ++claim_id;
+    touched.clear();
+    for (int32_t mm = 0; mm < n_maps; ++mm) {
+      const int32_t* idm = ids.data() + static_cast<int64_t>(mm) * hw;
+      const int64_t off = offsets[mm];
+      for (const int32_t p : claimed) {
+        const int64_t g = off + idm[p];
+        if (stamp[g] != claim_id) {
+          stamp[g] = claim_id;
+          dnum[g] = 0.0;
+          dden[g] = 0.0;
+          touched.push_back(g);
+        }
+        dnum[g] += attr[p];
+        dden[g] += 1.0;
+      }
+    }
+    for (const int64_t g : touched) {
+      num[g] -= dnum[g];
+      den[g] -= dden[g];
+      if (!(den[g] >= min_area)) alive[g] = 0;
+    }
+  }
+
+  const double denom = std::max(rank, 1);
+  for (int64_t p = 0; p < hw; ++p)
+    out_heat[p] = heat[p] > 0.0
+        ? static_cast<float>((rank - heat[p] + 1.0) / denom)
+        : 0.0f;
+  return rank;
 }
 
 }  // extern "C"

@@ -137,6 +137,7 @@ def greedy_region_ranking(
     attr: np.ndarray,
     segment_maps: Sequence[np.ndarray],
     min_area: int = 4,
+    backend: str = "auto",
 ) -> tuple[np.ndarray, int]:
     """Greedy XRAI core: rank regions by attribution density.
 
@@ -145,9 +146,17 @@ def greedy_region_ranking(
     overlapping across maps). Repeatedly selects the segment with the
     highest gain density ``sum(attr over its uncovered pixels) /
     uncovered-area``, claims those pixels, and updates every scale's
-    per-segment numerator/denominator with one ``bincount`` over just
-    the newly claimed pixels — each pixel is claimed once, so the whole
-    loop costs O(scales·H·W) plus an O(S) argmax per step.
+    per-segment numerator/denominator over just the newly claimed
+    pixels — each pixel is claimed once, so the whole loop costs
+    O(scales·H·W) plus an O(S) argmax per step.
+
+    ``backend``: ``"auto"`` uses the C++ kernel when the toolchain is
+    available (``native/felzenszwalb.cc xrai_greedy_rank`` — a one-time
+    CSR of per-segment pixel lists replaces the numpy path's per-claim
+    full-image rescans; BIT-EXACT: it replicates the numpy float64
+    accumulation order, argmax tie rule, and min_area filtering, pinned
+    by ``test_xrai.py``), falling back to ``"numpy"``; ``"native"``
+    requires the kernel.
 
     Returns ``(heat, num_regions)``: ``heat`` is f32[H, W] holding each
     pixel's selection rank mapped to (0, 1], strictly decreasing in
@@ -159,6 +168,9 @@ def greedy_region_ranking(
     reference implementation's area floor), and pixels never claimed
     (only possible via that floor) stay at 0.
     """
+    if backend not in ("auto", "native", "numpy"):
+        raise ValueError(f"backend must be auto|native|numpy, "
+                         f"got {backend!r}")
     attr = np.asarray(attr, np.float64)
     h, w = attr.shape
     flat_attr = attr.reshape(-1)
@@ -174,6 +186,33 @@ def greedy_region_ranking(
         counts.append(int(sm.max()) + 1)
     if not ids:
         raise ValueError("need at least one segment map")
+
+    if backend != "numpy":
+        from network_interpretation_imagenet_tpu.segment.felzenszwalb import (
+            _load_native,
+        )
+
+        lib = _load_native()
+        if lib is not None:
+            import ctypes
+
+            flat = np.ascontiguousarray(flat_attr)
+            stacked = np.ascontiguousarray(
+                np.stack(ids).astype(np.int32))
+            out = np.empty(h * w, np.float32)
+            n = lib.xrai_greedy_rank(
+                flat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                stacked.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_int32(len(ids)), ctypes.c_int32(h * w),
+                ctypes.c_int32(int(min_area)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            if n < 0:
+                raise RuntimeError("xrai_greedy_rank failed")
+            return out.reshape(h, w), int(n)
+        if backend == "native":
+            raise RuntimeError(
+                "backend='native' but the C++ kernel is unavailable "
+                "(g++/make missing?)")
 
     offsets = np.cumsum([0] + counts[:-1])
     s_total = int(np.sum(counts))

@@ -91,6 +91,15 @@ def _load_native_locked() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.xrai_greedy_rank.restype = ctypes.c_int32
+        lib.xrai_greedy_rank.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
     except Exception:
         _lib = None

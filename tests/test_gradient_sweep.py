@@ -702,6 +702,66 @@ def test_xrai_greedy_analytic():
     assert n0 == 0 and np.all(heat0 == 0)
 
 
+def test_xrai_greedy_native_matches_numpy(rng):
+    """The C++ greedy ranking (native/felzenszwalb.cc xrai_greedy_rank)
+    is BIT-EXACT with the numpy reference: same float64 accumulation
+    order, same first-maximum argmax tie rule, same min_area filtering —
+    on a realistic FH ladder, on tie-heavy quantized attributions, and
+    on label maps with a nonzero offset."""
+    import pytest
+
+    from network_interpretation_imagenet_tpu.saliency import xrai
+    from network_interpretation_imagenet_tpu.segment import (
+        felzenszwalb_ladder,
+    )
+    from network_interpretation_imagenet_tpu.segment.felzenszwalb import (
+        _load_native,
+    )
+
+    if _load_native() is None:
+        pytest.skip("native toolchain unavailable")
+
+    img = np.zeros((48, 48, 3), np.uint8)
+    r = np.random.RandomState(7)
+    for _ in range(12):
+        y, x = r.randint(0, 48, 2)
+        h, w = r.randint(6, 20, 2)
+        img[y:y + h, x:x + w] = r.randint(0, 256, 3)
+    ladder = felzenszwalb_ladder(img, (20.0, 60.0, 150.0), sigma=0.5)
+
+    cases = [
+        rng.randn(48, 48).astype(np.float32),            # generic signed
+        np.round(rng.randn(48, 48) * 2).astype(np.float32),  # heavy ties
+        np.zeros((48, 48), np.float32),                  # all-tied zeros
+    ]
+    for attr in cases:
+        h_np, n_np = xrai.greedy_region_ranking(attr, ladder,
+                                                backend="numpy")
+        h_cc, n_cc = xrai.greedy_region_ranking(attr, ladder,
+                                                backend="native")
+        assert n_cc == n_np
+        np.testing.assert_array_equal(h_cc, h_np)
+
+    # Label maps with arbitrary offsets (the per-map min subtraction).
+    shifted = [m + 5 for m in ladder]
+    attr = cases[0]
+    h_np, n_np = xrai.greedy_region_ranking(attr, shifted, backend="numpy")
+    h_cc, n_cc = xrai.greedy_region_ranking(attr, shifted, backend="native")
+    assert n_cc == n_np
+    np.testing.assert_array_equal(h_cc, h_np)
+
+    # min_area floor: unclaimable segments leave pixels at 0 identically.
+    h_np, n_np = xrai.greedy_region_ranking(attr, [ladder[0]], min_area=64,
+                                            backend="numpy")
+    h_cc, n_cc = xrai.greedy_region_ranking(attr, [ladder[0]], min_area=64,
+                                            backend="native")
+    assert n_cc == n_np
+    np.testing.assert_array_equal(h_cc, h_np)
+
+    with pytest.raises(ValueError, match="backend"):
+        xrai.greedy_region_ranking(attr, ladder, backend="cuda")
+
+
 def test_xrai_attribution_linear_exact():
     """For a LINEAR logit the integrated gradient is exact: grads are the
     constant weights, so attr = mean_b w·(x−b) = w·(x − (lo+hi)/2) with
