@@ -131,7 +131,11 @@ def main():
     p.add_argument("--retries", type=int, default=4)
     p.add_argument("--stall", type=float, default=180.0,
                    help="kill after this many seconds without CPU progress")
-    p.add_argument("--min-cpu-delta", type=float, default=0.5)
+    p.add_argument("--min-cpu-delta", type=float, default=2.0,
+                   help="CPU seconds that must accrue within each --stall "
+                        "window; >= 2.0 because a wedged jax client's "
+                        "heartbeat threads trickle ~0.1-0.5s/window and "
+                        "must not count as progress")
     p.add_argument("--timeout", type=float, default=3600.0,
                    help="hard per-attempt wall limit")
     p.add_argument("cmd", nargs=argparse.REMAINDER,
