@@ -28,6 +28,10 @@ def _parse_args():
     p.add_argument("--requests", type=int, default=32,
                    help="requests per client thread")
     p.add_argument("--wait-ms", type=float, default=8.0)
+    p.add_argument("--max-group", type=int, default=None,
+                   help="also measure dynamic batching with the group-size "
+                        "cap (serving_http batch_max_group): bounds how "
+                        "many requests one slow device call can stall")
     return p.parse_args()
 
 
@@ -61,9 +65,10 @@ from network_interpretation_imagenet_tpu.utils.compile_cache import (  # noqa: E
 )
 
 
-def drive(art, dynamic, conc, n_req, wait_ms):
+def drive(art, dynamic, conc, n_req, wait_ms, max_group=None):
     httpd = make_http_server(art, "127.0.0.1", 0, dynamic_batch=dynamic,
-                             batch_wait_ms=wait_ms)
+                             batch_wait_ms=wait_ms,
+                             batch_max_group=max_group)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     host, port = httpd.server_address[:2]
     try:
@@ -149,6 +154,16 @@ def main():
               flush=True)
         print(f"       device-call ms: serialized {base['device']}  "
               f"dynamic {dyn['device']}", flush=True)
+        if args.max_group:
+            cap = drive(art, True, conc, args.requests, args.wait_ms,
+                        max_group=args.max_group)
+            print(f"       dyn-cap{args.max_group:3d} "
+                  f"{cap['rps']:7.1f} rps "
+                  f"(p50 {cap['p50_ms']:6.1f}, p95 {cap['p95_ms']:6.1f})  "
+                  f"calls={cap['batcher'].get('device_calls')}"
+                  f"/{cap['batcher'].get('requests')} "
+                  f"maxgrp={cap['batcher'].get('max_group')}  "
+                  f"device {cap['device']}", flush=True)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,11 @@ def main(argv=None):
                    help="dynamic-batch queue bound: beyond this many "
                         "pending explains the service sheds load with a "
                         "retryable 503")
+    p.add_argument("--batch-max-group", type=int, default=None,
+                   help="cap the coalesced group size below the artifact's "
+                        "largest exported image batch — bounds how many "
+                        "requests one slow device call can stall (latency-"
+                        "tail blast radius)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -76,7 +81,8 @@ def main(argv=None):
     httpd = make_http_server(artifacts, args.host, args.port,
                              dynamic_batch=args.dynamic_batch,
                              batch_wait_ms=args.batch_wait_ms,
-                             max_pending=args.max_pending)
+                             max_pending=args.max_pending,
+                             batch_max_group=args.batch_max_group)
     if args.warmup:
         import time
 

@@ -290,11 +290,20 @@ class _DynamicBatcher:
     """
 
     def __init__(self, service: "SaliencyService", wait_s: float = 0.005,
-                 max_pending: int = 256):
+                 max_pending: int = 256, max_group: "int | None" = None):
         self._service = service
         self._wait_s = float(wait_s)
         batched = getattr(service.bo_server, "_batched_fns", None) or {}
         self._max_batch = max(batched) if batched else 1
+        if max_group is not None:
+            # Blast-radius bound: one slow coalesced device call (tunnel
+            # weather, a cold cache miss) stalls its WHOLE group — at the
+            # artifact maximum that is a 15-16x tail amplification
+            # (docs/profiles/onchip_r4/load_test.log: dynamic p95 3.2 s at
+            # C=16 while p50 improved 4.5x). Capping the group trades a few
+            # extra device calls for proportionally fewer requests exposed
+            # to any one slow call.
+            self._max_batch = max(1, min(self._max_batch, int(max_group)))
         self._max_pending = int(max_pending)
         self._lock = threading.Lock()
         self._queue: list = []
@@ -482,16 +491,21 @@ class SaliencyService:
         }
 
     def enable_dynamic_batching(self, wait_ms: float = 5.0,
-                                max_pending: int = 256) -> None:
+                                max_pending: int = 256,
+                                max_group: "int | None" = None) -> None:
         """Route ``mode='bo'`` ``/explain`` requests through a micro-batcher
         that coalesces concurrent arrivals into one image-batched device
         call (see :class:`_DynamicBatcher`). Requires a fused-BO artifact;
         pays off when it was exported with ``image_batches``. Beyond
         ``max_pending`` queued requests the batcher sheds load
-        (:class:`ServiceOverloadedError` → HTTP 503)."""
+        (:class:`ServiceOverloadedError` → HTTP 503). ``max_group`` caps
+        the coalesced group size below the artifact's largest exported
+        image batch — the latency-tail blast-radius bound (one slow device
+        call stalls at most ``max_group`` requests)."""
         if self.bo_server is None:
             raise ValueError("dynamic batching needs a fused-BO artifact")
-        self._batcher = _DynamicBatcher(self, wait_ms / 1000.0, max_pending)
+        self._batcher = _DynamicBatcher(self, wait_ms / 1000.0, max_pending,
+                                        max_group)
 
     def warmup(self) -> int:
         """Compile-execute every loaded program once (both artifact kinds)
@@ -903,7 +917,9 @@ _POST_ENDPOINTS = ("/explain", "/explain_batch", "/eval_windows",
 def make_http_server(artifact_dir, host: str = "127.0.0.1",
                      port: int = 0, dynamic_batch: bool = False,
                      batch_wait_ms: float = 5.0,
-                     max_pending: int = 256) -> ThreadingHTTPServer:
+                     max_pending: int = 256,
+                     batch_max_group: "int | None" = None,
+                     ) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; ``.server_address`` holds
     the bound (host, port) — port 0 picks a free one.
 
@@ -917,8 +933,9 @@ def make_http_server(artifact_dir, host: str = "127.0.0.1",
     ``dynamic_batch`` coalesces concurrent BO ``/explain`` requests into
     one image-batched device call (continuous batching — see
     :class:`_DynamicBatcher`), shedding load with a 503 past
-    ``max_pending`` queued requests; in registry mode it applies to every
-    fused-BO-capable model."""
+    ``max_pending`` queued requests; ``batch_max_group`` bounds the
+    coalesced group size (latency-tail blast radius); in registry mode it
+    applies to every fused-BO-capable model."""
     dirs = ({"default": artifact_dir} if isinstance(artifact_dir, str)
             else dict(artifact_dir))
     if not dirs:
@@ -933,7 +950,8 @@ def make_http_server(artifact_dir, host: str = "127.0.0.1",
         if not bo_capable:
             raise ValueError("dynamic batching needs a fused-BO artifact")
         for s in bo_capable:
-            s.enable_dynamic_batching(batch_wait_ms, max_pending)
+            s.enable_dynamic_batching(batch_wait_ms, max_pending,
+                                      batch_max_group)
     metrics = ServiceMetrics()
 
     def _resolve(path):

@@ -662,6 +662,91 @@ def test_http_dynamic_batching_coalesces_and_matches(tmp_path, rng):
     assert "over_1s" in dev
 
 
+def test_http_dynamic_batch_group_cap_bounds_blast_radius(tmp_path, rng):
+    """``batch_max_group`` clamps the coalesced group below the artifact's
+    largest exported image batch: with a cap of 2, four concurrent
+    requests split into >= 2 device calls of <= 2 requests each (one slow
+    call can stall at most 2 requests), and every response still matches
+    the serialized reference bit-for-bit (explicit targets)."""
+    from network_interpretation_imagenet_tpu.config import BOConfig
+
+    engine = _engine()
+    cfg = BOConfig(n_iters=3, n_pre_samples=2)
+    path = str(tmp_path / "artifact")
+    serving.export_bo_engine(engine, path, bo_cfg=cfg,
+                             candidate_buckets=(7,), image_batches=(2, 4))
+
+    n = 4
+    images = [rng.rand(28, 28, 1).astype(np.float32) for _ in range(n)]
+    segments = [((np.arange(784).reshape(28, 28) + i) % 10).astype(np.int32)
+                for i in range(n)]
+
+    def body(i):
+        return {"image_b64": _b64(images[i]), "image_shape": [28, 28, 1],
+                "segments_b64": _b64(segments[i]),
+                "segments_shape": [28, 28], "seed": 9 + i, "target": i % 3}
+
+    httpd = make_http_server(path, "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    ref = []
+    try:
+        conn = HTTPConnection(*httpd.server_address[:2])
+        for i in range(n):
+            status, resp = _post(conn, "/explain", body(i))
+            assert status == 200, resp
+            ref.append(resp)
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+    httpd = make_http_server(path, "127.0.0.1", 0, dynamic_batch=True,
+                             batch_wait_ms=600.0, batch_max_group=2)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    got = [None] * n
+    errs = []
+    try:
+        host, port = httpd.server_address[:2]
+
+        def fire(i):
+            try:
+                conn = HTTPConnection(host, port)
+                status, resp = _post(conn, "/explain", body(i))
+                assert status == 200, resp
+                got[i] = resp
+                conn.close()
+            except Exception as e:
+                errs.append((i, e))
+
+        threads = [threading.Thread(target=fire, args=(i,)) for i in range(n)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert not errs, errs
+
+        conn = HTTPConnection(host, port)
+        conn.request("GET", "/metrics")
+        snap = json.loads(conn.getresponse().read())
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+    for i in range(n):
+        assert got[i]["target"] == ref[i]["target"]
+        assert got[i]["xp"] == ref[i]["xp"]
+        np.testing.assert_allclose(got[i]["yp"], ref[i]["yp"], atol=1e-6)
+        assert got[i]["heatmap_b64"] == ref[i]["heatmap_b64"]
+
+    db = snap["dynamic_batch"]
+    assert db["requests"] == n
+    assert db["max_group"] <= 2       # the cap held
+    assert db["device_calls"] >= 2    # ... so the burst split into calls
+
+
 def test_http_dynamic_batching_mixed_groups(tmp_path, rng):
     """Concurrent requests with different window fractions can't share a
     fused-loop call: the batcher runs them as separate groups in one drain
