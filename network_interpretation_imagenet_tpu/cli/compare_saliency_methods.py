@@ -47,13 +47,76 @@ METHODS = ("window", "knockout", "bo", "gp", "gp_cls", "occlusion",
            "gradcam", "scorecam", "xrai", "meaningful")
 
 
-def _window_heat(engine, image, segments, target: int, args) -> np.ndarray:
-    """Summed-label window heatmap — the GP surrogates' training field."""
-    return pipeline.random_window_saliency(
-        engine, image, segments, num_samples=args.num_mask_samples,
-        window_fraction=args.window_fraction, seed=args.seed,
-        target=target,
-    ).heatmap.astype(np.float32)
+def _field_info(engine, image, segments, target: int, args,
+                kind: "str | None" = None,
+                soft: "bool | None" = None):
+    """``(field, degenerate)`` — the summed-mask-label field that is the
+    GP surrogates' training data and the ``window`` method's heatmap.
+
+    ``kind``: ``"window"`` (contiguous 40%-window masks, the reference's
+    ImageNet field) or ``"knockout"`` (remove ``--num_masked_superpixels``
+    segments per mask, the reference's CIFAR/MNIST GP field,
+    ``generate_gp_training_data_cifar.py:307-342``); ``None`` follows
+    ``--gp-field``. Cached per image (``args._field_cache``, reset by the
+    image loop): ``window``, ``gp`` and ``gp_cls`` train on the SAME
+    field, so each kind is computed once, not three times — the first
+    consumer in method order pays the mask evals.
+
+    ``degenerate`` is judged on the LABELS, not the summed field: when
+    every mask gets the same label (all die — the synthetic-image window
+    norm — or all survive), the summed field carries only mask-coverage
+    counts, i.e. zero model signal. An all-survive knockout field still
+    has ptp>0 (coverage noise), which a field-ptp check would miss."""
+    from network_interpretation_imagenet_tpu.ops import aggregate
+
+    kind = kind or getattr(args, "gp_field", "window")
+    if soft is None:
+        soft = getattr(args, "gp_labels", "hard") == "soft"
+    ck = (kind, soft)
+    cache = getattr(args, "_field_cache", None)
+    if cache is not None and ck in cache:
+        return cache[ck]
+    if kind == "knockout":
+        out = pipeline.knockout_saliency(
+            engine, image, segments, num_samples=args.num_mask_samples,
+            num_knockout=args.num_masked_superpixels, seed=args.seed,
+            target=target,
+        )
+        if soft:
+            # Soft labels (beyond-reference extension, RISE-style): weight
+            # each mask by the target-class probability instead of the
+            # binary survive bit — the field keeps carrying signal even
+            # when NO mask flips the argmax (the hard-label degeneracy).
+            import jax.numpy as jnp
+
+            field = np.asarray(aggregate.summed_label_heatmap(
+                jnp.asarray(out.masks),
+                jnp.asarray(out.eval.prob_target))).astype(np.float32)
+        else:
+            field = out.heatmap.astype(np.float32)
+    else:
+        out = pipeline.random_window_saliency(
+            engine, image, segments, num_samples=args.num_mask_samples,
+            window_fraction=args.window_fraction, seed=args.seed,
+            target=target,
+        )
+        if soft:
+            field = aggregate.summed_superpixel_labels_np(
+                out.segments, out.firsts, out.width,
+                out.eval.prob_target).astype(np.float32)
+        else:
+            field = out.heatmap.astype(np.float32)
+    labels = out.eval.prob_target if soft else out.eval.labels
+    info = (field, bool(np.ptp(np.asarray(labels)) == 0))
+    if cache is not None:
+        cache[ck] = info
+    return info
+
+
+def _field_heat(engine, image, segments, target: int, args,
+                kind: "str | None" = None,
+                soft: "bool | None" = None) -> np.ndarray:
+    return _field_info(engine, image, segments, target, args, kind, soft)[0]
 
 
 def _heatmap(method: str, engine, image, disp, segments, target: int, args):
@@ -63,11 +126,9 @@ def _heatmap(method: str, engine, image, disp, segments, target: int, args):
     logits_fn = engine.bundle.logits
     variables = engine.variables
     if method == "window":
-        return pipeline.random_window_saliency(
-            engine, image, segments, num_samples=args.num_mask_samples,
-            window_fraction=args.window_fraction, seed=args.seed,
-            target=target,
-        ).heatmap
+        # The reference method itself: always hard labels, window masks.
+        return _field_heat(engine, image, segments, target, args,
+                           kind="window", soft=False)
     if method == "knockout":
         return pipeline.knockout_saliency(
             engine, image, segments, num_samples=args.num_mask_samples,
@@ -90,7 +151,7 @@ def _heatmap(method: str, engine, image, disp, segments, target: int, args):
         # replaced by the exact Kronecker-eigen solve (gp/kron.py).
         from network_interpretation_imagenet_tpu.gp import kron
 
-        heat = _window_heat(engine, image, segments, target, args)
+        heat = _field_heat(engine, image, segments, target, args)
         params, _ = kron.fit_adam(heat, iters=args.gp_iters, lr=args.gp_lr)
         mean, _ = kron.posterior(params, heat)
         return np.asarray(mean)
@@ -100,7 +161,7 @@ def _heatmap(method: str, engine, image, disp, segments, target: int, args):
         # survive-probability map as the heatmap.
         from network_interpretation_imagenet_tpu.gp import variational as vgp
 
-        heat = _window_heat(engine, image, segments, target, args)
+        heat = _field_heat(engine, image, segments, target, args)
         h, w = heat.shape
         yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         coords = np.stack([yy.ravel(), xx.ravel()], -1).astype(np.float32)
@@ -188,6 +249,24 @@ def main(argv=None):
                         "(reference gp_classification.py:141)")
     g.add_argument("--gp-train-subsample", type=int, default=4096,
                    help="gp_cls: max training pixels")
+    g.add_argument("--gp-labels", default="hard",
+                   choices=["hard", "soft"],
+                   help="mask labels the gp/gp_cls training field sums: "
+                        "'hard' is the reference's binary survive bit; "
+                        "'soft' (beyond-reference, RISE-style) weights "
+                        "each mask by the target-class probability, so "
+                        "the field keeps carrying signal on images where "
+                        "no mask flips the argmax (see the 'deg' column)")
+    g.add_argument("--gp-field", default="window",
+                   choices=["window", "knockout"],
+                   help="mask family the gp/gp_cls surrogates train on: "
+                        "'window' mirrors the reference's ImageNet "
+                        "pipelines (contiguous 40%% windows), 'knockout' "
+                        "its CIFAR/MNIST GP pipelines (remove "
+                        "--num_masked_superpixels segments per mask, "
+                        "generate_gp_training_data_cifar.py:307-342) — "
+                        "knockout labels stay informative on images where "
+                        "no window mask survives")
     p.add_argument("--jpeg-dir", default=None, metavar="DIR",
                    help="score real JPEG/PNG files (recursive) instead of "
                         "--synthetic/--data: each image is resized + "
@@ -199,6 +278,14 @@ def main(argv=None):
                         "— e.g. the committed tests/fixtures/imagenet_loc "
                         "JPEGs through the trained CIFAR ResNet-56 — not "
                         "as the primary in-domain ranking")
+    p.add_argument("--skip-degenerate", action="store_true",
+                   help="skip images where the --gp-field label field is "
+                        "constant (e.g. no sampled mask preserved the "
+                        "prediction): on such images the field-trained "
+                        "methods emit a CONSTANT heatmap and score the "
+                        "pixel-index-order baseline, not the method. "
+                        "Scanning continues past --num-images (up to 4x) "
+                        "until --num-images informative images are found")
     g = p.add_argument_group("statistics")
     g.add_argument("--bootstrap", type=int, default=2000,
                    help="paired bootstrap resamples over images for the "
@@ -264,7 +351,14 @@ def main(argv=None):
     base_index = args.eval_img_index
     n_images = (min(args.num_images, len(jpegs)) if jpegs
                 else args.num_images)
-    for i in range(n_images):
+    # With --skip-degenerate, keep scanning (bounded at 4x the request)
+    # until n_images INFORMATIVE images are scored.
+    scan_limit = (min(4 * n_images, len(jpegs)) if jpegs else 4 * n_images
+                  ) if args.skip_degenerate else n_images
+    skipped_degenerate = 0
+    for i in range(scan_limit):
+        if used >= n_images:
+            break
         args.eval_img_index = base_index + i
         if jpegs:
             image, disp = _load_jpeg(jpegs[i])
@@ -275,6 +369,18 @@ def main(argv=None):
         if label is not None and int(target) != int(label):
             continue  # reference semantics: explain correct predictions
         segments = common.segment_display(disp, seg_cfg)
+        args._field_cache = {}  # per-image cache for window/gp/gp_cls
+        if args.skip_degenerate:
+            # Applicability filter (analogous to the reference's
+            # skip-misclassified rule): the mask-label family measures
+            # nothing on images where NO sampled window preserves the
+            # prediction (summed labels identically zero -> constant
+            # heatmap -> pixel-index-order fidelity baseline). Condition
+            # the study on images with mask signal so mask-family ranks
+            # (and the GP-smoothing question) are measured, not defaulted.
+            if _field_info(engine, image, segments, int(target), args)[1]:
+                skipped_degenerate += 1
+                continue
         used += 1
         for m in methods:
             t0 = time.perf_counter()
@@ -284,14 +390,43 @@ def main(argv=None):
             d = eval_metrics.deletion_insertion_auc(
                 engine, image, heat, int(target), steps=args.fidelity_steps)
             row = {"deletion_auc": float(d["deletion_auc"]),
-                   "insertion_auc": float(d["insertion_auc"])}
+                   "insertion_auc": float(d["insertion_auc"]),
+                   # A CONSTANT heatmap carries no information: its
+                   # fidelity curve is the pixel-index-order baseline.
+                   # The mask-label family degenerates this way whenever
+                   # NO sampled mask preserves the prediction (summed
+                   # labels identically zero — common on synthetic
+                   # images, where a 40%-window crop rarely survives),
+                   # and a GP smoothed over a zero field is still zero.
+                   # Count it so the table can say which rows measured
+                   # the METHOD and which measured the baseline. For the
+                   # field-trained trio the TRAINING LABELS decide
+                   # (_field_info): gp_cls on a constant-label field
+                   # emits a near-constant probit map whose float noise
+                   # dodges the exact-ptp check but is equally
+                   # uninformative, and an all-survive field has ptp>0
+                   # (mask-coverage counts) while still carrying zero
+                   # model signal.
+                   "degenerate": bool(np.ptp(heat) == 0) or (
+                       m in ("gp", "gp_cls")
+                       and _field_info(engine, image, segments,
+                                       int(target), args)[1]) or (
+                       m == "window"
+                       and _field_info(engine, image, segments,
+                                       int(target), args,
+                                       kind="window", soft=False)[1])}
             if gt_bbox is not None:
                 row["pointing_hit"] = bool(
                     eval_metrics.pointing_game(heat, gt_bbox))
             rows[m].append(row)
 
     if not used:
-        print("no correctly-classified images in the slice")
+        if skipped_degenerate:
+            print(f"no scoreable images: {skipped_degenerate} scanned "
+                  "images all lacked mask signal (--skip-degenerate) "
+                  "or were misclassified")
+        else:
+            print("no correctly-classified images in the slice")
         return 1
 
     summary = {}
@@ -304,6 +439,7 @@ def main(argv=None):
             "mean_insertion_auc": round(
                 float(np.mean([r["insertion_auc"] for r in rs])), 5),
             "seconds_per_image": round(times[m] / max(len(rs), 1), 3),
+            "degenerate_images": int(sum(r["degenerate"] for r in rs)),
         }
         hits = [r["pointing_hit"] for r in rs if "pointing_hit" in r]
         if hits:
@@ -350,8 +486,11 @@ def main(argv=None):
             summary[m]["margin_mean"] = round(float(margins[m].mean()), 5)
 
     tier_of = {m: i + 1 for i, t in enumerate(tiers) for m in t}
+    any_deg = any(summary[m]["degenerate_images"] for m in methods)
     header = (f"{'tier':>4}  {'method':>12}  {'del_auc↓':>9}  "
               f"{'ins_auc↑':>9}  {'margin':>7}  {'ci95':>18}  {'s/img':>7}")
+    if any_deg:
+        header += f"  {'deg':>7}"
     if any("pointing_game_acc" in summary[m] for m in methods):
         header += f"  {'point':>6}"
     print(header)
@@ -363,6 +502,8 @@ def main(argv=None):
                 f"{s['mean_insertion_auc']:>9.4f}  "
                 f"{s['margin_mean']:>+7.3f}  {ci_s:>18}  "
                 f"{s['seconds_per_image']:>7.2f}")
+        if any_deg:
+            line += f"  {s['degenerate_images']:>3d}/{s['images']:<3d}"
         if "pointing_game_acc" in s:
             line += f"  {s['pointing_game_acc']:>6.2f}"
         print(line)
@@ -370,9 +511,20 @@ def main(argv=None):
         print("(methods sharing a tier are NOT separated at "
               f"P≥{args.tier_sep:g} by the paired bootstrap — their "
               "in-tier order is noise)")
+    if any_deg:
+        print("(deg = images where the method's heatmap was CONSTANT — "
+              "no information; those rows scored the pixel-index-order "
+              "baseline, not the method. The mask-label family degenerates "
+              "when no sampled mask preserves the prediction.)")
 
+    if args.skip_degenerate:
+        print(f"(--skip-degenerate: {skipped_degenerate} images without "
+              "mask signal skipped during the scan)")
     common.emit_result(args.out, "method_comparison.json", {
         "images_used": used,
+        "skipped_degenerate": skipped_degenerate,
+        "gp_field": args.gp_field,
+        "gp_labels": args.gp_labels,
         "source": ("jpeg-dir" if jpegs else
                    "synthetic" if (args.synthetic or not args.data)
                    else "dataset"),

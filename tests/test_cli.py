@@ -410,6 +410,77 @@ def test_cli_compare_saliency_gp_methods(tmp_path):
     assert len(payload["adjacent_separation"]) == 2
 
 
+def test_cli_compare_saliency_gp_soft_knockout_field(tmp_path):
+    """--gp-field knockout --gp-labels soft: the GP surrogates train on a
+    RISE-style soft-label knockout field (which cannot hard-degenerate),
+    and the summary records field/labels provenance plus per-method
+    degenerate-image counts."""
+    import json
+
+    from network_interpretation_imagenet_tpu.cli import (
+        compare_saliency_methods,
+    )
+
+    rc = compare_saliency_methods.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num-images", "2", "--num_mask_samples", "8",
+        "--methods", "window,gp,gp_cls",
+        "--gp-field", "knockout", "--gp-labels", "soft",
+        "--gp_iters", "5", "--gp-cls-iters", "5", "--gp-grid-size", "4",
+        "--bootstrap", "100",
+        "--fidelity-steps", "8", "--out", str(tmp_path),
+        "--platform", "cpu", "--mask-batch", "16",
+    ])
+    assert rc == 0
+    payload = json.loads((tmp_path / "method_comparison.json").read_text())
+    assert payload["gp_field"] == "knockout"
+    assert payload["gp_labels"] == "soft"
+    for m in ("window", "gp", "gp_cls"):
+        s = payload["methods"][m]
+        assert 0 <= s["degenerate_images"] <= s["images"]
+    # Degeneracy is judged on the LABELS (ptp of prob_target for soft
+    # fields), and a random-init net emits an exactly-uniform softmax for
+    # every masked input — so on this fixture the accounting must flag
+    # the gp rows as degenerate rather than report coverage noise as
+    # signal. (On a trained net soft labels vary and the rows turn
+    # informative — asserted by the committed chip study.)
+    assert (payload["methods"]["gp"]["degenerate_images"]
+            == payload["methods"]["gp"]["images"])
+
+
+def test_cli_compare_saliency_skip_degenerate(tmp_path):
+    """--skip-degenerate filters images whose mask-label field carries no
+    model signal; the summary reports how many were skipped during the
+    scan, and scanning extends past --num-images to find scoreable ones."""
+    import json
+
+    from network_interpretation_imagenet_tpu.cli import (
+        compare_saliency_methods,
+    )
+
+    rc = compare_saliency_methods.main([
+        "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
+        "--num-images", "2", "--num_mask_samples", "8",
+        "--methods", "window,gp",
+        "--skip-degenerate",
+        "--gp_iters", "5", "--bootstrap", "100",
+        "--fidelity-steps", "8", "--out", str(tmp_path),
+        "--platform", "cpu", "--mask-batch", "16",
+    ])
+    payload_path = tmp_path / "method_comparison.json"
+    if rc == 0:
+        payload = json.loads(payload_path.read_text())
+        assert payload["skipped_degenerate"] >= 0
+        # Every scored image passed the field-signal filter, so no gp row
+        # can be field-degenerate.
+        assert payload["methods"]["gp"]["degenerate_images"] == 0
+    else:
+        # All scanned images lacked mask signal — a legal outcome on tiny
+        # synthetic slices; the CLI must fail gracefully (rc=1, no JSON).
+        assert rc == 1
+        assert not payload_path.exists()
+
+
 def test_cli_compare_saliency_jpeg_dir(tmp_path):
     """--jpeg-dir scores real committed JPEGs (resized/cropped/normalized
     to the dataset's input geometry, incl. the 1-channel collapse) as a
