@@ -42,7 +42,7 @@ from network_interpretation_imagenet_tpu.saliency import (
 )
 from network_interpretation_imagenet_tpu.saliency import gradient as grad_mod
 
-METHODS = ("window", "knockout", "bo", "gp", "gp_cls", "occlusion",
+METHODS = ("window", "knockout", "bo", "field", "gp", "gp_cls", "occlusion",
            "gradient", "grad_input", "integrated", "smoothgrad", "rise",
            "gradcam", "scorecam", "xrai", "meaningful")
 
@@ -143,6 +143,14 @@ def _heatmap(method: str, engine, image, disp, segments, target: int, args):
             target=target, fused=args.fused,
         )
         return out.heatmap
+    if method == "field":
+        # The RAW training field under --gp-field/--gp-labels, as a
+        # saliency map. This is the ablation baseline for the GP rows:
+        # gp trains on exactly this array, so margin(gp) − margin(field)
+        # isolates what GP smoothing itself contributes — the reference's
+        # central untested hypothesis (gp_superpixel_data_imagenet.py:
+        # 407-523 smooths this field and claims a better map).
+        return _field_heat(engine, image, segments, target, args)
     if method == "gp":
         # The reference's distinctive move: smooth the summed mask-label
         # field with a pixel-grid GP and read the posterior MEAN as the
@@ -408,7 +416,7 @@ def main(argv=None):
                    # (mask-coverage counts) while still carrying zero
                    # model signal.
                    "degenerate": bool(np.ptp(heat) == 0) or (
-                       m in ("gp", "gp_cls")
+                       m in ("field", "gp", "gp_cls")
                        and _field_info(engine, image, segments,
                                        int(target), args)[1]) or (
                        m == "window"

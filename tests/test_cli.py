@@ -424,7 +424,7 @@ def test_cli_compare_saliency_gp_soft_knockout_field(tmp_path):
     rc = compare_saliency_methods.main([
         "--synthetic", "--arch", "mnist_cnn", "--dataset", "mnist",
         "--num-images", "2", "--num_mask_samples", "8",
-        "--methods", "window,gp,gp_cls",
+        "--methods", "window,field,gp,gp_cls",
         "--gp-field", "knockout", "--gp-labels", "soft",
         "--gp_iters", "5", "--gp-cls-iters", "5", "--gp-grid-size", "4",
         "--bootstrap", "100",
@@ -435,9 +435,13 @@ def test_cli_compare_saliency_gp_soft_knockout_field(tmp_path):
     payload = json.loads((tmp_path / "method_comparison.json").read_text())
     assert payload["gp_field"] == "knockout"
     assert payload["gp_labels"] == "soft"
-    for m in ("window", "gp", "gp_cls"):
+    for m in ("window", "field", "gp", "gp_cls"):
         s = payload["methods"][m]
         assert 0 <= s["degenerate_images"] <= s["images"]
+    # 'field' is the raw training field — the ablation baseline the gp
+    # row is judged against; same field, so same degeneracy accounting.
+    assert (payload["methods"]["field"]["degenerate_images"]
+            == payload["methods"]["gp"]["degenerate_images"])
     # Degeneracy is judged on the LABELS (ptp of prob_target for soft
     # fields), and a random-init net emits an exactly-uniform softmax for
     # every masked input — so on this fixture the accounting must flag
