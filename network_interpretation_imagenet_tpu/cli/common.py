@@ -177,9 +177,14 @@ def add_method_flags(
     g.add_argument("--scorecam-channels", type=int, default=64,
                    help="scorecam: top-K activation channels scored by "
                         "masked forwards")
-    g.add_argument("--xrai-scales", default="50,100,150,250,500",
+    g.add_argument("--xrai-scales", default="auto",
                    help="xrai: comma list of felzenszwalb scales for the "
-                        "oversegmentation ladder")
+                        "oversegmentation ladder, or 'auto' (default) for "
+                        "the paper's 224² ladder 50,100,150,250,500 "
+                        "area-scaled to the input resolution — the FH "
+                        "scale parameter has pixel-count units, so the "
+                        "224² values over-merge small images to one "
+                        "region (constant, information-free heatmap)")
     g.add_argument("--lm-mask-size", type=int, default=28,
                    help="meaningful: low-res mask grid side")
     g.add_argument("--lm-iters", type=int, default=lm_iters)
@@ -191,6 +196,14 @@ def add_method_flags(
                    help="meaningful: shifted copies per step")
     g.add_argument("--lm-baseline", default="blur",
                    choices=["blur", "zero"])
+
+
+def parse_xrai_scales(spec: str):
+    """``--xrai-scales`` string → list of floats, or None for 'auto'
+    (callees then use ``xrai.adaptive_scales`` for their resolution)."""
+    if spec is None or spec.strip().lower() in ("auto", ""):
+        return None
+    return [float(s) for s in spec.split(",")]
 
 
 def add_bo_flags(p: argparse.ArgumentParser) -> None:

@@ -224,7 +224,7 @@ def _heatmap(method: str, engine, image, disp, segments, target: int, args):
         return xrai.xrai_saliency(
             logits_fn, variables, image, target, disp,
             steps=args.ig_steps,
-            scales=[float(s) for s in args.xrai_scales.split(",")],
+            scales=common.parse_xrai_scales(args.xrai_scales),
         ).heatmap
     if method == "meaningful":
         from network_interpretation_imagenet_tpu.saliency import learned_mask

@@ -90,7 +90,7 @@ def main(argv=None):
         res = xrai.xrai_saliency(
             logits_fn, variables, image, target, disp,
             steps=args.ig_steps,
-            scales=[float(s) for s in args.xrai_scales.split(",")])
+            scales=common.parse_xrai_scales(args.xrai_scales))
         heat = res.heatmap
         num_regions = res.num_regions
     elif args.method == "meaningful":

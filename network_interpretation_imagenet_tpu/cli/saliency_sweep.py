@@ -393,7 +393,7 @@ def main(argv=None):
                 "l1": args.lm_l1, "tv": args.lm_tv,
                 "jitter": args.lm_jitter, "baseline": args.lm_baseline,
             } if args.attribute == "meaningful" else None,
-            xrai_scales=[float(v) for v in args.xrai_scales.split(",")]
+            xrai_scales=common.parse_xrai_scales(args.xrai_scales)
             if args.attribute == "xrai" else None,
             normalize=(spec.mean, spec.std) if args.uint8_wire else None,
             heatmap_wire=args.heatmap_wire,

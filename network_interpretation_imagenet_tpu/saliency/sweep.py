@@ -1344,8 +1344,11 @@ def attribution_sweep(
             # ONE device→host fetch; f16 wires reconstruct to f32 for the
             # ladder math.
             attrs = np.asarray(attrs).astype(np.float32)
-            scales = (xrai.DEFAULT_SCALES if xrai_scales is None
-                      else xrai_scales)
+            # None → area-adaptive ladder (DEFAULT_SCALES is a 224²
+            # calibration; on small inputs it over-merges to one region
+            # and the ranking degenerates to a constant map).
+            scales = (xrai.adaptive_scales(*kept_disps[0].shape[:2])
+                      if xrai_scales is None else xrai_scales)
             out = []
             for pos in range(len(attrs)):
                 # The same scale→min_size ladder as xrai_saliency; ONE

@@ -36,8 +36,30 @@ Array = jax.Array
 
 #: Felzenszwalb scales for the multi-level oversegmentation (the XRAI
 #: paper's dilation ladder; min_size grows with scale so coarse levels
-#: stay coarse).
+#: stay coarse). Tuned for 224² natural images — use
+#: :func:`adaptive_scales` (the ``scales=None`` default everywhere) to
+#: map them to other resolutions.
 DEFAULT_SCALES = (50.0, 100.0, 150.0, 250.0, 500.0)
+
+#: The image area DEFAULT_SCALES are calibrated for.
+_REF_AREA = 224 * 224
+
+
+def adaptive_scales(height: int, width: int,
+                    base: Sequence[float] = DEFAULT_SCALES):
+    """``base`` scales mapped from 224² to an ``height×width`` image.
+
+    Felzenszwalb's ``scale`` (k) is a merge-threshold with pixel-count
+    units — τ(C) = k/|C| — so a ladder tuned for 50k-pixel images
+    over-merges small inputs: on a smooth 32×32 photograph every
+    DEFAULT_SCALES level yields ONE region, which collapses the greedy
+    ranking to a constant (information-free) heatmap — caught by the
+    round-5 method study's degenerate-row accounting on the real-JPEG
+    table. Scaling k by the area ratio keeps the ladder's region
+    granularity roughly resolution-invariant; the floor keeps the finest
+    level meaningful on tiny inputs."""
+    ratio = (int(height) * int(width)) / float(_REF_AREA)
+    return tuple(max(1.0, float(s) * ratio) for s in base)
 
 
 def xrai_attribution(
@@ -266,7 +288,7 @@ def xrai_saliency(
     target: int,
     display: np.ndarray,
     steps: int = 16,
-    scales: Sequence[float] = DEFAULT_SCALES,
+    scales: Optional[Sequence[float]] = None,
     baselines: Optional[Sequence[Array]] = None,
     min_area: int = 4,
     segment_backend: str = "auto",
@@ -277,10 +299,13 @@ def xrai_saliency(
     ranking. ``min_size`` tracks each scale so coarse levels stay coarse
     (the :func:`felzenszwalb_ladder` default); the ladder shares one edge
     build+sort across scales — bit-exact with per-scale calls, ~3× less
-    host time."""
+    host time. ``scales=None`` → :func:`adaptive_scales` for the display
+    resolution (DEFAULT_SCALES at 224², area-scaled elsewhere)."""
     attr = np.asarray(
         xrai_attribution(logits_fn, variables, image, target,
                          steps=steps, baselines=baselines))
+    if scales is None:
+        scales = adaptive_scales(display.shape[0], display.shape[1])
     seg_maps = felzenszwalb_ladder(display, scales, sigma=0.5,
                                    backend=segment_backend)
     heat, n = greedy_region_ranking(attr, seg_maps, min_area=min_area)

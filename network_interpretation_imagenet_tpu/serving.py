@@ -201,7 +201,8 @@ def export_engine(
             "lm_baseline": "blur",
             # XRAI: host-side greedy-ranking parameters, recorded in the
             # manifest and applied by the serving host (only the signed-IG
-            # half is a device program). None → xrai.DEFAULT_SCALES.
+            # half is a device program). None → xrai.adaptive_scales for
+            # the artifact's input resolution.
             "xrai_scales": None, "xrai_min_area": 4,
         }
         bad_keys = set(attribution_cfg or {}) - set(attr_cfg)
@@ -291,8 +292,10 @@ def export_engine(
             )
 
             if attr_cfg["xrai_scales"] is None:
+                # Area-adaptive for the artifact's input resolution
+                # (DEFAULT_SCALES is a 224² calibration).
                 attr_cfg["xrai_scales"] = [
-                    float(s) for s in xrai_mod.DEFAULT_SCALES
+                    float(s) for s in xrai_mod.adaptive_scales(h, w)
                 ]
 
             def _xrai_ig(v, img, t, s):

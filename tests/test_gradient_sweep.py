@@ -801,6 +801,58 @@ def test_xrai_saliency_end_to_end():
     assert 0.0 <= res.heatmap.min() and res.heatmap.max() == 1.0
 
 
+def test_xrai_adaptive_scales_resolution_invariant():
+    """scales=None area-scales the 224² paper ladder: identity at 224²,
+    shrunk (with a 1.0 floor) on small inputs — the FH scale parameter
+    has pixel-count units, so the 224² values over-merge a smooth 32×32
+    photo into ONE region and the ranking degenerates to a constant."""
+    from network_interpretation_imagenet_tpu.saliency import xrai
+
+    assert xrai.adaptive_scales(224, 224) == tuple(xrai.DEFAULT_SCALES)
+    small = xrai.adaptive_scales(32, 32)
+    ratio = (32 * 32) / (224 * 224)
+    for got, base in zip(small, xrai.DEFAULT_SCALES):
+        assert got == max(1.0, base * ratio)
+    # Monotone ladder preserved.
+    assert list(small) == sorted(small)
+
+
+def test_xrai_adaptive_default_not_constant_on_small_photo():
+    """A real photograph downscaled to 28×28 through scales=None must
+    yield >1 region and a NON-constant heatmap; the 224²-tuned
+    DEFAULT_SCALES ladder merges such images to one region (constant map
+    — the degenerate rows the round-5 real-JPEG study exposed)."""
+    import glob
+
+    from PIL import Image
+
+    from network_interpretation_imagenet_tpu.saliency import xrai
+    from network_interpretation_imagenet_tpu.segment.felzenszwalb import (
+        felzenszwalb_ladder,
+    )
+
+    jpeg = sorted(glob.glob(
+        "tests/fixtures/imagenet_loc/**/*.JPEG", recursive=True))[0]
+    disp = np.asarray(
+        Image.open(jpeg).convert("RGB").resize((28, 28)), np.uint8)
+    old = felzenszwalb_ladder(disp, xrai.DEFAULT_SCALES, sigma=0.5)
+    new = felzenszwalb_ladder(disp, xrai.adaptive_scales(28, 28),
+                              sigma=0.5)
+    # The finest adaptive level splits the photo into strictly more
+    # regions than the 224²-tuned ladder's finest level (which collapses
+    # to 1-2 regions here — at 32×32 on all three fixture JPEGs it is
+    # exactly 1, the constant-heatmap failure).
+    assert int(new[0].max()) > int(old[0].max())
+    assert int(new[0].max()) > 0
+    mb = create_model("mnist_cnn", "mnist")
+    mv = mb.init(jax.random.PRNGKey(0))
+    img = (disp.mean(-1, keepdims=True) / 255.0).astype(np.float32)
+    res = xrai.xrai_saliency(mb.logits, mv, img, 3, disp,
+                             steps=4)  # scales=None → adaptive
+    assert res.num_regions > 1
+    assert float(np.ptp(res.heatmap)) > 0.0
+
+
 def test_learned_mask_deletes_evidence_region():
     """Fong-Vedaldi learned mask on the toy region model: the optimized
     deletion mask must kill the target probability, concentrate deletion
