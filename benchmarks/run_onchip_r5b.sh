@@ -55,3 +55,20 @@ run gp_hard_skip python -m network_interpretation_imagenet_tpu.cli.compare_salie
 
 # 3. p95 tail: serialized vs dynamic vs dynamic+cap at C in {4,16}.
 run load_test_cap python benchmarks/load_test.py --requests 32 --max-group 4
+
+# 4. XRAI re-measured after the area-adaptive FH ladder fix (the N=64
+#    table and the first jpeg secondary ran the 224²-tuned ladder, which
+#    collapsed real 32×32 photos to one region → constant heatmaps).
+run xrai_adaptive_n64 python -m network_interpretation_imagenet_tpu.cli.compare_saliency_methods \
+  --arch resnet --depth 56 --dataset cifar10 --synthetic \
+  --ckpt "$CKPT" --num-images 64 --fidelity-steps 32 --bootstrap 4000 \
+  --methods xrai \
+  --out docs/profiles/method_comparison_cifar10_r5/xrai_adaptive
+
+# 5. The real-JPEG secondary, regenerated with the adaptive ladder (and
+#    the field baseline) — replaces the committed degenerate-xrai table.
+run jpeg_secondary_v2 python -m network_interpretation_imagenet_tpu.cli.compare_saliency_methods \
+  --arch resnet --depth 56 --dataset cifar10 \
+  --ckpt "$CKPT" --jpeg-dir tests/fixtures/imagenet_loc \
+  --num-images 3 --fidelity-steps 32 --bootstrap 4000 \
+  --out docs/profiles/method_comparison_cifar10_r5/jpeg_secondary
