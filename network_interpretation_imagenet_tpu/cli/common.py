@@ -77,7 +77,11 @@ def build_parser(description: str, dataset_default: str = "imagenet") -> argpars
     g = p.add_argument_group("segmentation")
     g.add_argument("--segmenter", default="felzenszwalb",
                    choices=["felzenszwalb", "slic"])
-    g.add_argument("--scale", type=float, default=100.0)
+    # None = area-adaptive: the reference's scale=100 calibrated at 224²
+    # (identity there), area-scaled for other resolutions — FH scale has
+    # pixel-count units, and 100 collapses a 32×32 display to ONE
+    # segment. Pass --scale 100 explicitly for raw reference behavior.
+    g.add_argument("--scale", type=float, default=None)
     g.add_argument("--sigma", type=float, default=0.5)
     # None = per-dataset reference default (50 imagenet / 5 mnist / 10 cifar,
     # resolved in segment_config); an explicit value always wins.

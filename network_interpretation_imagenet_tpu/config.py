@@ -69,8 +69,16 @@ class SegmentConfig:
     # docs/PERFORMANCE.md "Segmenter study"). As host work it also overlaps
     # the chip in the pipelined sweep. "slic" = the on-device alternative.
     method: str = "felzenszwalb"
-    # felzenszwalb params
-    scale: float = 100.0
+    # felzenszwalb params. scale=None → area-adaptive: the reference's
+    # scale=100 is a 224² calibration, and FH's scale has PIXEL-COUNT
+    # units (merge threshold τ(C) = scale/|C|), so 100 over-merges a
+    # 32×32 image to ONE segment — every mask identical, the whole
+    # mask-label pipeline degenerate (caught by the round-5 method
+    # study). None resolves to max(1, 100·H·W/224²) at segmentation
+    # time: identity at 224² (ImageNet paths unchanged), ~2 at 32²
+    # (8-14 segments on CIFAR-scale content). Explicit floats are
+    # honored verbatim (reference parity: pass scale=100).
+    scale: "float | None" = None
     sigma: float = 0.5
     min_size: int = 50
     # slic params

@@ -41,8 +41,16 @@ def segment_image(img_u8: np.ndarray, cfg: SegmentConfig) -> np.ndarray:
     )
 
     if cfg.method == "felzenszwalb":
+        scale = cfg.scale
+        if scale is None:
+            # Area-adaptive default (see SegmentConfig.scale): the
+            # reference's scale=100 calibrated at 224², area-scaled so
+            # small displays keep a usable segment count instead of
+            # collapsing to one region.
+            h, w = np.asarray(img_u8).shape[:2]
+            scale = max(1.0, 100.0 * (int(h) * int(w)) / (224.0 * 224.0))
         return felz.felzenszwalb(
-            img_u8, scale=cfg.scale, sigma=cfg.sigma, min_size=cfg.min_size
+            img_u8, scale=scale, sigma=cfg.sigma, min_size=cfg.min_size
         )
     if cfg.method == "slic":
         import numpy as _np

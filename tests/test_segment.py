@@ -106,6 +106,33 @@ def test_segment_image_dispatcher_felzenszwalb():
     np.testing.assert_array_equal(uniq, np.arange(len(uniq)))
 
 
+def test_segment_image_adaptive_scale_small_display():
+    """scale=None (the default) area-adapts the reference's 224²-calibrated
+    scale=100: a real photograph at 32×32 must segment into several
+    regions, where explicit scale=100 collapses it to 1-2 (every knockout/
+    window mask then identical — the degenerate mask-label pipelines the
+    round-5 method study exposed). At 224² None resolves to exactly 100,
+    so ImageNet-scale outputs are bit-identical to the reference params."""
+    import glob
+
+    from PIL import Image
+
+    jpeg = sorted(glob.glob(
+        "tests/fixtures/imagenet_loc/**/*.JPEG", recursive=True))[0]
+    disp = np.asarray(
+        Image.open(jpeg).convert("RGB").resize((32, 32)), np.uint8)
+    adaptive = segment_image(disp, SegmentConfig(min_size=10))
+    explicit = segment_image(disp, SegmentConfig(scale=100.0, min_size=10))
+    assert int(adaptive.max()) + 1 > 4
+    assert int(adaptive.max()) > int(explicit.max())
+    # 224²: adaptive == reference scale=100, bit-identical.
+    disp224 = np.asarray(
+        Image.open(jpeg).convert("RGB").resize((224, 224)), np.uint8)
+    a224 = segment_image(disp224, SegmentConfig())
+    e224 = segment_image(disp224, SegmentConfig(scale=100.0))
+    np.testing.assert_array_equal(a224, e224)
+
+
 def test_native_matches_numpy_on_tie_heavy_image():
     """Quantized flat-region images are full of equal-weight edges; backend
     edge emission order must match so stable sorts agree tie-for-tie."""
