@@ -153,9 +153,14 @@ def add_method_flags(
     saliency, compare_saliency_methods, attribution_sanity) — one flag
     set, per-CLI default overrides via the keyword args."""
     g = p.add_argument_group("attribution method hyperparameters")
-    g.add_argument("--patch", type=int, default=32,
-                   help="occlusion: patch side")
-    g.add_argument("--stride", type=int, default=16)
+    # None = resolution-adaptive (32 at 224² scaled to the image side,
+    # floor 4; stride = patch//2): a fixed 32 on a 32×32 input admits
+    # exactly ONE occlusion position — constant, information-free map.
+    g.add_argument("--patch", type=int, default=None,
+                   help="occlusion: patch side (default: adaptive, "
+                        "32 at 224² scaled linearly, floor 4)")
+    g.add_argument("--stride", type=int, default=None,
+                   help="occlusion: stride (default: patch // 2)")
     g.add_argument("--ig-steps", type=int, default=16,
                    help="integrated/xrai: path steps")
     g.add_argument("--sg-samples", type=int, default=sg_samples,

@@ -141,8 +141,8 @@ def occlusion_map(
     variables: Any,
     image: Array,
     target: int,
-    patch: int = 32,
-    stride: int = 16,
+    patch: "int | None" = None,
+    stride: "int | None" = None,
     batch: int = 64,
     compute_dtype: Any = jnp.bfloat16,
 ) -> Array:
@@ -150,9 +150,19 @@ def occlusion_map(
     image; the map holds the target-probability DROP at each covered pixel
     (averaged over overlapping patches). All patch positions are evaluated
     as batched masked forwards (scan of ``batch``-sized chunks).
+
+    ``patch=None`` → resolution-adaptive: 32 at 224² (the classic
+    choice), linearly scaled to the image side with a floor of 4 — a
+    fixed patch=32 on a 32×32 input admits exactly ONE position, so the
+    map is constant (information-free). ``stride=None`` → ``patch // 2``
+    (the classic half-overlap).
     """
     image = jnp.asarray(image, jnp.float32)
     h, w, _ = image.shape
+    if patch is None:
+        patch = max(4, int(round(32 * min(int(h), int(w)) / 224.0)))
+    if stride is None:
+        stride = max(1, patch // 2)
     ys = np.arange(0, h - patch + 1, stride, dtype=np.int32)
     xs = np.arange(0, w - patch + 1, stride, dtype=np.int32)
     pos = np.stack(np.meshgrid(ys, xs, indexing="ij"), -1).reshape(-1, 2)
@@ -551,8 +561,10 @@ def _mask_one_body(
     bundle,
     method: str,
     *,
-    patch: int = 32,
-    stride: int = 16,
+    # None = occlusion_map's resolution-adaptive defaults (32 at 224²
+    # scaled to the image side, stride = patch//2).
+    patch: "int | None" = None,
+    stride: "int | None" = None,
     rise_masks: int = 1000,
     rise_grid: int = 7,
     rise_keep_prob: float = 0.5,

@@ -1138,8 +1138,9 @@ def attribution_sweep(
     xrai_scales=None,
     normalize=None,
     heatmap_wire: str = "f32",
-    patch: int = 32,
-    stride: int = 16,
+    # None = occlusion_map's resolution-adaptive defaults.
+    patch: "int | None" = None,
+    stride: "int | None" = None,
     rise_masks: int = 1000,
     rise_grid: int = 7,
     rise_keep_prob: float = 0.5,

@@ -192,7 +192,9 @@ def export_engine(
             "ig_steps": 16, "sg_samples": 16, "sg_sigma": 0.15,
             "gradcam_layer": None,
             # mask-batched methods (forward chunk shared via mask_batch)
-            "mask_batch": 64, "occ_patch": 32, "occ_stride": 16,
+            # occ None = resolution-adaptive at the artifact input size
+            # (occlusion_map: 32 at 224² scaled, stride patch//2).
+            "mask_batch": 64, "occ_patch": None, "occ_stride": None,
             "rise_masks": 500, "rise_grid": 7, "rise_keep": 0.5,
             "scorecam_channels": 64,
             # learned deletion mask (Fong-Vedaldi)

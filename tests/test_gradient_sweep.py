@@ -225,6 +225,24 @@ def test_occlusion_map_finds_region():
     assert heat.min() >= 0
 
 
+def test_occlusion_map_adaptive_patch_small_image():
+    """patch=None (the default) resolution-adapts the classic 224²
+    patch=32: on a 16×16 image a fixed 32 would admit ZERO positions
+    (error) and 16 exactly ONE (constant map); the adaptive default must
+    yield a multi-position, non-constant map that still localizes the
+    evidence region."""
+    logits_fn = _toy_model()
+    img = np.ones((16, 16, 1), np.float32)
+    heat = np.asarray(
+        grad_mod.occlusion_map(
+            logits_fn, None, img, 1, batch=8, compute_dtype=jnp.float32,
+        )
+    )
+    assert heat.shape == (16, 16)
+    assert float(np.ptp(heat)) > 0.0
+    assert heat[4:12, 4:12].mean() > heat[:4, :4].mean()
+
+
 def test_saliency_sweep_mixed_outcomes():
     bundle = create_model("mnist_cnn", "mnist")
     variables = bundle.init(jax.random.PRNGKey(0))
