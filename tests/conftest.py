@@ -80,6 +80,10 @@ _TPU_SMOKE = (
     # r5: the sign-preserving f16 attribution wire for xrai — real-chip
     # coverage of the halved fetch + f32 reconstruct.
     "test_gradient_sweep.py::test_attribution_sweep_xrai_f16_wire",
+    # r5: the resolution-adaptive defaults that fixed the constant-map
+    # degeneracies (224²-calibrated FH/occlusion params on small inputs).
+    "test_gradient_sweep.py::test_xrai_adaptive_default_not_constant_on_small_photo",
+    "test_gradient_sweep.py::test_occlusion_map_adaptive_patch_small_image",
 )
 
 # Individually-slow tests inside otherwise-fast modules (compile-heavy
