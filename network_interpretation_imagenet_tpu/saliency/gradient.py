@@ -618,8 +618,15 @@ def _mask_one_body(
 
 
 def _mask_cfg_key(logits_fn, bundle, method, kw):
+    def _i(name, default):
+        # patch/stride may be None (= occlusion_map's resolution-adaptive
+        # default, resolved at trace time from the static image shape) —
+        # a distinct, valid cache key, NOT coercible to int.
+        v = kw.get(name, default)
+        return None if v is None else int(v)
+
     return (method, bundle if method == "scorecam" else logits_fn,
-            int(kw.get("patch", 32)), int(kw.get("stride", 16)),
+            _i("patch", None), _i("stride", None),
             int(kw.get("rise_masks", 1000)), int(kw.get("rise_grid", 7)),
             float(kw.get("rise_keep_prob", 0.5)), kw.get("mask_batch"),
             kw.get("gradcam_layer"), int(kw.get("scorecam_channels", 64)))
